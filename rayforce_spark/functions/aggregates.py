@@ -1,0 +1,160 @@
+"""Aggregate verbs.
+
+The reference registers aggregation builtins with an FN_AGGR flag
+(ref core/env.c:135-146,177) so that ``select`` applies them per group over
+a lazy group map (ref core/eval.c:723-728, core/aggr.c:375-392). Here the
+same routing decision is carried by :class:`AggExpr` — a thin marker around
+a Spark aggregate Column. The query layer (operators/query.py) sends
+AggExprs through ``groupBy().agg()`` (or a Window for grouped update) and
+treats plain Columns as projections / implicit per-group collects.
+
+Null semantics: the reference's aggregates skip typed-null sentinels
+(ref core/ops.h:141-152); Spark aggregates skip SQL NULL — identical
+behavior for free (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+class AggExpr:
+    """Marker: a Column whose top node is an aggregate function.
+
+    ``col`` is usable directly in ``DataFrame.agg`` and supports
+    ``.over(window)`` for the grouped-update rewrite. When built by an
+    ``A.*`` constructor, ``fn``/``arg`` record how to rebuild the
+    aggregate over a masked input (grouped update with ``where`` — see
+    operators.query.update).
+    """
+
+    __slots__ = ("col", "fn", "arg", "arg_name")
+
+    def __init__(self, col: Column, fn=None, arg: Column | None = None,
+                 arg_name: str | None = None):
+        self.col = col
+        self.fn = fn
+        self.arg = arg
+        self.arg_name = arg_name
+
+    def masked(self, cond: Column) -> Column:
+        """agg(x) -> agg(CASE WHEN cond THEN x END): aggregate only rows
+        passing ``cond`` (matches the reference's filter-then-group order,
+        ref core/query.c:311-340)."""
+        if self.fn is None or self.arg is None:
+            raise ValueError(
+                "cannot mask a composite aggregate; build it from A.* verbs"
+            )
+        return self.fn(F.when(cond, self.arg))
+
+    def alias(self, name: str) -> Column:
+        return self.col.alias(name)
+
+    def over(self, window) -> Column:
+        return self.col.over(window)
+
+    # arithmetic on aggregates stays an aggregate expression
+    # (e.g. max(v1) - min(v2), H2O groupby Q6)
+    def _wrap(self, other, op):
+        other_c = other.col if isinstance(other, AggExpr) else other
+        return AggExpr(op(self.col, other_c))
+
+    def __add__(self, other):
+        return self._wrap(other, lambda a, b: a + b)
+
+    def __sub__(self, other):
+        return self._wrap(other, lambda a, b: a - b)
+
+    def __mul__(self, other):
+        return self._wrap(other, lambda a, b: a * b)
+
+    def __truediv__(self, other):
+        return self._wrap(other, lambda a, b: a / b)
+
+
+def agg(col: Column) -> AggExpr:
+    """Tag an arbitrary Spark aggregate Column as an aggregate verb."""
+    return AggExpr(col)
+
+
+def _make(fn, c: ColumnOrName) -> AggExpr:
+    col = _col(c)
+    return AggExpr(fn(col), fn, col, c if isinstance(c, str) else None)
+
+
+# -- reference aggregate inventory (SURVEY §2.4) ----------------------------
+
+def sum_(c: ColumnOrName) -> AggExpr:
+    """ref core/math.c:2388 (flat), core/aggr.c:1107 (grouped)."""
+    return _make(F.sum, c)
+
+
+def avg(c: ColumnOrName) -> AggExpr:
+    """ref core/math.c:2445, core/aggr.c:2013."""
+    return _make(F.avg, c)
+
+
+def min_(c: ColumnOrName) -> AggExpr:
+    """ref core/math.c:2428, core/aggr.c:1263."""
+    return _make(F.min, c)
+
+
+def max_(c: ColumnOrName) -> AggExpr:
+    """ref core/math.c:2429, core/aggr.c:1181."""
+    return _make(F.max, c)
+
+
+def count(c: ColumnOrName | None = None) -> AggExpr:
+    """Row count incl. nulls when bare (ref core/misc.c:43); non-null count
+    of a column when given one (ref core/math.c:2389 ray_cnt)."""
+    if c is None:
+        return AggExpr(F.count(F.lit(1)), F.count, F.lit(1))
+    return _make(F.count, c)
+
+
+def count_distinct(c: ColumnOrName) -> AggExpr:
+    """Composable (distinct + count) in the reference; native here."""
+    return AggExpr(F.countDistinct(_col(c)))
+
+
+def first(c: ColumnOrName) -> AggExpr:
+    """ref core/items.c:1031, grouped fast path core/query.c:58-79."""
+    return _make(lambda x: F.first(x, ignorenulls=True), c)
+
+
+def last(c: ColumnOrName) -> AggExpr:
+    """ref core/items.c:1073, core/aggr.c:897."""
+    return _make(lambda x: F.last(x, ignorenulls=True), c)
+
+
+def med(c: ColumnOrName) -> AggExpr:
+    """Exact median — the reference is sort-based exact
+    (ref core/math.c:2529, core/aggr.c:2233), so use F.median, not
+    percentile_approx."""
+    return _make(F.median, c)
+
+
+def dev(c: ColumnOrName) -> AggExpr:
+    """Population std-dev, 2-pass in the reference
+    (ref core/math.c:2628-2700, core/aggr.c:2864) == stddev_pop."""
+    return _make(F.stddev_pop, c)
+
+
+def var(c: ColumnOrName) -> AggExpr:
+    """Population variance (companion of dev)."""
+    return _make(F.var_pop, c)
+
+
+def collect(c: ColumnOrName) -> AggExpr:
+    """Implicit per-group collect of a non-aggregated column under ``by``
+    (ref core/aggr.c:3021 aggr_collect) — explicit spelling."""
+    return _make(F.collect_list, c)

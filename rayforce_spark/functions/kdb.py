@@ -1,0 +1,174 @@
+"""kdb-style scalar semantics from the reference, as Spark expressions.
+
+The reference's arithmetic rules live in macro kernels (ref core/ops.h:
+136-197) and verb registrations (ref core/env.c:194-196):
+
+* ``%``   is modulo            -> :func:`emod`
+* ``/``   is Euclidean int div -> :func:`ediv`
+* ``div`` is float division    -> :func:`fdiv`
+* integer division by zero yields null, not an error (ref core/ops.h:169-171)
+* nulls propagate through arithmetic (ref core/ops.h:136-197) — matches SQL
+  NULL for free (SURVEY §1.2).
+
+Everything here is a pure Column expression (JVM-side, whole-stage codegen),
+no UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c) -> Column:
+    if isinstance(c, Column):
+        return c
+    if isinstance(c, str):
+        return F.col(c)
+    return F.lit(c)
+
+
+# -- arithmetic -------------------------------------------------------------
+
+def ediv(x: ColumnOrName, y: ColumnOrName) -> Column:
+    """Euclidean integer division, div-by-zero -> null.
+
+    ref core/ops.h:165-177 (``/`` = ray_div, core/env.c:195). Euclidean:
+    the remainder is always non-negative, i.e. q = sign(y)*floor(x/|y|).
+    """
+    x, y = _col(x), _col(y)
+    q = (F.floor(x / F.abs(y)) * F.signum(y)).cast("long")
+    return F.when(y == 0, F.lit(None).cast("long")).otherwise(q)
+
+
+def emod(x: ColumnOrName, y: ColumnOrName) -> Column:
+    """Euclidean modulo (result in [0, |y|)), mod-by-zero -> null.
+
+    ref core/ops.h:165-177 (``%`` = ray_mod, core/env.c:194).
+    """
+    x, y = _col(x), _col(y)
+    r = x - y * (F.floor(x / F.abs(y)) * F.signum(y)).cast("long")
+    return F.when(y == 0, F.lit(None).cast("long")).otherwise(r.cast("long"))
+
+
+def fdiv(x: ColumnOrName, y: ColumnOrName) -> Column:
+    """Float division (``div`` in the reference, core/env.c:196).
+
+    Spark's default (non-ANSI) double division already yields NULL on /0,
+    matching the reference's null result.
+    """
+    return _col(x).cast("double") / _col(y).cast("double")
+
+
+def neg(x: ColumnOrName) -> Column:
+    """ref core/order.c:445."""
+    return -_col(x)
+
+
+# -- bucketing --------------------------------------------------------------
+
+def xbar(n, x: ColumnOrName) -> Column:
+    """Round ``x`` down to a multiple of ``n`` (ref core/math.c:2442,
+    core/ops.h:193-197). The reference's time-bucketing idiom
+    ``(xbar 300000 time)`` = 5-minute bars.
+
+    Numeric columns only; see :func:`xbar_time` for timestamps.
+    """
+    x = _col(x)
+    n_c = _col(n)
+    return (F.floor(x / n_c) * n_c)
+
+
+def xbar_time(seconds: int, ts: ColumnOrName) -> Column:
+    """xbar over a timestamp column: bucket to ``seconds``-wide bars.
+
+    Equivalent of the reference's xbar on TIME/TIMESTAMP columns
+    (i64 nanos, ref core/ops.h:273-276), expressed on Spark TimestampType.
+    """
+    ts = _col(ts)
+    secs = F.floor(ts.cast("double") / seconds) * seconds
+    return F.timestamp_seconds(secs)
+
+
+# -- predicates -------------------------------------------------------------
+
+def within(x: ColumnOrName, lo, hi) -> Column:
+    """x in [lo, hi] (ref core/items.c:848)."""
+    return _col(x).between(lo, hi)
+
+
+_GLOB_TOKEN = re.compile(r"\[\^?\]?[^\]]*\]|\*|\?|.")
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Translate the reference's glob syntax (``* ? [abc] [^abc]``,
+    matcher ref core/string.c:493) to an anchored Java regex."""
+    out = []
+    for tok in _GLOB_TOKEN.findall(pattern):
+        if tok == "*":
+            out.append(".*")
+        elif tok == "?":
+            out.append(".")
+        elif tok.startswith("["):
+            body = tok[1:-1]
+            if body.startswith("^"):
+                out.append("[^" + re.escape(body[1:]) + "]")
+            else:
+                out.append("[" + re.escape(body) + "]")
+        else:
+            out.append(re.escape(tok))
+    return "^" + "".join(out) + "$"
+
+
+def like(x: ColumnOrName, pattern: str) -> Column:
+    """Glob match (ref core/logic.c:266, core/string.c:493)."""
+    return _col(x).rlike(glob_to_regex(pattern))
+
+
+# -- misc verbs -------------------------------------------------------------
+
+def split(x: ColumnOrName, sep: str) -> Column:
+    """Split string by separator (ref core/compose.c:1345)."""
+    return F.split(_col(x), re.escape(sep))
+
+
+def format_(fmt: str, *args: ColumnOrName) -> Column:
+    """%-placeholder formatting (ref core/vary.c:113, core/format.c:1439)."""
+    return F.format_string(fmt, *[_col(a) for a in args])
+
+
+def as_(type_name: str, x: ColumnOrName) -> Column:
+    """Cast verb ``(as 'F64 x)`` (ref core/compose.c:42, core/env.c:211).
+
+    Accepts the reference's type names or Spark type names.
+    """
+    mapping = {
+        "b8": "boolean",
+        "u8": "short",
+        "i16": "short",
+        "i32": "int",
+        "i64": "long",
+        "f64": "double",
+        "symbol": "string",
+        "c8": "string",
+        "date": "date",
+        "timestamp": "timestamp",
+    }
+    return _col(x).cast(mapping.get(type_name.lower(), type_name))
+
+
+def til(spark, n: int):
+    """0..n-1 range (ref core/compose.c:70) — distributed via spark.range."""
+    return spark.range(n).withColumnRenamed("id", "x")
+
+
+def null_if_sentinel(x: ColumnOrName, sentinel) -> Column:
+    """Ingest helper: map a reference typed-null sentinel (e.g. INT32_MIN,
+    ref core/rayforce.h:97-107) to SQL NULL."""
+    x = _col(x)
+    return F.when(x == sentinel, F.lit(None)).otherwise(x)

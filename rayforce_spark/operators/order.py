@@ -1,0 +1,97 @@
+"""Ordering / ranking / bucketing verbs (SURVEY §2.5, ref core/order.c,
+core/sort.c).
+
+The reference's radix/counting sort machinery is physical detail — Spark's
+Tungsten sort (range-partition + per-partition sort) is the distributed
+equivalent and is what orderBy plans to. Rank verbs are Window functions;
+note a global Window.orderBy is a single-partition bottleneck at scale, so
+rank/xrank take optional partition keys for the distributed form.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _cols(cs) -> list:
+    if isinstance(cs, (str, Column)):
+        return [cs]
+    return list(cs)
+
+
+def xasc(df: DataFrame, cols) -> DataFrame:
+    """Sort table ascending by columns (ref core/order.c:246). NaN/null
+    sort first, matching the reference's NaN-smallest rule
+    (ref core/ops.h:97)."""
+    return df.orderBy(*[F.col(c).asc_nulls_first() if isinstance(c, str) else c for c in _cols(cols)])
+
+
+def xdesc(df: DataFrame, cols) -> DataFrame:
+    """Sort table descending by columns (ref core/order.c:334)."""
+    return df.orderBy(*[F.col(c).desc_nulls_last() if isinstance(c, str) else c for c in _cols(cols)])
+
+
+def rank(df: DataFrame, col: ColumnOrName, *, by: Sequence[str] = (),
+         out: str = "rank") -> DataFrame:
+    """0-based rank of each element in sort order (ref core/order.c:519 —
+    the reference's rank is the sort permutation rank, i.e. row_number of
+    the stable ascending sort, 0-based)."""
+    w = Window.partitionBy(*by).orderBy(F.col(col) if isinstance(col, str) else col)
+    return df.withColumn(out, F.row_number().over(w) - 1)
+
+
+def xrank(df: DataFrame, n: int, col: ColumnOrName, *, by: Sequence[str] = (),
+          out: str = "bucket") -> DataFrame:
+    """n-quantile bucket per element, 0-based (ref core/order.c:598) =
+    ntile(n)-1 over the value order."""
+    w = Window.partitionBy(*by).orderBy(F.col(col) if isinstance(col, str) else col)
+    return df.withColumn(out, F.ntile(n).over(w) - 1)
+
+
+def bin_(boundaries: Sequence, x: ColumnOrName) -> Column:
+    """Binary search bucketing: index of last boundary <= x, -1 if below
+    all (ref core/items.c:1552, parallel partials core/items.c:1399).
+    ``boundaries`` must be sorted ascending; compiles to width_bucket-style
+    CASE over a broadcast literal array."""
+    x = x if isinstance(x, Column) else F.col(x)
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    # count of boundaries <= x, minus 1 -> index of last <= x
+    return (
+        F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(b <= x, 1).otherwise(0),
+        )
+        - 1
+    )
+
+
+def binr(boundaries: Sequence, x: ColumnOrName) -> Column:
+    """Index of first boundary >= x, len(boundaries) if above all
+    (ref core/items.c:1599)."""
+    x = x if isinstance(x, Column) else F.col(x)
+    n = len(boundaries)
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    lt = F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(b < x, 1).otherwise(0)
+    )
+    return lt
+
+
+def top_k(df: DataFrame, col: ColumnOrName, k: int, *, by: Sequence[str] = ()) -> DataFrame:
+    """Top-k rows by value (per group if ``by``): the distributed idiom for
+    the reference's (take k (xdesc …)) composition."""
+    c = F.col(col) if isinstance(col, str) else col
+    if by:
+        w = Window.partitionBy(*by).orderBy(c.desc())
+        return (
+            df.withColumn("__rf_rn", F.row_number().over(w))
+            .filter(F.col("__rf_rn") <= k)
+            .drop("__rf_rn")
+        )
+    return df.orderBy(c.desc()).limit(k)

@@ -1,0 +1,187 @@
+"""select / update — the reference's core query verbs, Spark-first.
+
+The reference stages a select as from -> where -> by -> mappings -> collect
+-> build (ref core/query.c:607-654, SURVEY §3.1). Here the same stages are
+declared on a DataFrame and Catalyst performs the physical planning: the
+reference's lazy MAPFILTER/MAPGROUP views (ref core/filter.c:29,
+core/group.c:26) are subsumed by Catalyst's lazy plan + column pruning, and
+its filter-pushed-into-grouping (ref core/query.c:47) by PushDownPredicate.
+
+Scale notes: the grouped path is one hash-aggregate shuffle on the group
+keys (partial + final, exactly the reference's partial/final pool model at
+core/aggr.c:262-294). No collects, no driver loops; `take` with n>0 is a
+LocalLimit (no shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rayforce_spark.functions.aggregates import AggExpr
+
+ColumnOrName = Union[Column, str]
+ExprLike = Union[Column, str, AggExpr]
+
+
+def _as_col(e: ExprLike) -> Column:
+    if isinstance(e, AggExpr):
+        return e.col
+    if isinstance(e, str):
+        return F.col(e)
+    return e
+
+
+def _normalize_by(by) -> list[tuple[str, Column]]:
+    """``by`` accepts a column name, list of names, or {name: expr} for
+    computed keys (the reference allows arbitrary exprs in by:, e.g.
+    ``by: {bucket: (xbar 5 x)}``)."""
+    if by is None:
+        return []
+    if isinstance(by, str):
+        return [(by, F.col(by))]
+    if isinstance(by, Mapping):
+        return [(name, _as_col(e).alias(name)) for name, e in by.items()]
+    if isinstance(by, Sequence):
+        out = []
+        for b in by:
+            if isinstance(b, str):
+                out.append((b, F.col(b)))
+            else:
+                raise TypeError("list-form `by` takes column names; use a dict for computed keys")
+        return out
+    raise TypeError(f"unsupported by: {type(by)}")
+
+
+def select(
+    df: DataFrame,
+    cols: Mapping[str, ExprLike] | None = None,
+    *,
+    where: Column | None = None,
+    by=None,
+    take: int | tuple[int, int] | None = None,
+) -> DataFrame:
+    """The reference's ``(select {cols… from: t where: … by: … take: …})``
+    (ref core/query.c:607, docs queries/select.md).
+
+    - ``cols``: {output_name: expression}. AggExpr values aggregate; plain
+      columns project (ungrouped) or implicitly collect_list per group
+      (grouped — ref core/aggr.c:3021).
+    - ``where``: boolean Column, applied before grouping
+      (ref core/query.c:311).
+    - ``by``: group keys — name, list of names, or {name: expr}.
+    - ``take``: limit; negative n = last n rows (table order), tuple =
+      (start, n) slice. Positive limit is shuffle-free; tail/slice
+      materialize a row index and are documented as small-result verbs.
+    """
+    out = df
+    if where is not None:
+        out = out.filter(where)
+
+    keys = _normalize_by(by)
+
+    if keys:
+        if cols:
+            aggs = []
+            for name, e in cols.items():
+                if isinstance(e, AggExpr):
+                    aggs.append(e.col.alias(name))
+                else:
+                    # implicit per-group collect of a non-aggregated column
+                    aggs.append(F.collect_list(_as_col(e)).alias(name))
+        else:
+            # default columns: first per remaining column
+            # (ref core/query.c:474 select_collect_fields)
+            key_names = {n for n, _ in keys}
+            aggs = [
+                F.first(c).alias(c) for c in out.columns if c not in key_names
+            ]
+        out = out.groupBy(*[c for _, c in keys]).agg(*aggs)
+    elif cols:
+        has_agg = any(isinstance(e, AggExpr) for e in cols.values())
+        if has_agg:
+            if not all(isinstance(e, AggExpr) for e in cols.values()):
+                raise ValueError(
+                    "ungrouped select mixing aggregates and plain columns; "
+                    "wrap plain columns in A.first/A.last or add `by`"
+                )
+            out = out.agg(*[e.col.alias(n) for n, e in cols.items()])
+        else:
+            out = out.select(*[_as_col(e).alias(n) for n, e in cols.items()])
+
+    if take is not None:
+        out = _take(out, take)
+    return out
+
+
+def _take(df: DataFrame, take) -> DataFrame:
+    """take: clause (ref core/query.c:294-304, core/items.c:398-430).
+
+    n>0 head (LocalLimit — scale-safe); n<0 tail; (start, n) slice. Tail
+    and slice depend on table order, which Spark only preserves as
+    partition/file read order — we materialize it via
+    monotonically_increasing_id, a small-result verb by construction.
+    """
+    if isinstance(take, int):
+        if take >= 0:
+            return df.limit(take)
+        n = -take
+        w = Window.orderBy(F.monotonically_increasing_id())
+        total = Window.partitionBy()
+        ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(total)
+        )
+        return ranked.filter(F.col("__rn") > F.col("__cnt") - n).drop("__rn", "__cnt")
+    start, n = take
+    w = Window.orderBy(F.monotonically_increasing_id())
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    return ranked.filter(
+        (F.col("__rn") > start) & (F.col("__rn") <= start + n)
+    ).drop("__rn")
+
+
+def update(
+    df: DataFrame,
+    cols: Mapping[str, ExprLike],
+    *,
+    where: Column | None = None,
+    by=None,
+) -> DataFrame:
+    """The reference's ``(update {cols… from: t where: … by: …})``
+    (ref core/update.c:938,753, docs queries/update.md).
+
+    - plain expr: withColumn (replace or add).
+    - with ``where``: only matching rows get the new value; existing
+      columns keep their old value elsewhere, new columns are null
+      elsewhere.
+    - with ``by`` + AggExpr: the group aggregate is broadcast back to every
+      member row — the window-function rewrite of the reference's grouped
+      update (ref core/update.c:753). With ``where`` too, the aggregate is
+      computed over passing rows only and only those rows are updated
+      (goldens: ref tests/lang.c:2902).
+    """
+    keys = _normalize_by(by)
+    w = Window.partitionBy(*[c for _, c in keys]) if keys else None
+
+    out = df
+    for name, e in cols.items():
+        if isinstance(e, AggExpr):
+            if w is None:
+                raise ValueError(f"aggregate update for '{name}' requires `by`")
+            expr = e.col if where is None else e.masked(where)
+            expr = expr.over(w)
+        else:
+            expr = _as_col(e)
+        if where is not None:
+            old = F.col(name) if name in out.columns else F.lit(None)
+            expr = F.when(where, expr).otherwise(old)
+        out = out.withColumn(name, expr)
+    return out
+
+
+def delete(df: DataFrame, *, where: Column) -> DataFrame:
+    """Row deletion = inverted filter (reference expresses this via
+    select/remove, ref core/compose.c:825)."""
+    return df.filter(~where)

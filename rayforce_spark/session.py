@@ -1,0 +1,109 @@
+"""Session management: SparkSession factory + a name->DataFrame catalog.
+
+The reference keeps named tables in a global environment and supports
+in-place mutation by quoted name (``(set 'employees …)``, ``update {from:
+'employees}`` — ref core/binary.c:317, core/update.c:938). In Spark the
+analog is a driver-side catalog mapping names to (immutable) DataFrames with
+replace-on-write; no Catalyst involvement is needed (SURVEY §4 item 5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def get_spark(app_name: str = "rayforce_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or get) a SparkSession tuned for this engine.
+
+    Local mode honours $SPARK_GRAFT_CPUS; on a real cluster the master and
+    memory come from spark-submit and these configs remain sensible: AQE on
+    (runtime re-plan, skew-join splitting, partition coalescing), Arrow on
+    (vectorized Python interchange), UTC session timezone (oracle parity).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ns-precision timestamps (the reference's i64 nanos,
+        # ref core/ops.h:273-276) surface as LongType nanos — SURVEY §1.2's
+        # "LongType shadow column" strategy.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class Session:
+    """Engine session: SparkSession + named-table catalog.
+
+    ``set``/``get`` mirror the reference's global bindings
+    (ref core/binary.c:317, core/unary.c:48); tables mutated "in place" by
+    the mutation verbs (insert/upsert/update with a named target) are
+    replaced in the catalog — DataFrames themselves stay immutable.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._catalog: dict[str, DataFrame] = {}
+
+    # -- catalog -----------------------------------------------------------
+    def set(self, name: str, df: DataFrame) -> DataFrame:
+        self._catalog[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def get(self, name: str) -> DataFrame:
+        if name in self._catalog:
+            return self._catalog[name]
+        return self.spark.table(name)
+
+    def drop(self, name: str) -> None:
+        self._catalog.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    def tables(self) -> list[str]:
+        return sorted(self._catalog)
+
+    # -- testdata convenience ---------------------------------------------
+    def load_dir(self, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+        """Load the driver's parquet tables from an sf directory."""
+        out = {}
+        for t in tables or TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                out[t] = self.set(t, self.spark.read.parquet(path))
+        return out
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Functional form of Session.load_dir for driver entry points.
+
+    Sets the nanos-as-long conf on the given session (runtime-settable), so
+    externally created sessions can read the TIMESTAMP(NANOS) parquet too.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for t in tables or TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out[t] = spark.read.parquet(path)
+    return out

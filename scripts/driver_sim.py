@@ -1,0 +1,136 @@
+"""Simulate the driver's verify gate against __spark_entry__.py.
+
+Runs entry(spark) as a smoke check, then each queries()[name] at sf0.01
+side-by-side with oracle_sql()[name] through DuckDB, comparing row count,
+schema (sorted column names) and an order-insensitive value hash — the same
+contract described in __spark_entry__'s docstring. Exits nonzero on any
+mismatch. Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    # a plain session, as the driver would create it (no engine configs)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_sim")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    t0 = time.time()
+    res = E.entry(spark)
+    n = res.count()
+    print(f"[smoke] entry() -> {n} rows, schema={res.columns} ({time.time()-t0:.1f}s)")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"[FAIL] {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            r = con.execute(oracles[name])
+            d_cols = [d[0] for d in r.description]
+            d_rows = r.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema {sorted(s_cols)} != {sorted(d_cols)}")
+        elif table_hash(s_cols, s_rows) != table_hash(d_cols, d_rows):
+            problems.append("value-hash mismatch")
+            # show first differing line for debugging
+            so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            do = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            sl = sorted("|".join(norm_val(r[i]) for i in so) for r in s_rows)
+            dl = sorted("|".join(norm_val(r[i]) for i in do) for r in d_rows)
+            for a, b in zip(sl, dl):
+                if a != b:
+                    problems.append(f"  spark: {a}\n  duck : {b}")
+                    break
+        if problems:
+            failures.append(name)
+            print(f"[FAIL] {name}: " + "; ".join(problems))
+        else:
+            print(f"[OK]   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("\nall queries match the oracle")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""select/update verb tests vs DuckDB oracle (SURVEY §5 layer-2 analog)."""
+
+from pyspark.sql import functions as F
+
+from rayforce_spark import A, select, update
+from rayforce_spark.operators.query import delete
+
+from tests.conftest import assert_matches_duckdb
+
+
+def test_groupby_sum(tables, duck):
+    out = select(
+        tables["lineitem"],
+        {"sum_qty": A.sum_("l_quantity")},
+        by="l_returnflag",
+    )
+    assert_matches_duckdb(
+        out, duck,
+        "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+    )
+
+
+def test_groupby_multi_aggs(tables, duck):
+    out = select(
+        tables["lineitem"],
+        {
+            "sum_qty": A.sum_("l_quantity"),
+            "avg_price": A.avg("l_extendedprice"),
+            "min_disc": A.min_("l_discount"),
+            "max_tax": A.max_("l_tax"),
+            "n": A.count(),
+            "n_parts": A.count_distinct("l_partkey"),
+            "med_qty": A.med("l_quantity"),
+            "dev_price": A.dev("l_extendedprice"),
+        },
+        by=["l_returnflag", "l_linestatus"],
+    )
+    assert_matches_duckdb(
+        out, duck,
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               avg(l_extendedprice) AS avg_price,
+               min(l_discount) AS min_disc,
+               max(l_tax) AS max_tax,
+               count(*) AS n,
+               count(DISTINCT l_partkey) AS n_parts,
+               median(l_quantity) AS med_qty,
+               stddev_pop(l_extendedprice) AS dev_price
+        FROM lineitem GROUP BY 1, 2
+        """,
+    )
+
+
+def test_where_then_group(tables, duck):
+    out = select(
+        tables["lineitem"],
+        {"revenue": A.sum_(F.col("l_extendedprice") * (1 - F.col("l_discount")))},
+        where=F.col("l_shipdate") < "1996-01-01",
+        by="l_returnflag",
+    )
+    assert_matches_duckdb(
+        out, duck,
+        """
+        SELECT l_returnflag,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1
+        """,
+    )
+
+
+def test_flat_agg(tables, duck):
+    out = select(
+        tables["orders"],
+        {
+            "total": A.sum_("o_totalprice"),
+            "n": A.count(),
+            "mx": A.max_("o_totalprice"),
+            "md": A.med("o_totalprice"),
+        },
+    )
+    assert_matches_duckdb(
+        out, duck,
+        """SELECT sum(o_totalprice) AS total, count(*) AS n,
+                  max(o_totalprice) AS mx, median(o_totalprice) AS md
+           FROM orders""",
+    )
+
+
+def test_projection_filter(tables, duck):
+    out = select(
+        tables["orders"],
+        {"k": F.col("o_orderkey"), "p2": F.col("o_totalprice") * 2},
+        where=F.col("o_orderstatus") == "O",
+    )
+    assert_matches_duckdb(
+        out, duck,
+        "SELECT o_orderkey AS k, o_totalprice * 2 AS p2 FROM orders WHERE o_orderstatus = 'O'",
+    )
+
+
+def test_agg_arithmetic(tables, duck):
+    # H2O groupby Q6 shape: max - min by group
+    out = select(
+        tables["lineitem"],
+        {"range_qty": A.max_("l_quantity") - A.min_("l_quantity")},
+        by="l_returnflag",
+    )
+    assert_matches_duckdb(
+        out, duck,
+        "SELECT l_returnflag, max(l_quantity) - min(l_quantity) AS range_qty FROM lineitem GROUP BY 1",
+    )
+
+
+def test_computed_by_key(tables, duck):
+    from rayforce_spark import K
+
+    out = select(
+        tables["orders"],
+        {"n": A.count()},
+        by={"price_bucket": K.xbar(1000, F.col("o_totalprice"))},
+    )
+    assert_matches_duckdb(
+        out, duck,
+        "SELECT floor(o_totalprice / 1000) * 1000 AS price_bucket, count(*) AS n FROM orders GROUP BY 1",
+    )
+
+
+def test_default_grouped_columns(tables, spark):
+    # no mappings: first per remaining column (ref core/query.c:474)
+    out = select(tables["nation"], by="n_regionkey")
+    assert out.columns == ["n_regionkey", "n_nationkey", "n_name"]
+    assert out.count() == 5
+
+
+def test_take_head_and_tail(tables):
+    df = tables["nation"]
+    assert select(df, take=3).count() == 3
+    tail = select(df, take=-3)
+    assert tail.count() == 3
+    # nation is small + single partition: tail must be the last 3 keys
+    keys = sorted(r.n_nationkey for r in tail.collect())
+    assert keys == [22, 23, 24]
+    sl = select(df, take=(5, 10))
+    assert sorted(r.n_nationkey for r in sl.collect()) == list(range(5, 15))
+
+
+def test_update_plain_and_where(tables, duck):
+    out = update(
+        tables["orders"],
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+        where=F.col("o_orderstatus") == "F",
+    )
+    assert_matches_duckdb(
+        out.select("o_orderkey", "o_totalprice"), duck,
+        """SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders""",
+    )
+
+
+def test_update_grouped_agg_broadcast(tables, duck):
+    # every row gets its group's max (ref core/update.c:753 goldens
+    # tests/lang.c:2902)
+    out = update(
+        tables["lineitem"],
+        {"grp_max": A.max_("l_quantity")},
+        by="l_orderkey",
+    )
+    assert_matches_duckdb(
+        out.select("l_orderkey", "l_linenumber", "grp_max"), duck,
+        """SELECT l_orderkey, l_linenumber,
+                  max(l_quantity) OVER (PARTITION BY l_orderkey) AS grp_max
+           FROM lineitem""",
+    )
+
+
+def test_update_grouped_with_where(tables, duck):
+    # aggregate over passing rows only; only passing rows updated
+    out = update(
+        tables["lineitem"],
+        {"flag_sum": A.sum_("l_quantity")},
+        where=F.col("l_returnflag") == "R",
+        by="l_orderkey",
+    )
+    assert_matches_duckdb(
+        out.select("l_orderkey", "l_linenumber", "flag_sum"), duck,
+        """SELECT l_orderkey, l_linenumber,
+                  CASE WHEN l_returnflag = 'R' THEN
+                    sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+                      OVER (PARTITION BY l_orderkey)
+                  END AS flag_sum
+           FROM lineitem""",
+    )
+
+
+def test_delete(tables, duck):
+    out = delete(tables["orders"], where=F.col("o_orderstatus") == "O")
+    assert_matches_duckdb(
+        out.select("o_orderkey"), duck,
+        "SELECT o_orderkey FROM orders WHERE NOT o_orderstatus = 'O'",
+    )
