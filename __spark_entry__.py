@@ -16,8 +16,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rayforce_spark import A, K, select, update
+from rayforce_spark import (
+    A,
+    K,
+    asof_join,
+    in_,
+    inner_join,
+    insert,
+    left_join,
+    rank,
+    select,
+    update,
+    upsert,
+    window_join,
+    within,
+    xrank,
+)
+from rayforce_spark.operators.order import bin_, top_k
+from rayforce_spark.operators.sets import anti, except_, sect, semi, union
 from rayforce_spark.session import load_tables
+
+NS_5MIN = 300_000_000_000
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -179,6 +198,194 @@ def q_ediv_emod(spark, sf):
     )
 
 
+# -- joins (SURVEY §2.3) ----------------------------------------------------
+
+def q_inner_join(spark, sf):
+    o, c = _t(spark, sf, "orders", "customer")
+    return inner_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+def q_left_join_dedup(spark, sf):
+    o, li = _t(spark, sf, "orders", "lineitem")
+    right = li.select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    return left_join(
+        o.select("o_orderkey", "o_totalprice"), right, "o_orderkey",
+        order_col=F.struct("l_linenumber", "l_quantity"),
+    )
+
+
+def _purchases_clicks(spark, sf):
+    (ev,) = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return purchases, clicks
+
+
+def q_asof_join(spark, sf):
+    purchases, clicks = _purchases_clicks(spark, sf)
+    return asof_join(purchases, clicks, on="user_id", asof="ts").select(
+        "event_id", "user_id", K.ns_to_us("ts").alias("ts_us"), "value",
+        "click_value",
+    )
+
+
+def q_window_join(spark, sf):
+    purchases, clicks = _purchases_clicks(spark, sf)
+    return window_join(
+        purchases, clicks, on="user_id", time_col="ts",
+        lo=F.col("ts") - NS_5MIN, hi=F.col("ts") + NS_5MIN,
+        aggs={
+            "min_click": A.min_("click_value"),
+            "max_click": A.max_("click_value"),
+            "n_click": A.count("click_value"),
+        },
+    ).select(
+        "event_id", "user_id", K.ns_to_us("ts").alias("ts_us"),
+        "min_click", "max_click", "n_click",
+    )
+
+
+def q_insert(spark, sf):
+    (o,) = _t(spark, sf, "orders")
+    return insert(
+        o.filter(F.col("o_orderstatus") == "O"),
+        o.filter(F.col("o_orderstatus") == "F"),
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def q_upsert(spark, sf):
+    (c,) = _t(spark, sf, "customer")
+    rows = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    return upsert(c, rows, n_keys=1).select("c_custkey", "c_acctbal")
+
+
+# -- set / membership (SURVEY §2.6) -----------------------------------------
+
+def q_semi_anti(spark, sf):
+    c, o = _t(spark, sf, "customer", "orders")
+    keys = o.select(F.col("o_custkey").alias("c_custkey"))
+    s = semi(c, keys, "c_custkey").select("c_custkey").withColumn(
+        "has_orders", F.lit(True)
+    )
+    a = anti(c, keys, "c_custkey").select("c_custkey").withColumn(
+        "has_orders", F.lit(False)
+    )
+    return s.unionByName(a)
+
+
+def q_except_sect_union(spark, sf):
+    c, s = _t(spark, sf, "customer", "supplier")
+    a = c.select(F.col("c_nationkey").alias("k"))
+    b = s.select(F.col("s_nationkey").alias("k"))
+    return (
+        except_(a, b).withColumn("op", F.lit("except"))
+        .unionByName(sect(a, b).withColumn("op", F.lit("sect")))
+        .unionByName(union(a, b).withColumn("op", F.lit("union")))
+    )
+
+
+def q_in_within(spark, sf):
+    (ev,) = _t(spark, sf, "events")
+    return ev.filter(
+        in_("event_type", ["click", "view"]) & within("value", 10.0, 50.0)
+    ).select("event_id", "event_type", "value")
+
+
+# -- ordering / ranking (SURVEY §2.5) ---------------------------------------
+
+def q_rank_xrank(spark, sf):
+    (c,) = _t(spark, sf, "customer")
+    ranked = rank(c, ["c_acctbal", "c_custkey"], by=["c_mktsegment"])
+    return xrank(ranked, 4, ["c_acctbal", "c_custkey"]).select(
+        "c_custkey", "rank", "bucket"
+    )
+
+
+def q_top_k_per_group(spark, sf):
+    (o,) = _t(spark, sf, "orders")
+    return top_k(
+        o, ["o_totalprice", "o_orderkey"], 3, by=["o_orderstatus"]
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_bin_bucket(spark, sf):
+    (o,) = _t(spark, sf, "orders")
+    bounds = [0, 50_000, 100_000, 200_000, 400_000]
+    return o.select(
+        "o_orderkey", bin_(bounds, "o_totalprice").alias("price_bin")
+    )
+
+
+# -- scalar verbs (SURVEY §2.7) ---------------------------------------------
+
+def q_like_glob(spark, sf):
+    (p,) = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        K.like("p_name", "*widget*").alias("is_widget"),
+        K.like("p_name", "[cs]*").alias("starts_cs"),
+        K.like("p_brand", "Brand#1?").alias("brand_1x"),
+    )
+
+
+def q_string_ops(spark, sf):
+    (p,) = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        K.split("p_name", " ")[0].alias("word0"),
+        K.format_("%s:%d", F.col("p_brand"), F.col("p_size")).alias("tag"),
+        K.as_("c8", F.col("p_size")).alias("size_str"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.upper("p_type").alias("type_upper"),
+    )
+
+
+def q_temporal(spark, sf):
+    (o,) = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.to_date("o_orderdate").alias("dt"),
+    )
+
+
+def q_xbar_time(spark, sf):
+    (ev,) = _t(spark, sf, "events")
+    day = K.xbar_time(86400, K.ns_to_timestamp("ts"))
+    return select(
+        ev,
+        {"n": A.count(), "sum_value": A.sum_("value")},
+        by={"day": F.to_date(day)},
+    )
+
+
+def q_scan_cumsum(spark, sf):
+    # scan = running fold (ref core/iter.c:1212) -> cumulative window frame
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum("value").over(w).alias("cum_value")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_sum": q_groupby_sum,
     "groupby_multikey": q_groupby_multikey,
@@ -192,6 +399,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "update_grouped": q_update_grouped,
     "distinct": q_distinct,
     "ediv_emod": q_ediv_emod,
+    "inner_join": q_inner_join,
+    "left_join_dedup": q_left_join_dedup,
+    "asof_join": q_asof_join,
+    "window_join": q_window_join,
+    "insert": q_insert,
+    "upsert": q_upsert,
+    "semi_anti": q_semi_anti,
+    "except_sect_union": q_except_sect_union,
+    "in_within": q_in_within,
+    "rank_xrank": q_rank_xrank,
+    "top_k_per_group": q_top_k_per_group,
+    "bin_bucket": q_bin_bucket,
+    "like_glob": q_like_glob,
+    "string_ops": q_string_ops,
+    "temporal": q_temporal,
+    "xbar_time": q_xbar_time,
+    "scan_cumsum": q_scan_cumsum,
 }
 
 
@@ -269,6 +493,131 @@ ORACLE: dict[str, str] = {
                               * sign(l_linenumber - 1) AS BIGINT) END AS dz,
                l_extendedprice / l_quantity AS fd
         FROM lineitem
+    """,
+    "inner_join": """
+        SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "left_join_dedup": """
+        SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+        FROM orders LEFT JOIN (
+          SELECT * FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber DESC,
+                                               l_quantity DESC) AS rn
+            FROM lineitem) WHERE rn = 1)
+        ON o_orderkey = l_orderkey
+    """,
+    "asof_join": """
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+               r.click_value
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS click_value FROM events
+                        WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "window_join": f"""
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+               min(r.value) AS min_click, max(r.value) AS max_click,
+               count(r.value) AS n_click
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') l
+        LEFT JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND epoch_ns(r.ts) BETWEEN epoch_ns(l.ts) - {NS_5MIN}
+                                AND epoch_ns(l.ts) + {NS_5MIN}
+        GROUP BY 1, 2, 3
+    """,
+    "insert": """
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "upsert": """
+        SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN 0.0
+                               ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    """,
+    "semi_anti": """
+        SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+        FROM customer
+    """,
+    "except_sect_union": """
+        SELECT k, 'except' AS op FROM
+          (SELECT c_nationkey AS k FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT k, 'sect' AS op FROM
+          (SELECT c_nationkey AS k FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT k, 'union' AS op FROM
+          (SELECT c_nationkey AS k FROM customer
+           UNION SELECT s_nationkey FROM supplier)
+    """,
+    "in_within": """
+        SELECT event_id, event_type, value FROM events
+        WHERE event_type IN ('click','view') AND value BETWEEN 10.0 AND 50.0
+    """,
+    "rank_xrank": """
+        SELECT c_custkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) - 1 AS rank,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) - 1 AS bucket
+        FROM customer
+    """,
+    "top_k_per_group": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders) WHERE rn <= 3
+    """,
+    "bin_bucket": """
+        SELECT o_orderkey,
+               (CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END +
+                CASE WHEN o_totalprice >= 50000 THEN 1 ELSE 0 END +
+                CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END +
+                CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END +
+                CASE WHEN o_totalprice >= 400000 THEN 1 ELSE 0 END) - 1
+               AS price_bin
+        FROM orders
+    """,
+    "like_glob": """
+        SELECT p_partkey,
+               p_name LIKE '%widget%' AS is_widget,
+               regexp_matches(p_name, '^[cs].*$') AS starts_cs,
+               regexp_matches(p_brand, '^Brand#1.$') AS brand_1x
+        FROM part
+    """,
+    "string_ops": """
+        SELECT p_partkey,
+               string_split(p_name, ' ')[1] AS word0,
+               printf('%s:%d', p_brand, p_size) AS tag,
+               CAST(p_size AS VARCHAR) AS size_str,
+               CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+               upper(p_type) AS type_upper
+        FROM part
+    """,
+    "temporal": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS y, month(o_orderdate) AS m,
+               day(o_orderdate) AS d, CAST(o_orderdate AS DATE) AS dt
+        FROM orders
+    """,
+    "xbar_time": """
+        SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+               count(*) AS n, sum(value) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "scan_cumsum": """
+        SELECT event_id, user_id,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_value
+        FROM events
     """,
 }
 

@@ -167,6 +167,20 @@ def til(spark, n: int):
     return spark.range(n).withColumnRenamed("id", "x")
 
 
+def ns_to_us(x: ColumnOrName) -> Column:
+    """i64 epoch-nanos -> epoch-micros, exactly. Plain ``x/1000`` routes
+    through double and loses bits above 2^53 (ns epochs are ~1.7e18);
+    decimal division is exact. Pairs with DuckDB's epoch_us()."""
+    return (_col(x).cast("decimal(38,0)") / 1000).cast("long")
+
+
+def ns_to_timestamp(x: ColumnOrName) -> Column:
+    """i64 epoch-nanos -> TimestampType (µs precision), the reference's
+    ns-timestamp column (ref core/ops.h:273-276) surfaced as a Spark
+    temporal."""
+    return F.timestamp_micros(ns_to_us(x))
+
+
 def null_if_sentinel(x: ColumnOrName, sentinel) -> Column:
     """Ingest helper: map a reference typed-null sentinel (e.g. INT32_MIN,
     ref core/rayforce.h:97-107) to SQL NULL."""

@@ -116,9 +116,10 @@ def asof_join(
 
     u = l.select(*l.columns).unionByName(r, allowMissingColumns=True)
 
-    # strict (<): left rows sort BEFORE right rows at equal time, so a
-    # same-time right row is not visible; else right rows first.
-    side_order = F.col(_LEFT_TAG).asc() if strict else F.col(_LEFT_TAG).desc()
+    # strict (<): left rows (tag 1) sort BEFORE right rows (tag 0) at equal
+    # time, so a same-time right row is not visible; non-strict: right rows
+    # first so last() picks them up.
+    side_order = F.col(_LEFT_TAG).desc() if strict else F.col(_LEFT_TAG).asc()
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__rf_t").asc(), side_order, F.col(_RID).asc_nulls_last())

@@ -24,6 +24,10 @@ def _cols(cs) -> list:
     return list(cs)
 
 
+def _c(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
 def xasc(df: DataFrame, cols) -> DataFrame:
     """Sort table ascending by columns (ref core/order.c:246). NaN/null
     sort first, matching the reference's NaN-smallest rule
@@ -36,20 +40,21 @@ def xdesc(df: DataFrame, cols) -> DataFrame:
     return df.orderBy(*[F.col(c).desc_nulls_last() if isinstance(c, str) else c for c in _cols(cols)])
 
 
-def rank(df: DataFrame, col: ColumnOrName, *, by: Sequence[str] = (),
+def rank(df: DataFrame, cols, *, by: Sequence[str] = (),
          out: str = "rank") -> DataFrame:
     """0-based rank of each element in sort order (ref core/order.c:519 —
     the reference's rank is the sort permutation rank, i.e. row_number of
-    the stable ascending sort, 0-based)."""
-    w = Window.partitionBy(*by).orderBy(F.col(col) if isinstance(col, str) else col)
+    the stable ascending sort, 0-based). Pass extra tie-break columns for
+    a deterministic permutation."""
+    w = Window.partitionBy(*by).orderBy(*[_c(c) for c in _cols(cols)])
     return df.withColumn(out, F.row_number().over(w) - 1)
 
 
-def xrank(df: DataFrame, n: int, col: ColumnOrName, *, by: Sequence[str] = (),
+def xrank(df: DataFrame, n: int, cols, *, by: Sequence[str] = (),
           out: str = "bucket") -> DataFrame:
     """n-quantile bucket per element, 0-based (ref core/order.c:598) =
     ntile(n)-1 over the value order."""
-    w = Window.partitionBy(*by).orderBy(F.col(col) if isinstance(col, str) else col)
+    w = Window.partitionBy(*by).orderBy(*[_c(c) for c in _cols(cols)])
     return df.withColumn(out, F.ntile(n).over(w) - 1)
 
 
@@ -83,15 +88,16 @@ def binr(boundaries: Sequence, x: ColumnOrName) -> Column:
     return lt
 
 
-def top_k(df: DataFrame, col: ColumnOrName, k: int, *, by: Sequence[str] = ()) -> DataFrame:
+def top_k(df: DataFrame, cols, k: int, *, by: Sequence[str] = ()) -> DataFrame:
     """Top-k rows by value (per group if ``by``): the distributed idiom for
-    the reference's (take k (xdesc …)) composition."""
-    c = F.col(col) if isinstance(col, str) else col
+    the reference's (take k (xdesc …)) composition. Descending on every
+    order column; pass extra tie-break columns for determinism."""
+    order = [_c(c).desc() for c in _cols(cols)]
     if by:
-        w = Window.partitionBy(*by).orderBy(c.desc())
+        w = Window.partitionBy(*by).orderBy(*order)
         return (
             df.withColumn("__rf_rn", F.row_number().over(w))
             .filter(F.col("__rf_rn") <= k)
             .drop("__rf_rn")
         )
-    return df.orderBy(c.desc()).limit(k)
+    return df.orderBy(*order).limit(k)
