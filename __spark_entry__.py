@@ -386,6 +386,37 @@ def q_scan_cumsum(spark, sf):
     )
 
 
+# -- storage (SURVEY §2.1) --------------------------------------------------
+
+def q_splayed_roundtrip(spark, sf):
+    import tempfile
+
+    from rayforce_spark.sources import get_splayed, set_splayed
+
+    (o,) = _t(spark, sf, "orders")
+    path = tempfile.mkdtemp(prefix="rf_splay_") + "/orders"
+    set_splayed(o, path)
+    return get_splayed(spark, path).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_parted_roundtrip(spark, sf):
+    import tempfile
+
+    from rayforce_spark.sources import get_parted, set_parted
+
+    (ev,) = _t(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="rf_part_") + "/events"
+    set_parted(ev, path, "date", part_expr=F.to_date(K.ns_to_timestamp("ts")))
+    back = get_parted(spark, path)
+    return select(
+        back,
+        {"n": A.count(), "sum_value": A.sum_("value")},
+        by="date",
+    ).withColumn("date", F.col("date").cast("date"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_sum": q_groupby_sum,
     "groupby_multikey": q_groupby_multikey,
@@ -416,6 +447,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal": q_temporal,
     "xbar_time": q_xbar_time,
     "scan_cumsum": q_scan_cumsum,
+    "splayed_roundtrip": q_splayed_roundtrip,
+    "parted_roundtrip": q_parted_roundtrip,
 }
 
 
@@ -618,6 +651,13 @@ ORACLE: dict[str, str] = {
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cum_value
         FROM events
+    """,
+    "splayed_roundtrip": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    ),
+    "parted_roundtrip": """
+        SELECT CAST(ts AS DATE) AS date, count(*) AS n, sum(value) AS sum_value
+        FROM events GROUP BY 1
     """,
 }
 

@@ -1,0 +1,127 @@
+"""Storage round-trips (SURVEY §2.1) and streaming analogs (§1.3)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from rayforce_spark import K
+from rayforce_spark.sources import (
+    get_parted,
+    get_splayed,
+    read_csv,
+    set_parted,
+    set_splayed,
+    write_csv,
+)
+from rayforce_spark.streaming import (
+    Journal,
+    read_journal_stream,
+    replay_journal,
+    stream_xbar_agg,
+)
+
+
+def test_csv_roundtrip(spark, tables, tmp_path):
+    path = str(tmp_path / "nation_csv")
+    write_csv(tables["nation"], path)
+    back = read_csv(
+        spark, path,
+        names=["n_nationkey", "n_name", "n_regionkey"],
+        types=["i32", "symbol", "i32"],
+    )
+    assert sorted(r.n_nationkey for r in back.collect()) == list(range(25))
+    assert dict(back.dtypes) == {
+        "n_nationkey": "int", "n_name": "string", "n_regionkey": "int"
+    }
+
+
+def test_splayed_roundtrip(spark, tables, tmp_path):
+    path = str(tmp_path / "orders_splayed")
+    set_splayed(tables["orders"], path, sort_within_partitions_by=["o_orderdate"])
+    back = get_splayed(spark, path)
+    assert back.count() == tables["orders"].count()
+    assert set(back.columns) == set(tables["orders"].columns)
+
+
+def test_parted_roundtrip_and_pruning(spark, tables, tmp_path):
+    path = str(tmp_path / "events_parted")
+    set_parted(
+        tables["events"], path, "date",
+        part_expr=F.to_date(K.ns_to_timestamp("ts")),
+    )
+    back = get_parted(spark, path)
+    assert back.count() == tables["events"].count()
+    # partition pruning: filter on the virtual partition column must reach
+    # the scan as a partition filter (ref: parted dbs skip partitions,
+    # core/index.c:2203-2221)
+    one_day = back.filter(F.col("date") == "2024-01-15")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date" in plan, plan
+    got = one_day.count()
+    want = tables["events"].filter(
+        F.to_date(K.ns_to_timestamp("ts")) == "2024-01-15"
+    ).count()
+    assert got == want > 0
+
+
+def test_journal_replay_and_stream(spark, tmp_path):
+    jpath = str(tmp_path / "journal")
+    schema = "k long, v string"
+    j = Journal(jpath, schema)
+    j.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    j.append([{"k": 3, "v": "c"}])
+
+    replayed = replay_journal(spark, jpath, schema)
+    assert sorted((r.k, r.v) for r in replayed.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+    stream = read_journal_stream(spark, jpath, schema)
+    assert stream.isStreaming
+    q = (
+        stream.groupBy().agg(F.sum("k").alias("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("jrn_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT total FROM jrn_out").collect()[0].total
+        assert got == 6
+        # append more -> incremental batch picks it up
+        j.append([{"k": 10, "v": "d"}])
+        q.processAllAvailable()
+        got = spark.sql("SELECT total FROM jrn_out").collect()[0].total
+        assert got == 16
+    finally:
+        q.stop()
+
+
+def test_stream_xbar_agg(spark, tmp_path):
+    jpath = str(tmp_path / "tsjournal")
+    schema = "ts timestamp, sym string, px double"
+    j = Journal(jpath, schema)
+    j.append([
+        {"ts": "2024-01-01T00:00:10", "sym": "A", "px": 1.0},
+        {"ts": "2024-01-01T00:00:20", "sym": "A", "px": 3.0},
+        {"ts": "2024-01-01T00:07:00", "sym": "A", "px": 5.0},
+    ])
+    stream = read_journal_stream(spark, jpath, schema)
+    agg = stream_xbar_agg(
+        stream, "ts", "5 minutes",
+        {"avg_px": F.avg("px"), "n": F.count(F.lit(1))},
+        by=["sym"],
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("xbar_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT bar.start AS s, avg_px, n FROM xbar_out ORDER BY s"
+        ).collect()
+        assert len(rows) == 2
+        assert rows[0].avg_px == 2.0 and rows[0].n == 2
+        assert rows[1].avg_px == 5.0 and rows[1].n == 1
+    finally:
+        q.stop()
