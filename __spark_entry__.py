@@ -417,6 +417,102 @@ def q_parted_roundtrip(spark, sf):
     ).withColumn("date", F.col("date").cast("date"))
 
 
+# -- datapipe: dedup / similarity / text / multimodal -----------------------
+
+def q_dedup_exact(spark, sf):
+    from rayforce_spark.datapipe import dedup_exact
+
+    (d,) = _t(spark, sf, "documents")
+    return dedup_exact(d, ["lang", "source"], id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_dedup_jaccard(spark, sf):
+    from rayforce_spark.datapipe import jaccard_dup_pairs
+
+    (d,) = _t(spark, sf, "documents")
+    return jaccard_dup_pairs(
+        d, "text", "doc_id", shingle_k=1, threshold=0.8
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+def q_dedup_minhash(spark, sf):
+    from rayforce_spark.datapipe import minhash_lsh_pairs
+
+    (d,) = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
+        threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    from rayforce_spark.datapipe import simhash_dup_pairs
+
+    (d,) = _t(spark, sf, "documents")
+    return simhash_dup_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+def q_dedup_embedding(spark, sf):
+    from rayforce_spark.datapipe import embedding_dup_pairs
+
+    (e,) = _t(spark, sf, "embeddings")
+    return embedding_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.4
+    ).withColumn("cos", F.round("cos", 6))
+
+
+def q_knn_cosine(spark, sf):
+    from rayforce_spark.datapipe import knn_cosine
+
+    (e,) = _t(spark, sf, "embeddings")
+    return knn_cosine(
+        e, e.filter(F.col("vec_id") < 3), "embedding", "vec_id", k=5
+    ).withColumn("cos", F.round("cos", 6))
+
+
+def q_knn_lsh(spark, sf):
+    from rayforce_spark.datapipe import knn_lsh
+
+    (e,) = _t(spark, sf, "embeddings")
+    return knn_lsh(
+        e, e.filter(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=5, dim=64, planes=6, tables=8,
+    )
+
+
+def q_text_quality(spark, sf):
+    from rayforce_spark.datapipe import doc_fingerprint, token_count
+
+    (d,) = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def q_text_analysis(spark, sf):
+    from rayforce_spark.datapipe import language_id, quality_score
+
+    (d,) = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    from rayforce_spark.datapipe.multimodal import attach_binary, extract_features
+
+    (d,) = _t(spark, sf, "documents")
+    media = attach_binary(d, "text", kind="image")
+    return extract_features(media, dim=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_sum": q_groupby_sum,
     "groupby_multikey": q_groupby_multikey,
@@ -449,6 +545,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_cumsum": q_scan_cumsum,
     "splayed_roundtrip": q_splayed_roundtrip,
     "parted_roundtrip": q_parted_roundtrip,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "knn_cosine": q_knn_cosine,
+    "knn_lsh": q_knn_lsh,
+    "text_quality": q_text_quality,
+    "text_analysis": q_text_analysis,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -658,6 +764,63 @@ ORACLE: dict[str, str] = {
     "parted_roundtrip": """
         SELECT CAST(ts AS DATE) AS date, count(*) AS n, sum(value) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "dedup_exact": """
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 min(doc_id) OVER (PARTITION BY lang, source) AS m
+          FROM documents) WHERE doc_id = m
+    """,
+    "dedup_jaccard": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
+          FROM documents
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
+        ), co AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM co
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+    # dedup_minhash / dedup_simhash / knn_lsh / text_analysis /
+    # multimodal_features: hash-family & heuristic internals are not
+    # SQL-expressible -> rows-only checks (deterministic outputs).
+    "dedup_embedding": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.4
+    """,
+    "knn_cosine": """
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id < 3
+        ) WHERE rank <= 5
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               len(string_split(trim(lower(text)), ' ')) AS n_tok,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS fp,
+               length(text) AS len_chars
+        FROM documents
     """,
 }
 

@@ -1,0 +1,44 @@
+"""Large-scale training-data pipeline operators (beyond the reference).
+
+These are first-class engine components designed for the 100 TB case:
+every algorithm is expressed as keyed shuffles over built-in expressions
+(no driver-side loops, no per-row Python except where Arrow-batched and
+noted), so Catalyst/AQE handle skew, pushdown and partial aggregation.
+
+dedup       — exact, minhash-LSH, simhash, n-gram Jaccard, embedding-cosine
+similarity  — brute-force cosine top-k; LSH-bucketed ANN scale path
+text        — language id, quality scoring, token counting, fingerprinting
+multimodal  — opaque binary columns + typed metadata; decode/feature UDF
+              plumbing (decoders stubbed: image/audio libs not installed)
+"""
+
+from rayforce_spark.datapipe.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    jaccard_dup_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from rayforce_spark.datapipe.similarity import knn_cosine, knn_lsh
+from rayforce_spark.datapipe.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "dedup_exact",
+    "embedding_dup_pairs",
+    "jaccard_dup_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_dup_pairs",
+    "knn_cosine",
+    "knn_lsh",
+    "doc_fingerprint",
+    "language_id",
+    "quality_score",
+    "token_count",
+]

@@ -1,0 +1,253 @@
+"""Deduplication operators for document-scale corpora.
+
+Scale design notes (100 TB):
+* exact dedup — one hash-shuffle on the digest; no Python.
+* minhash LSH — signatures are built from JVM-side expressions
+  (xxhash64 over a shingle array, one array_min per permutation): no UDF,
+  no explode of (row × shingle × permutation). Banding emits `bands` rows
+  per doc (small constant), bucket join finds candidates, exact Jaccard
+  verifies candidates only.
+* simhash — tokens explode once; 64 conditional-sum aggregates rebuild the
+  fingerprint per doc in a single grouped pass.
+* embedding cosine — exact all-pairs is O(n²) and only for modest n /
+  verification; the LSH route (random hyperplanes) is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — shared tokenizer for dedup/text ops."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """Distinct k-word shingles as strings (k=1 -> distinct words)."""
+    words = _tokens(text)
+    if k == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - k + 1, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str], *, id_col: str,
+                keep: str = "min") -> DataFrame:
+    """Exact dedup on ``cols``: keep one row per duplicate group (the
+    min/max ``id_col`` — deterministic, unlike DISTINCT over extra
+    columns). One shuffle, hash-aggregated both sides."""
+    keep_fn = F.min if keep == "min" else F.max
+    keeper = df.groupBy(*cols).agg(keep_fn(id_col).alias(id_col))
+    return df.join(keeper, [*cols, id_col], "left_semi")
+
+
+def minhash_signature(text: Column, *, num_perm: int, shingle_k: int) -> Column:
+    """MinHash signature as an array<long> of ``num_perm`` values.
+
+    Permutation i = min over shingles of xxhash64(shingle, seed=i) — the
+    standard one-hash-function-per-permutation construction, entirely
+    JVM-side expressions."""
+    sh = _shingles(text, shingle_k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+          for i in range(num_perm)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified by exact
+    Jaccard over the shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Plan: signature (no shuffle) -> explode bands (×bands rows) -> bucket
+    self-join (shuffle on band hash) -> distinct candidates -> verify via
+    exact Jaccard on the two shingle sets (array intersect/union on the
+    joined pair only).
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        minhash_signature(F.col(text_col), num_perm=num_perm,
+                          shingle_k=shingle_k).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id", "__text",
+        F.explode(
+            F.array(*[
+                F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                       F.lit(b)).alias("x")
+                for b in range(bands)
+            ])
+        ).alias("__bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.__bucket") == F.col("r.__bucket"))
+                  & (F.col("l.__id") < F.col("r.__id")))
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
+            F.col("l.__text").alias("ta"), F.col("r.__text").alias("tb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = _shingles(F.col("ta"), shingle_k)
+    sb = _shingles(F.col("tb"), shingle_k)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    uni = F.size(F.array_union(sa, sb)).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / uni)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard duplicate pairs via an inverted-index join —
+    no LSH approximation, no O(n²) cross join.
+
+    explode distinct shingles -> self-join on shingle (co-occurrence
+    count = |A∩B|) -> |A∪B| = |A|+|B|-|A∩B|. Shuffles on shingle then on
+    pair id; hot shingles (stopwords) are the skew risk at scale — pair it
+    with a document-frequency cutoff upstream when corpora are large.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("tok"),
+    )
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
+    co = (
+        toks.alias("a")
+        .join(toks.alias("b"),
+              (F.col("a.tok") == F.col("b.tok"))
+              & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        co.join(sizes.withColumnRenamed("__id", "id_a")
+                .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63) -> DataFrame:
+    """63-bit SimHash fingerprint per document (bit 63 omitted to stay in a
+    signed long). Tokens explode once; each bit is a conditional ±1 sum
+    over token hashes — one grouped aggregation, all JVM expressions.
+    Returns (id_col, simhash:long)."""
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                      *, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs with SimHash distance <= max_hamming, found by the
+    pigeonhole trick: split the fingerprint into ``bands`` chunks — any
+    pair within distance < bands shares at least one exact chunk, so a
+    chunk-equality self-join finds all candidates; verify with popcount.
+    Returns (id_a, id_b, hamming)."""
+    fp = simhash(df, text_col, id_col).withColumnRenamed(id_col, "__id")
+    chunk = 64 // bands
+    banded = fp.select(
+        "__id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", b * chunk)
+                .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("__id", "simhash", "bk.band", "bk.key")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — JVM-side
+    (zip_with + aggregate), no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                        *, threshold: float = 0.95) -> DataFrame:
+    """EXACT cosine near-duplicate pairs (all-pairs). O(n²) compare with
+    the smaller side broadcast — correct but quadratic: use as the
+    verifier/oracle, or behind an LSH candidate filter (see
+    similarity.knn_lsh) at corpus scale. Returns (id_a, id_b, cos)."""
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    pairs = (
+        v.alias("a")
+        .join(F.broadcast(v.alias("b")), F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)

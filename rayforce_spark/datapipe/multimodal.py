@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (100 TB): media bytes live in a BinaryType column (or a pointer
+column to object storage), metadata in sibling typed columns. Decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+mapInPandas stages — the bytes never round-trip through the driver and
+each partition streams batch-by-batch.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT installed in this
+environment, so the decode step is stubbed: ``decoder="fake"`` produces a
+deterministic feature vector from the bytes (so the distributed plumbing —
+schema, batching, partitioning — is fully testable), and ``decoder="real"``
+raises NotImplementedError at the exact point a codec would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),      # image|audio|video
+    T.StructField("content", T.BinaryType(), True),     # opaque bytes
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),      # image/video
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),   # audio/video
+])
+
+
+def attach_binary(df: DataFrame, source_col: str, *, kind: str = "image") -> DataFrame:
+    """Demo/ingest helper: wrap a column's bytes (here: utf-8 of a string
+    column stands in for real media) into the MEDIA_SCHEMA shape."""
+    return df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(source_col), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _fake_features(content: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decoder+encoder: md5-seeded values."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.md5(content + counter.to_bytes(4, "little")).digest()
+        out.extend(b / 255.0 for b in h)
+        counter += 1
+    return out[:dim]
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 16,
+    decoder: str = "fake",
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """Decode media bytes and emit a feature vector per row via
+    mapInPandas (Arrow batches; only id+content columns are shipped to
+    Python — project before, join after, so the wide table stays JVM-side).
+
+    decoder="real" is the plug-point for PIL/librosa/ffmpeg pipelines —
+    not available in this container, so it raises NotImplementedError.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/ffmpeg) are not installed in this "
+            "environment; use decoder='fake' for plumbing tests"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    narrow = df.select(id_col, content_col)
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                None if c is None else _fake_features(bytes(c), dim)
+                for c in pdf[content_col]
+            ]
+            nb = [None if c is None else len(c) for c in pdf[content_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "features": feats,
+                "n_bytes": nb,
+            })
+
+    return narrow.mapInPandas(gen, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp
+    (frame decode itself is the stubbed step). Pure JVM explode — the
+    expensive per-frame work would chain extract_features after this."""
+    ts = F.sequence(
+        F.lit(0),
+        F.greatest(F.coalesce(F.col(duration_col), F.lit(0)) - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return df.select(
+        id_col, content_col, F.explode(ts).alias("frame_ms")
+    )
