@@ -24,14 +24,30 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def _shingles(text: Column, k: int) -> Column:
-    """Distinct k-word shingles as strings (k=1 -> distinct words)."""
-    words = _tokens(text)
+def _shingles_of_words(words: Column, k: int) -> Column:
+    """Distinct k-word shingles from an ALREADY-MATERIALIZED words column.
+
+    PERFORMANCE: ``words`` must be a plain column reference. Inlining the
+    split() expression here would re-evaluate it per array element inside
+    the transform lambda (O(doc_len²) work — measured 10× slowdown);
+    keeping it a materialized column makes Catalyst evaluate it once
+    (CollapseProject declines to merge multi-referenced non-trivial
+    projections)."""
     if k == 1:
         return F.array_distinct(words)
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - k + 1, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int, out: str) -> DataFrame:
+    """Add a distinct-k-shingle array column (two-step projection, see
+    _shingles_of_words)."""
+    return (
+        df.withColumn("__rf_words", _tokens(F.col(text_col)))
+        .withColumn(out, _shingles_of_words(F.col("__rf_words"), k))
+        .drop("__rf_words")
     )
 
 
@@ -45,15 +61,18 @@ def dedup_exact(df: DataFrame, cols: list[str], *, id_col: str,
     return df.join(keeper, [*cols, id_col], "left_semi")
 
 
-def minhash_signature(text: Column, *, num_perm: int, shingle_k: int) -> Column:
-    """MinHash signature as an array<long> of ``num_perm`` values.
+def minhash_signature(shingles: Column, *, num_perm: int) -> Column:
+    """MinHash signature as an array<long> of ``num_perm`` values over an
+    ALREADY-MATERIALIZED shingle array column (materialize it once with a
+    select — inlining the shingle expression here would replicate its
+    computation num_perm times in the plan).
 
     Permutation i = min over shingles of xxhash64(shingle, seed=i) — the
     standard one-hash-function-per-permutation construction, entirely
     JVM-side expressions."""
-    sh = _shingles(text, shingle_k)
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        *[F.array_min(
+            F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
           for i in range(num_perm)]
     )
 
@@ -78,11 +97,12 @@ def minhash_lsh_pairs(
     joined pair only).
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        minhash_signature(F.col(text_col), num_perm=num_perm,
-                          shingle_k=shingle_k).alias("__sig"),
+    sig = with_shingles(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        "__text", shingle_k, "__sh",
+    ).select(
+        "__id", "__text",
+        minhash_signature(F.col("__sh"), num_perm=num_perm).alias("__sig"),
     )
     banded = sig.select(
         "__id", "__text",
@@ -105,12 +125,13 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = _shingles(F.col("ta"), shingle_k)
-    sb = _shingles(F.col("tb"), shingle_k)
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    uni = F.size(F.array_union(sa, sb)).cast("double")
+    shingled = with_shingles(
+        with_shingles(cand, "ta", shingle_k, "__sa"), "tb", shingle_k, "__sb"
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    uni = F.size(F.array_union("__sa", "__sb")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / uni)
+        shingled.withColumn("jaccard", inter / uni)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -132,10 +153,10 @@ def jaccard_dup_pairs(
     pair id; hot shingles (stopwords) are the skew risk at scale — pair it
     with a document-frequency cutoff upstream when corpora are large.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_shingles(F.col(text_col), shingle_k)).alias("tok"),
-    )
+    toks = with_shingles(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__t", shingle_k, "__sh",
+    ).select("__id", F.explode("__sh").alias("tok"))
     sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
     co = (
         toks.alias("a")

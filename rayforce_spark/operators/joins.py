@@ -41,14 +41,21 @@ def dedup_last(df: DataFrame, keys: Sequence[str], order_col: Column | None = No
     """Keep the last row per key, in table order (reference hash-index
     last-write-wins, ref core/index.c:2886). Spark has no implicit row
     order, so 'last' is defined by ``order_col`` (default: parquet read
-    order via monotonically_increasing_id)."""
+    order via monotonically_increasing_id).
+
+    Implemented as a single hash aggregation (max_by of the packed row) —
+    partial/final combine, no sort, no window: at scale this is one
+    shuffle with map-side combine, strictly cheaper than the
+    row_number-window formulation."""
     order_col = order_col if order_col is not None else F.monotonically_increasing_id()
-    w = Window.partitionBy(*keys).orderBy(order_col.desc())
-    return (
-        df.withColumn("__rf_rn", F.row_number().over(w))
-        .filter(F.col("__rf_rn") == 1)
-        .drop("__rf_rn")
+    payload = [c for c in df.columns if c not in keys]
+    packed = df.select(
+        *keys, F.struct(*payload).alias("__rf_row"), order_col.alias("__rf_ord")
     )
+    agg = packed.groupBy(*keys).agg(
+        F.max_by("__rf_row", "__rf_ord").alias("__rf_row")
+    )
+    return agg.select(*keys, *[F.col(f"__rf_row.{c}").alias(c) for c in payload])
 
 
 def left_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
