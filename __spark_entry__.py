@@ -513,6 +513,45 @@ def q_multimodal_features(spark, sf):
     return extract_features(media, dim=8)
 
 
+# -- iteration / UDF surface (SURVEY §2.8) ----------------------------------
+
+def q_grouped_lambda(spark, sf):
+    """Per-group pandas lambda (applyInPandas) — the reference's grouped
+    map idiom (ref core/compose.c:1166 + MAPGROUP)."""
+    from rayforce_spark.operators.iterate import apply_grouped
+
+    (li,) = _t(spark, sf, "lineitem")
+    li = li.filter(F.col("l_orderkey") % 20 == 0)  # applyInPandas pays a
+    # per-group pandas overhead — scoped demo; the expression path
+    # (update_grouped) is the scale answer for this computation
+
+    def demean(pdf):
+        pdf["demeaned"] = pdf["l_quantity"] - pdf["l_quantity"].mean()
+        return pdf[["l_orderkey", "l_linenumber", "demeaned"]]
+
+    out = apply_grouped(
+        li, ["l_orderkey"], demean,
+        "l_orderkey long, l_linenumber int, demeaned double",
+    )
+    return out.withColumn("demeaned", F.round("demeaned", 6))
+
+
+def q_array_ops(spark, sf):
+    """raze/enlist/map-over-array verbs on a real column."""
+    from rayforce_spark.operators.iterate import map_array
+
+    (d,) = _t(spark, sf, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.element_at(words, 1).alias("w0"),
+        F.element_at(map_array(F.upper, words), -1).alias("last_upper"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_sum": q_groupby_sum,
     "groupby_multikey": q_groupby_multikey,
@@ -555,6 +594,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_analysis": q_text_analysis,
     "multimodal_features": q_multimodal_features,
+    "grouped_lambda": q_grouped_lambda,
+    "array_ops": q_array_ops,
 }
 
 
@@ -820,6 +861,21 @@ ORACLE: dict[str, str] = {
                md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
                                        '\\s+', ' ', 'g'))) AS fp,
                length(text) AS len_chars
+        FROM documents
+    """,
+    "grouped_lambda": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_quantity - avg(l_quantity)
+                     OVER (PARTITION BY l_orderkey), 6) AS demeaned
+        FROM lineitem WHERE l_orderkey % 20 = 0
+    """,
+    "array_ops": """
+        SELECT doc_id,
+               len(string_split(trim(lower(text)), ' ')) AS n_words,
+               len(list_distinct(string_split(trim(lower(text)), ' '))) AS n_distinct,
+               list_contains(string_split(trim(lower(text)), ' '), 'spark') AS has_spark,
+               string_split(trim(lower(text)), ' ')[1] AS w0,
+               upper(string_split(trim(lower(text)), ' ')[-1]) AS last_upper
         FROM documents
     """,
 }

@@ -1,0 +1,90 @@
+"""Element access / list verbs — SURVEY §2.2, §2.7 (ref core/items.c,
+core/compose.c).
+
+Positional verbs (at/remove/alter on row indices) are inherently
+order-dependent; on a distributed table "table order" means the stable
+read order materialized by a row-id column. They are small-result /
+utility verbs — the scale path is always a keyed operation instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def with_row_id(df: DataFrame, out: str = "row_id") -> DataFrame:
+    """Materialize 0-based table order (parquet read order)."""
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(out, F.row_number().over(w) - 1)
+
+
+def at(df: DataFrame, ids: Sequence[int]) -> DataFrame:
+    """(at t ids) gather rows by position (ref core/items.c:74)."""
+    return with_row_id(df).filter(F.col("row_id").isin(list(ids))).drop("row_id")
+
+
+def remove(df: DataFrame, ids: Sequence[int]) -> DataFrame:
+    """(remove t ids) drop rows by position (ref core/compose.c:825)."""
+    return with_row_id(df).filter(~F.col("row_id").isin(list(ids))).drop("row_id")
+
+
+def alter(df: DataFrame, idx: int, col: str, value) -> DataFrame:
+    """Functional amend at an index (ref core/update.c:312): returns a new
+    table with t[idx][col] = value."""
+    return (
+        with_row_id(df)
+        .withColumn(col, F.when(F.col("row_id") == idx, F.lit(value))
+                    .otherwise(F.col(col)))
+        .drop("row_id")
+    )
+
+
+def reverse(df: DataFrame) -> DataFrame:
+    """(reverse t) — table order reversed (ref core/compose.c:144)."""
+    return with_row_id(df).orderBy(F.col("row_id").desc()).drop("row_id")
+
+
+def keys_of(df: DataFrame) -> list[str]:
+    """(key t) -> column names (ref core/items.c:1118)."""
+    return list(df.columns)
+
+
+def meta(df: DataFrame) -> list[tuple[str, str]]:
+    """(meta t) -> schema description (ref core/misc.c:245)."""
+    return df.dtypes
+
+
+# -- array/list coercion verbs (ref core/compose.c) -------------------------
+
+def enlist(*cols: ColumnOrName) -> Column:
+    """(enlist x y …) -> array column (ref core/compose.c:374)."""
+    return F.array(*[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
+def raze(c: ColumnOrName) -> Column:
+    """(raze xss) flatten one level (ref core/compose.c:1096)."""
+    return F.flatten(F.col(c) if isinstance(c, str) else c)
+
+
+def til(spark, n: int) -> DataFrame:
+    """(til n) -> 0..n-1 (ref core/compose.c:70) — spark.range, distributed."""
+    return spark.range(n).withColumnRenamed("id", "x")
+
+
+def rand_sample(df: DataFrame, n_or_frac, *, seed: int = 42) -> DataFrame:
+    """(rand n t)-style sampling (ref core/compose.c:439): fraction ->
+    bernoulli sample (distributed); int -> limit of a shuffled sample."""
+    if isinstance(n_or_frac, float):
+        return df.sample(n_or_frac, seed=seed)
+    frac_df = df.sample(False, 1.0, seed=seed).orderBy(F.rand(seed))
+    return frac_df.limit(int(n_or_frac))
+
+
+def guid(n_col: Column | None = None) -> Column:
+    """(guid n) -> uuid per row (ref core/compose.c:343)."""
+    return F.uuid()

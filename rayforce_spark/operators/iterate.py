@@ -1,0 +1,105 @@
+"""Iteration combinators (adverbs) — SURVEY §2.8, ref core/iter.c.
+
+The reference applies lambdas through combinators (map/pmap/fold/scan…)
+over vectors; its bytecode VM + thread pool are the execution engine.
+Spark-first translation:
+
+* map over a column          -> expression / F.transform on arrays
+* pmap (parallel map)        -> every Spark op (implicit)
+* fold over a column         -> DataFrame.agg / F.aggregate on arrays
+* scan (running fold)        -> cumulative Window frame
+* per-group lambda           -> applyInPandas (Arrow-batched)
+* per-row lambda (last path) -> pandas_udf
+
+Python lambdas on scalars are the slow path by design — prefer the
+expression forms; the pandas variants exist for genuinely opaque logic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _c(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def map_(expr_fn: Callable[[Column], Column], c: ColumnOrName) -> Column:
+    """(map f xs) over a table column — an expression, fused into the scan
+    by whole-stage codegen (ref core/iter.c:585; pmap core/iter.c:625 is
+    implicit: every expression runs data-parallel)."""
+    return expr_fn(_c(c))
+
+
+def map_array(expr_fn: Callable[[Column], Column], c: ColumnOrName) -> Column:
+    """(map f xs) over an array column -> F.transform."""
+    return F.transform(_c(c), expr_fn)
+
+
+def fold_array(
+    op: Callable[[Column, Column], Column],
+    init,
+    c: ColumnOrName,
+    finish: Callable[[Column], Column] | None = None,
+) -> Column:
+    """(fold f init xs) over an array column -> F.aggregate
+    (ref core/iter.c:838). ``init``'s type must match the accumulator —
+    pass a cast Column (e.g. F.lit(0).cast("long")) for non-int folds."""
+    init_c = init if isinstance(init, Column) else F.lit(init)
+    return F.aggregate(_c(c), init_c, op, finish or (lambda x: x))
+
+
+def scan_col(
+    agg: Column,
+    *,
+    by: Sequence[str] = (),
+    order: Sequence[ColumnOrName],
+) -> Column:
+    """(scan f xs): running aggregate as a cumulative window frame
+    (ref core/iter.c:1212). ``agg`` is any aggregate Column (F.sum(...));
+    ``order`` defines the scan order (add a tiebreak for determinism);
+    ``by`` scopes the scan per group — without it the window is global
+    (single-partition: use only for small results)."""
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*[_c(o) for o in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.over(w)
+
+
+def scan_array(
+    op: Callable[[Column, Column], Column], init, c: ColumnOrName
+) -> Column:
+    """(scan f init xs) over an array column: prefix folds via transform +
+    slice aggregation. O(n²) per array — for long sequences use scan_col
+    on an exploded table instead."""
+    arr = _c(c)
+    init_c = init if isinstance(init, Column) else F.lit(init)
+    idx = F.sequence(F.lit(1), F.size(arr))
+    return F.transform(
+        idx, lambda i: F.aggregate(F.slice(arr, 1, i), init_c, op)
+    )
+
+
+def apply_grouped(
+    df: DataFrame,
+    by: Sequence[str],
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    """Per-group lambda (the reference's grouped map/row idiom,
+    ref core/compose.c:1166 + MAPGROUP): Arrow-batched
+    applyInPandas — fn: pandas.DataFrame -> pandas.DataFrame."""
+    return df.groupBy(*by).applyInPandas(fn, schema)
+
+
+def apply_rows(df: DataFrame, fn: Callable, schema: str) -> DataFrame:
+    """Partition-streaming row lambda via mapInPandas (the honest analog
+    of the reference's chunked kernel fan-out, ref core/pool.c:369)."""
+    return df.mapInPandas(fn, schema)

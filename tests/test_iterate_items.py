@@ -1,0 +1,93 @@
+"""Iteration combinators + positional/list verbs (SURVEY §2.2, §2.7-2.8)."""
+
+from pyspark.sql import functions as F
+
+from rayforce_spark.operators.items import (
+    alter,
+    at,
+    enlist,
+    meta,
+    raze,
+    remove,
+    reverse,
+    til,
+)
+from rayforce_spark.operators.iterate import (
+    apply_grouped,
+    fold_array,
+    map_array,
+    scan_array,
+    scan_col,
+)
+
+from tests.conftest import assert_matches_duckdb
+
+
+def test_til_and_positional(spark):
+    t = til(spark, 10)
+    assert [r.x for r in t.orderBy("x").collect()] == list(range(10))
+    assert sorted(r.x for r in at(t.orderBy("x"), [2, 5]).collect()) == [2, 5]
+    assert sorted(r.x for r in remove(t.orderBy("x"), [0, 9]).collect()) == list(range(1, 9))
+
+
+def test_alter_and_reverse(spark):
+    df = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "i long, v string")
+    got = {r.i: r.v for r in alter(df.orderBy("i"), 1, "v", "Z").collect()}
+    assert got == {0: "a", 1: "Z", 2: "c"}
+    rev = [r.i for r in reverse(df.orderBy("i")).collect()]
+    assert rev == [2, 1, 0]
+
+
+def test_meta(tables):
+    m = dict(meta(tables["nation"]))
+    assert m == {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"}
+
+
+def test_array_combinators(spark):
+    df = spark.createDataFrame([([1, 2, 3],)], "xs array<long>")
+    out = df.select(
+        map_array(lambda x: x * 2, "xs").alias("doubled"),
+        fold_array(lambda acc, x: acc + x, F.lit(0).cast("long"), "xs").alias("total"),
+        scan_array(lambda acc, x: acc + x, F.lit(0).cast("long"), "xs").alias("running"),
+        raze(enlist("xs", "xs")).alias("flat"),
+    ).collect()[0]
+    assert out.doubled == [2, 4, 6]
+    assert out.total == 6
+    assert out.running == [1, 3, 6]
+    assert out.flat == [1, 2, 3, 1, 2, 3]
+
+
+def test_scan_col_matches_duckdb(tables, duck):
+    ev = tables["events"]
+    out = ev.select(
+        "event_id",
+        scan_col(
+            F.sum("value"), by=["user_id"], order=["ts", "event_id"]
+        ).alias("running_value"),
+    )
+    assert_matches_duckdb(
+        out, duck,
+        """SELECT event_id,
+                  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS running_value
+           FROM events""",
+    )
+
+
+def test_apply_grouped(tables, duck):
+    def demean(pdf):
+        pdf["demeaned"] = pdf["l_quantity"] - pdf["l_quantity"].mean()
+        return pdf[["l_orderkey", "l_linenumber", "demeaned"]]
+
+    out = apply_grouped(
+        tables["lineitem"], ["l_orderkey"], demean,
+        "l_orderkey long, l_linenumber int, demeaned double",
+    )
+    assert_matches_duckdb(
+        out, duck,
+        """SELECT l_orderkey, l_linenumber,
+                  l_quantity - avg(l_quantity) OVER (PARTITION BY l_orderkey)
+                  AS demeaned
+           FROM lineitem""",
+    )
