@@ -1,0 +1,104 @@
+"""Plan-quality audit: assert the physical plans we'd want at 100 TB.
+
+Checks, per headline query:
+  * parquet pushdown — filters reach the scan (PushedFilters), projection
+    is pruned (ReadSchema contains only needed columns)
+  * broadcast — small dimension joins use BroadcastHashJoin
+  * partial aggregation — hash aggregates run partial+final
+  * whole-stage codegen — hot expressions are fused
+
+Usage: python scripts/explain_audit.py  (exits nonzero on violations)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def main():
+    from rayforce_spark import A, select, inner_join
+    from rayforce_spark.session import get_spark, load_tables
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("explain_audit")
+    t = load_tables(spark, sf)
+    failures = []
+
+    def check(name, plan, needle, want=True):
+        ok = (needle in plan) == want
+        print(f"[{'ok' if ok else 'VIOLATION'}] {name}: "
+              f"{'has' if want else 'lacks'} {needle!r}")
+        if not ok:
+            failures.append(name)
+            print(plan[:4000])
+
+    # 1. filter + projection pushdown to parquet
+    q = select(
+        t["lineitem"],
+        {"sum_qty": A.sum_("l_quantity")},
+        where=F.col("l_shipdate") <= "1998-09-02",
+        by="l_returnflag",
+    )
+    p = plan_of(q)
+    check("pushdown.filter", p, "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+    check("pushdown.prune", p, "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp_ntz>")
+
+    # 2. partial+final hash aggregation (the reference's partial/final pool
+    # model, ref core/aggr.c:262-294, is Spark's default — verify it stays)
+    check("agg.partial", p, "HashAggregate")
+    assert p.count("HashAggregate") >= 2, "expected partial+final agg"
+
+    # 3. small dimension join broadcasts (no shuffle of the big side)
+    j = inner_join(
+        t["orders"],
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+    ).select("o_orderkey", "c_name")
+    pj = plan_of(j)
+    check("join.broadcast", pj, "BroadcastHashJoin")
+    check("join.no_sortmerge", pj, "SortMergeJoin", want=False)
+
+    # 4. whole-stage codegen covers the scan->project->agg pipeline
+    # (markers only appear in codegen-mode explain under AQE)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("codegen")
+    check("codegen", buf.getvalue(), "WholeStageCodegen subtrees")
+
+    # 5. asof join: exactly one shuffle (on keys) feeding the window
+    from rayforce_spark import asof_join
+
+    ev = t["events"]
+    l = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    r = ev.filter(F.col("event_type") == "click").select("user_id", "ts", F.col("value").alias("cv"))
+    pa = plan_of(asof_join(l, r, on="user_id", asof="ts"))
+    n_exchanges = pa.count("Exchange hashpartitioning")
+    print(f"[{'ok' if n_exchanges == 1 else 'VIOLATION'}] asof.one_shuffle: "
+          f"{n_exchanges} hash exchange(s)")
+    if n_exchanges != 1:
+        failures.append("asof.one_shuffle")
+
+    if failures:
+        print(f"\nplan violations: {failures}")
+        sys.exit(1)
+    print("\nall plan checks pass")
+
+
+if __name__ == "__main__":
+    main()
