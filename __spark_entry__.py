@@ -198,6 +198,76 @@ def q_ediv_emod(spark, sf):
     )
 
 
+# -- H2O db-benchmark shapes at varied key cardinality (BASELINE.md) --------
+
+def q_groupby_highcard(spark, sf):
+    # H2O Q3 shape: sum+avg by a high-cardinality key
+    (li,) = _t(spark, sf, "lineitem")
+    return select(
+        li,
+        {"sum_qty": A.sum_("l_quantity"), "avg_disc": A.avg("l_discount")},
+        by="l_partkey",
+    )
+
+
+def q_groupby_avg3(spark, sf):
+    # H2O Q4 shape: avg of 3 value columns by a medium-cardinality key
+    (li,) = _t(spark, sf, "lineitem")
+    return select(
+        li,
+        {
+            "a1": A.avg("l_quantity"),
+            "a2": A.avg("l_extendedprice"),
+            "a3": A.avg("l_discount"),
+        },
+        by="l_suppkey",
+    )
+
+
+def q_groupby_sum3_highcard(spark, sf):
+    # H2O Q5 shape: sum of 3 value columns by the highest-cardinality key
+    (li,) = _t(spark, sf, "lineitem")
+    return select(
+        li,
+        {
+            "s1": A.sum_("l_quantity"),
+            "s2": A.sum_("l_extendedprice"),
+            "s3": A.sum_("l_tax"),
+        },
+        by="l_orderkey",
+    )
+
+
+def q_groupby_manykeys(spark, sf):
+    # H2O Q7 shape: sum + count grouped by many key columns
+    (li,) = _t(spark, sf, "lineitem")
+    return select(
+        li,
+        {"sum_qty": A.sum_("l_quantity"), "n": A.count()},
+        by=["l_returnflag", "l_linestatus", "l_suppkey", "l_partkey"],
+    )
+
+
+def q_tpch_q3ish(spark, sf):
+    # multi-join: dims broadcast, fact filtered at the scan
+    c, o, li = _t(spark, sf, "customer", "orders", "lineitem")
+    j = inner_join(
+        inner_join(
+            o.filter(F.col("o_orderdate") < "1998-01-01"),
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey",
+        ),
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+    )
+    return select(
+        j,
+        {"revenue": A.sum_(F.col("l_extendedprice") * (1 - F.col("l_discount")))},
+        by=["o_orderkey", "o_orderpriority"],
+    )
+
+
 # -- joins (SURVEY §2.3) ----------------------------------------------------
 
 def q_inner_join(spark, sf):
@@ -565,6 +635,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "update_grouped": q_update_grouped,
     "distinct": q_distinct,
     "ediv_emod": q_ediv_emod,
+    "groupby_highcard": q_groupby_highcard,
+    "groupby_avg3": q_groupby_avg3,
+    "groupby_sum3_highcard": q_groupby_sum3_highcard,
+    "groupby_manykeys": q_groupby_manykeys,
+    "tpch_q3ish": q_tpch_q3ish,
     "inner_join": q_inner_join,
     "left_join_dedup": q_left_join_dedup,
     "asof_join": q_asof_join,
@@ -673,6 +748,35 @@ ORACLE: dict[str, str] = {
                               * sign(l_linenumber - 1) AS BIGINT) END AS dz,
                l_extendedprice / l_quantity AS fd
         FROM lineitem
+    """,
+    "groupby_highcard": """
+        SELECT l_partkey, sum(l_quantity) AS sum_qty, avg(l_discount) AS avg_disc
+        FROM lineitem GROUP BY 1
+    """,
+    "groupby_avg3": """
+        SELECT l_suppkey, avg(l_quantity) AS a1, avg(l_extendedprice) AS a2,
+               avg(l_discount) AS a3
+        FROM lineitem GROUP BY 1
+    """,
+    "groupby_sum3_highcard": """
+        SELECT l_orderkey, sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,
+               sum(l_tax) AS s3
+        FROM lineitem GROUP BY 1
+    """,
+    "groupby_manykeys": """
+        SELECT l_returnflag, l_linestatus, l_suppkey, l_partkey,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY 1, 2, 3, 4
+    """,
+    "tpch_q3ish": """
+        SELECT o_orderkey, o_orderpriority,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
     """,
     "inner_join": """
         SELECT o_orderkey, o_custkey, c_name, o_totalprice

@@ -44,11 +44,16 @@ def main():
 
     qs = E.queries()
     bench_names = [
-        "groupby_sum",          # H2O group-by Q1 analog
-        "groupby_multikey",     # Q2 analog
-        "groupby_stats",        # Q3-Q6 stats mix
+        "groupby_sum",            # H2O group-by Q1 analog
+        "groupby_multikey",       # Q2 analog
+        "groupby_highcard",       # Q3 analog (high-cardinality key)
+        "groupby_avg3",           # Q4 analog
+        "groupby_sum3_highcard",  # Q5 analog
+        "agg_arith",              # Q6 analog (max-min)
+        "groupby_manykeys",       # Q7 analog (multi-column keys)
+        "groupby_stats",          # med/dev/count_distinct mix
         "tpch_q1",
-        "agg_arith",
+        "tpch_q3ish",
         "inner_join",
         "left_join_dedup",
         "asof_join",
