@@ -456,6 +456,27 @@ def q_scan_cumsum(spark, sf):
     )
 
 
+def q_cube_rollup(spark, sf):
+    from rayforce_spark.operators.query import select_cube
+
+    (li,) = _t(spark, sf, "lineitem")
+    return select_cube(
+        li,
+        {"sum_qty": A.sum_("l_quantity"), "n": A.count()},
+        by=["l_returnflag", "l_linestatus"],
+    )
+
+
+def q_pivot(spark, sf):
+    from rayforce_spark.operators.query import pivot
+
+    (li,) = _t(spark, sf, "lineitem")
+    return pivot(
+        li, by="l_returnflag", pivot_col="l_linestatus",
+        values=["O", "F"], agg=A.sum_("l_quantity"),
+    )
+
+
 # -- storage (SURVEY §2.1) --------------------------------------------------
 
 def q_splayed_roundtrip(spark, sf):
@@ -671,6 +692,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "grouped_lambda": q_grouped_lambda,
     "array_ops": q_array_ops,
+    "cube_rollup": q_cube_rollup,
+    "pivot": q_pivot,
 }
 
 
@@ -966,6 +989,17 @@ ORACLE: dict[str, str] = {
                                        '\\s+', ' ', 'g'))) AS fp,
                length(text) AS len_chars
         FROM documents
+    """,
+    "cube_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "pivot": """
+        SELECT l_returnflag,
+               sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS "O",
+               sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS "F"
+        FROM lineitem GROUP BY 1
     """,
     "grouped_lambda": """
         SELECT l_orderkey, l_linenumber,

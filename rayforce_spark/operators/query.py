@@ -185,3 +185,25 @@ def delete(df: DataFrame, *, where: Column) -> DataFrame:
     """Row deletion = inverted filter (reference expresses this via
     select/remove, ref core/compose.c:825)."""
     return df.filter(~where)
+
+
+def select_cube(df: DataFrame, cols: Mapping[str, ExprLike], *,
+                by: Sequence[str], where: Column | None = None,
+                rollup: bool = False) -> DataFrame:
+    """Cube/rollup aggregation — a Spark capability the reference lacks
+    (SURVEY §2.4 'Missing vs Spark'); exposed with select's shape.
+    Null key cells mark subtotal rows (SQL GROUPING semantics)."""
+    out = df.filter(where) if where is not None else df
+    grouped = out.rollup(*by) if rollup else out.cube(*by)
+    return grouped.agg(*[
+        (e.col if isinstance(e, AggExpr) else _as_col(e)).alias(n)
+        for n, e in cols.items()
+    ])
+
+
+def pivot(df: DataFrame, *, by: str, pivot_col: str, values: Sequence,
+          agg: AggExpr) -> DataFrame:
+    """Pivot (wide) aggregation — likewise beyond the reference's surface.
+    ``values`` must be explicit (at 100 TB, discovering pivot values is a
+    separate distinct pass — make the caller own it)."""
+    return df.groupBy(by).pivot(pivot_col, list(values)).agg(agg.col)
