@@ -67,12 +67,32 @@ def minhash_signature(shingles: Column, *, num_perm: int) -> Column:
     select — inlining the shingle expression here would replicate its
     computation num_perm times in the plan).
 
-    Permutation i = min over shingles of xxhash64(shingle, seed=i) — the
-    standard one-hash-function-per-permutation construction, entirely
-    JVM-side expressions."""
+    One xxhash64 per STRING shingle, then the permutation family re-hashes
+    the resulting i64 with a per-permutation seed column: string hashing
+    happens once, the num_perm re-hashes are fixed-width (8-byte) — and
+    overflow-free, which matters under Spark 4's default ANSI mode (a
+    wrapping multiply-add family would throw ARITHMETIC_OVERFLOW).
+    Entirely JVM-side expressions. Prefer the two-step spelling
+    (materialize base hashes, then minhash_signature_from_hashes) in
+    pipelines — see the CollapseProject note on _shingles_of_words."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_perm=num_perm
+    )
+
+
+def minhash_signature_from_hashes(base_hashes: Column, *, num_perm: int) -> Column:
+    """Signature from an ALREADY-MATERIALIZED array<long> of shingle
+    hashes — the per-permutation work is pure integer arithmetic.
+
+    NOTE the closure factory: a ``lambda h, i=i: …`` default-arg capture
+    is read by PySpark's HOF binder as a multi-parameter lambda — two
+    params silently bind the ARRAY INDEX to the second name, three are
+    rejected. Only single-parameter closures are safe here."""
+    def perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     return F.array(
-        *[F.array_min(
-            F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        *[F.array_min(F.transform(base_hashes, perm(i)))
           for i in range(num_perm)]
     )
 
@@ -100,12 +120,15 @@ def minhash_lsh_pairs(
     sig = with_shingles(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         "__text", shingle_k, "__sh",
+    ).withColumn(
+        "__bh", F.transform("__sh", lambda s: F.xxhash64(s))
     ).select(
         "__id", "__text",
-        minhash_signature(F.col("__sh"), num_perm=num_perm).alias("__sig"),
+        minhash_signature_from_hashes(F.col("__bh"), num_perm=num_perm)
+        .alias("__sig"),
     )
     banded = sig.select(
-        "__id", "__text",
+        "__id",
         F.explode(
             F.array(*[
                 F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band),
@@ -114,24 +137,48 @@ def minhash_lsh_pairs(
             ])
         ).alias("__bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(right, (F.col("l.__bucket") == F.col("r.__bucket"))
-                  & (F.col("l.__id") < F.col("r.__id")))
-        .select(
-            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
-            F.col("l.__text").alias("ta"), F.col("r.__text").alias("tb"),
+    # bucket -> id list -> within-bucket pairs. A groupBy of the NARROW
+    # (id, bucket) rows: the signature subtree is evaluated once (a
+    # banded⋈banded self-join would compute it per side — Catalyst can't
+    # reuse the exchange across aliases). Per-bucket arrays are tiny by
+    # construction (band collisions); a degenerate all-identical corpus is
+    # the only skew case and exact-dedup first is the documented answer.
+    buckets = (
+        banded.groupBy("__bucket")
+        .agg(F.collect_list("__id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.array_sort("ids"))
+    )
+    pair_gen = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    cand = (
+        buckets.select(F.explode(pair_gen).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingled = with_shingles(
-        with_shingles(cand, "ta", shingle_k, "__sa"), "tb", shingle_k, "__sb"
+    # verify candidates only: join texts back (candidate set is small),
+    # exact Jaccard on the shingle sets
+    texts = with_shingles(
+        df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__t")),
+        "__t", shingle_k, "__vsh",
+    ).select("__tid", "__vsh")
+    shingled = (
+        cand.join(texts.select(F.col("__tid").alias("id_a"),
+                               F.col("__vsh").alias("__sa")), "id_a")
+        .join(texts.select(F.col("__tid").alias("id_b"),
+                           F.col("__vsh").alias("__sb")), "id_b")
     )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     uni = F.size(F.array_union("__sa", "__sb")).cast("double")
     return (
-        shingled.withColumn("jaccard", inter / uni)
+        shingled.withColumn("jaccard", F.try_divide(inter, uni))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -173,7 +220,8 @@ def jaccard_dup_pairs(
               .withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            F.try_divide(F.col("inter"),
+                         F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -253,7 +301,8 @@ def cosine(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    # try_divide: zero vectors -> NULL similarity rather than an ANSI error
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,

@@ -59,10 +59,10 @@ def emod(x: ColumnOrName, y: ColumnOrName) -> Column:
 def fdiv(x: ColumnOrName, y: ColumnOrName) -> Column:
     """Float division (``div`` in the reference, core/env.c:196).
 
-    Spark's default (non-ANSI) double division already yields NULL on /0,
-    matching the reference's null result.
+    try_divide: /0 yields NULL (Spark 4's default ANSI mode would throw),
+    matching the reference's div-by-zero->null rule (ref core/ops.h:169).
     """
-    return _col(x).cast("double") / _col(y).cast("double")
+    return F.try_divide(_col(x).cast("double"), _col(y).cast("double"))
 
 
 def neg(x: ColumnOrName) -> Column:
