@@ -198,6 +198,27 @@ def q_ediv_emod(spark, sf):
     )
 
 
+def q_null_semantics(spark, sf):
+    """kdb null rules (SURVEY §1.2): nulls propagate through arithmetic
+    but are SKIPPED by aggregates (ref core/ops.h:136-197, FOLD_ADD
+    core/ops.h:141) — SQL NULL + ignorenulls aggregation matches. Nulls
+    injected via nullif (the data itself has none)."""
+    (li,) = _t(spark, sf, "lineitem")
+    x = F.nullif(F.col("l_discount"), F.lit(0.0))
+    masked = li.withColumn("xd", x)
+    return select(
+        masked,
+        {
+            "sum_d": A.sum_("xd"),          # skips nulls
+            "avg_d": A.avg("xd"),           # skips nulls
+            "n_all": A.count(),              # counts rows incl. null xd
+            "n_d": A.count("xd"),           # non-null count (ray_cnt)
+            "prop": A.sum_(F.col("xd") + 1),  # null propagates, then skipped
+        },
+        by="l_returnflag",
+    )
+
+
 # -- H2O db-benchmark shapes at varied key cardinality (BASELINE.md) --------
 
 def q_groupby_highcard(spark, sf):
@@ -656,6 +677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "update_grouped": q_update_grouped,
     "distinct": q_distinct,
     "ediv_emod": q_ediv_emod,
+    "null_semantics": q_null_semantics,
     "groupby_highcard": q_groupby_highcard,
     "groupby_avg3": q_groupby_avg3,
     "groupby_sum3_highcard": q_groupby_sum3_highcard,
@@ -771,6 +793,15 @@ ORACLE: dict[str, str] = {
                               * sign(l_linenumber - 1) AS BIGINT) END AS dz,
                l_extendedprice / l_quantity AS fd
         FROM lineitem
+    """,
+    "null_semantics": """
+        SELECT l_returnflag,
+               sum(nullif(l_discount, 0.0)) AS sum_d,
+               avg(nullif(l_discount, 0.0)) AS avg_d,
+               count(*) AS n_all,
+               count(nullif(l_discount, 0.0)) AS n_d,
+               sum(nullif(l_discount, 0.0) + 1) AS prop
+        FROM lineitem GROUP BY 1
     """,
     "groupby_highcard": """
         SELECT l_partkey, sum(l_quantity) AS sum_qty, avg(l_discount) AS avg_disc

@@ -272,16 +272,29 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
             for b in range(bands)
         ])).alias("bk"),
     ).select("__id", "simhash", "bk.band", "bk.key")
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.key") == F.col("b.key"))
-              & (F.col("a.__id") < F.col("b.__id")))
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+    # same bucket-groupBy pair expansion as minhash_lsh_pairs: the
+    # fingerprint subtree runs once, no self-join
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("__id", "simhash")).alias("rows"))
+        .filter(F.size("rows") > 1)
+        .withColumn("rows", F.array_sort("rows"))
+    )
+    pair_gen = F.flatten(
+        F.transform(
+            F.col("rows"),
+            lambda x, i: F.transform(
+                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"), y["__id"].alias("id_b"),
+                    x["simhash"].alias("ha"), y["simhash"].alias("hb"),
+                ),
+            ),
         )
+    )
+    cand = (
+        buckets.select(F.explode(pair_gen).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
