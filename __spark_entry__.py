@@ -594,6 +594,20 @@ def q_knn_lsh(spark, sf):
     )
 
 
+def q_knn_ivf(spark, sf):
+    """IVF ANN: k-means inverted lists + nprobe probing + exact cosine
+    re-rank (rows-only check: centroid training is iterative, not
+    SQL-expressible; recall-vs-exact is pinned in
+    tests/test_datapipe.py::test_knn_ivf_recall)."""
+    from rayforce_spark.datapipe import knn_ivf
+
+    (e,) = _t(spark, sf, "embeddings")
+    return knn_ivf(
+        e, e.filter(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=5, nlist=8, nprobe=3, iters=3,
+    )
+
+
 def q_text_quality(spark, sf):
     from rayforce_spark.datapipe import doc_fingerprint, token_count
 
@@ -709,6 +723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "text_quality": q_text_quality,
     "text_analysis": q_text_analysis,
     "multimodal_features": q_multimodal_features,

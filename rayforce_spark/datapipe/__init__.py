@@ -20,7 +20,7 @@ from rayforce_spark.datapipe.dedup import (
     simhash,
     simhash_dup_pairs,
 )
-from rayforce_spark.datapipe.similarity import knn_cosine, knn_lsh
+from rayforce_spark.datapipe.similarity import ivf_train, knn_cosine, knn_ivf, knn_lsh
 from rayforce_spark.datapipe.text import (
     doc_fingerprint,
     language_id,
@@ -35,7 +35,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_dup_pairs",
+    "ivf_train",
     "knn_cosine",
+    "knn_ivf",
     "knn_lsh",
     "doc_fingerprint",
     "language_id",

@@ -91,6 +91,120 @@ def _bucket_key(vec_col, hyperplanes) -> F.Column:
     return key
 
 
+def _sq_dist(vec_col, centroid: list[float]) -> F.Column:
+    """Squared L2 distance of a vector column to a literal centroid."""
+    arr = F.array(*[F.lit(float(w)) for w in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _nearest(vec_col, centroids: list[list[float]], nprobe: int) -> F.Column:
+    """Indices of the ``nprobe`` nearest centroids as array<int> —
+    array_sort over (distance, index) structs, lexicographic min first."""
+    scored = F.array(*[
+        F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ])
+    return F.slice(F.array_sort(scored), 1, nprobe).getField("i")
+
+
+def ivf_train(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    nlist: int = 16,
+    iters: int = 5,
+    max_train_rows: int = 10_000,
+) -> list[list[float]]:
+    """Train IVF centroids with Lloyd's iterations as DataFrame jobs.
+
+    Only the nlist x dim centroid table ever reaches the driver (a few KB
+    regardless of corpus size); assignment and the per-cluster mean are
+    distributed aggregations. Training runs on a deterministic hash-ordered
+    sample of ``max_train_rows`` — init takes the nlist hash-smallest rows,
+    so the whole procedure is reproducible with no RNG state to ship.
+    """
+    sample = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id")))
+        .limit(max_train_rows)
+        .cache()
+    )
+    centroids = [
+        [float(x) for x in r["__v"]]
+        for r in sample.limit(nlist).collect()
+    ]
+    for _ in range(iters):
+        assigned = sample.select(
+            "__v", _nearest(F.col("__v"), centroids, 1)[0].alias("__c")
+        )
+        means = (
+            assigned.groupBy("__c")
+            .agg(
+                *[F.avg(F.col("__v")[d]).alias(f"d{d}")
+                  for d in range(len(centroids[0]))]
+            )
+            .collect()
+        )
+        new = {r["__c"]: [float(r[f"d{d}"]) for d in range(len(centroids[0]))]
+               for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    sample.unpersist()
+    return centroids
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    centroids: list[list[float]] | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus vectors
+    are bucketed by nearest k-means centroid, queries probe their
+    ``nprobe`` nearest lists, exact cosine re-ranks the candidates.
+
+    Same bucket-join shape as knn_lsh with learned buckets instead of
+    random hyperplanes: one shuffle join on the centroid id, top-k window
+    per query. Pass ``centroids`` to reuse a trained index (train once,
+    probe many — the production shape); otherwise ivf_train runs first.
+    Returns (query_id, neighbor_id, cos, rank)."""
+    qid = query_id_col or id_col
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, vec_col, id_col, nlist=nlist, iters=iters
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__list", _nearest(F.col("__cv"), centroids, 1)[0])
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__list", F.explode(_nearest(F.col("__qv"), centroids, nprobe))
+    )
+    cand = q.join(c, "__list").select(
+        "query_id", "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

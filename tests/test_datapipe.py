@@ -9,6 +9,7 @@ from rayforce_spark.datapipe import (
     embedding_dup_pairs,
     jaccard_dup_pairs,
     knn_cosine,
+    knn_ivf,
     knn_lsh,
     language_id,
     minhash_lsh_pairs,
@@ -138,6 +139,19 @@ def test_knn_lsh_recall(tables):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_knn_ivf_recall(tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_cosine(emb, queries, "embedding", "vec_id", k=5)
+    approx = knn_ivf(
+        emb, queries, "embedding", "vec_id", k=5, nlist=8, nprobe=3, iters=3,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
 def test_text_ops_vs_duckdb(tables, duck):
