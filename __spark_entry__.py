@@ -462,6 +462,27 @@ def q_xbar_time(spark, sf):
     )
 
 
+def q_moving_window(spark, sf):
+    """Rolling analytics the reference expresses via scan/bin/window-join
+    idioms (SURVEY §2.5): lag/lead, a 5-row trailing moving average and
+    max, and per-key row numbering — all one Window spec, one shuffle on
+    the partition key."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trail = w.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.avg("value").over(trail).alias("mavg5"),
+        F.max("value").over(trail).alias("mmax5"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
 def q_scan_cumsum(spark, sf):
     # scan = running fold (ref core/iter.c:1212) -> cumulative window frame
     from pyspark.sql import Window
@@ -714,6 +735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal": q_temporal,
     "xbar_time": q_xbar_time,
     "scan_cumsum": q_scan_cumsum,
+    "moving_window": q_moving_window,
     "splayed_roundtrip": q_splayed_roundtrip,
     "parted_roundtrip": q_parted_roundtrip,
     "dedup_exact": q_dedup_exact,
@@ -964,6 +986,18 @@ ORACLE: dict[str, str] = {
         SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
                count(*) AS n, sum(value) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "moving_window": """
+        SELECT event_id, user_id,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value,
+               avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS mavg5,
+               max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS mmax5,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "scan_cumsum": """
         SELECT event_id, user_id,
