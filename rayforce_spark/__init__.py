@@ -33,6 +33,7 @@ from rayforce_spark.operators.joins import (
     window_join,
     insert,
     upsert,
+    salted_join,
 )
 from rayforce_spark.operators.sets import (
     in_,
@@ -64,6 +65,7 @@ __all__ = [
     "window_join",
     "insert",
     "upsert",
+    "salted_join",
     "in_",
     "within",
     "except_",

@@ -224,3 +224,40 @@ def upsert(target: DataFrame, rows: DataFrame, n_keys: int,
     fresh = dedup_last(rows.select(*target.columns), keys, order_col)
     kept = target.join(fresh, keys, "left_anti")
     return kept.unionByName(fresh)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    how: str = "inner",
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with explicit key salting for pathological skew.
+
+    For the case AQE's skew-join splitting can't fix: a handful of hot
+    keys whose matching RIGHT rows are few but whose LEFT rows flood one
+    shuffle partition. The left side gets a deterministic salt in
+    [0, salt) (hash of the whole row spread via a row id), the right side
+    is replicated ``salt`` times, and the join runs on keys + salt — hot
+    keys now spread over ``salt`` partitions. Cost: right side is
+    materialized salt x (use only when right is small relative to left but
+    above the broadcast threshold). Results are identical to
+    ``left.join(right, on, how)`` for 'inner' and 'left'.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = _keys(on)
+    lsalt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+    ).cast("int")
+    l_salted = left.withColumn("__rf_salt", lsalt)
+    r_salted = right.withColumn(
+        "__rf_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")),
+    )
+    return (
+        l_salted.join(r_salted, [*keys, "__rf_salt"], how)
+        .drop("__rf_salt")
+    )

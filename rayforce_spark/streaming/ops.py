@@ -22,14 +22,21 @@ def stream_xbar_agg(
     *,
     by: list[str] | None = None,
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window aggregation — the streaming form of the reference's
-    ``(select {… by: {bar: (xbar N time)}})`` idiom. ``window`` is a Spark
-    interval string ("5 minutes"); watermark bounds state for late data.
+    """Tumbling- (or, with ``slide``, sliding-) window aggregation — the
+    streaming form of the reference's ``(select {… by: {bar: (xbar N
+    time)}})`` idiom. ``window`` is a Spark interval string ("5 minutes");
+    watermark bounds state for late data. A ``slide`` shorter than
+    ``window`` emits overlapping bars (each event lands in
+    window/slide bars) — the reference has no sliding idiom short of a
+    window-join; here it's the same groupBy.
     """
-    keys = [F.window(F.col(ts_col), window).alias("bar")] + [
-        F.col(c) for c in (by or [])
-    ]
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide else F.window(F.col(ts_col), window)
+    )
+    keys = [win.alias("bar")] + [F.col(c) for c in (by or [])]
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys)

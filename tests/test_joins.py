@@ -226,3 +226,21 @@ def test_upsert_appends_new_keys(spark):
     )
     out = {r.k: r.v for r in upsert(target, rows, n_keys=1, order_col=F.col("v")).collect()}
     assert out == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_salted_join_matches_plain(tables):
+    from rayforce_spark import salted_join
+
+    li = tables["lineitem"]
+    orders = tables["orders"]
+    for how in ("inner", "left"):
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey, how) \
+            .select("l_orderkey", "l_linenumber", "o_totalprice")
+        salted = salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            orders, "o_orderkey", how, salt=8,
+        ).select(F.col("o_orderkey").alias("l_orderkey"),
+                 "l_linenumber", "o_totalprice")
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, f"salted {how} join differs"

@@ -125,3 +125,30 @@ def test_stream_xbar_agg(spark, tmp_path):
         assert rows[1].avg_px == 5.0 and rows[1].n == 1
     finally:
         q.stop()
+
+
+def test_stream_xbar_agg_sliding(spark, tmp_path):
+    jpath = str(tmp_path / "slidejournal")
+    schema = "ts timestamp, px double"
+    j = Journal(jpath, schema)
+    j.append([
+        {"ts": "2024-01-01T00:06:00", "px": 4.0},
+    ])
+    stream = read_journal_stream(spark, jpath, schema)
+    agg = stream_xbar_agg(
+        stream, "ts", "10 minutes", {"n": F.count(F.lit(1))},
+        slide="5 minutes",
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("slide_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT bar.start AS s FROM slide_out ORDER BY s"
+        ).collect()
+        # one event, 10-min window sliding every 5 -> lands in 2 bars
+        assert [r.s.minute for r in rows] == [0, 5]
+    finally:
+        q.stop()
