@@ -483,6 +483,43 @@ def q_moving_window(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    """Gap-based batch sessionization (the offline twin of the streaming
+    sessionize operator): 30-minute gap over the events table, one row
+    per (user, session)."""
+    from rayforce_spark.datapipe import sessionize_batch
+
+    (ev,) = _t(spark, sf, "events")
+    gap_ns = 1800 * 1_000_000_000
+    return sessionize_batch(
+        ev, key_col="user_id", ts_col="ts", gap=gap_ns,
+        aggs={"sum_value": F.sum("value")}, tiebreak=["event_id"],
+    ).select(
+        "user_id", "session_seq",
+        # report bounds in µs: DuckDB reads the TIMESTAMP(NANOS) parquet at
+        # µs precision, and integer floor-division commutes with min/max
+        # (float division would lose precision on 19-digit ns longs)
+        F.expr("session_start div 1000").alias("start_us"),
+        F.expr("session_end div 1000").alias("end_us"),
+        "n_events", "sum_value",
+    )
+
+
+def q_quantiles(spark, sf):
+    """Exact interpolated quantiles per group (generalized med)."""
+    (li,) = _t(spark, sf, "lineitem")
+    return select(
+        li,
+        {
+            "p25": A.quantile("l_extendedprice", 0.25),
+            "p75": A.quantile("l_extendedprice", 0.75),
+            "p99": A.quantile("l_extendedprice", 0.99),
+            "n": A.count(),
+        },
+        by="l_returnflag",
+    )
+
+
 def q_scan_cumsum(spark, sf):
     # scan = running fold (ref core/iter.c:1212) -> cumulative window frame
     from pyspark.sql import Window
@@ -734,6 +771,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_ops": q_string_ops,
     "temporal": q_temporal,
     "xbar_time": q_xbar_time,
+    "sessionize": q_sessionize,
+    "quantiles": q_quantiles,
     "scan_cumsum": q_scan_cumsum,
     "moving_window": q_moving_window,
     "splayed_roundtrip": q_splayed_roundtrip,
@@ -998,6 +1037,36 @@ ORACLE: dict[str, str] = {
                row_number() OVER w AS rn
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "sessionize": """
+        WITH flagged AS (
+          SELECT user_id, epoch_ns(ts) AS tns, event_id, value,
+                 CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL THEN 1
+                      WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                           > 1800000000000 THEN 1
+                      ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, tns, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(tns // 1000) AS start_us,
+               max(tns // 1000) AS end_us,
+               count(*) AS n_events, sum(value) AS sum_value
+        FROM sess GROUP BY 1, 2
+    """,
+    "quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.99) AS p99,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
     """,
     "scan_cumsum": """
         SELECT event_id, user_id,

@@ -21,6 +21,7 @@ from rayforce_spark.datapipe.dedup import (
     simhash_dup_pairs,
 )
 from rayforce_spark.datapipe.similarity import ivf_train, knn_cosine, knn_ivf, knn_lsh
+from rayforce_spark.datapipe.sessions import sessionize_batch
 from rayforce_spark.datapipe.text import (
     doc_fingerprint,
     language_id,
@@ -30,6 +31,7 @@ from rayforce_spark.datapipe.text import (
 
 __all__ = [
     "dedup_exact",
+    "sessionize_batch",
     "embedding_dup_pairs",
     "jaccard_dup_pairs",
     "minhash_lsh_pairs",

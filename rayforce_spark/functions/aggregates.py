@@ -143,6 +143,20 @@ def med(c: ColumnOrName) -> AggExpr:
     return _make(F.median, c)
 
 
+def quantile(c: ColumnOrName, q: float) -> AggExpr:
+    """Exact linear-interpolated quantile (generalizes med; Spark-native
+    extension the reference composes manually via sort + index)."""
+    fn = lambda col: F.percentile(col, F.lit(q))  # noqa: E731
+    return _make(fn, c)
+
+
+def approx_quantile(c: ColumnOrName, q: float) -> AggExpr:
+    """Approximate quantile sketch — the 100 TB path: fixed-size state
+    per group (no per-group value buffering), mergeable partials."""
+    fn = lambda col: F.percentile_approx(col, F.lit(q), F.lit(10000))  # noqa: E731
+    return _make(fn, c)
+
+
 def dev(c: ColumnOrName) -> AggExpr:
     """Population std-dev, 2-pass in the reference
     (ref core/math.c:2628-2700, core/aggr.c:2864) == stddev_pop."""

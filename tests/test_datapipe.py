@@ -210,3 +210,26 @@ def test_extract_features_real_decoder_stub(tables):
     media = attach_binary(tables["documents"].limit(1), "text")
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="real")
+
+
+def test_sessionize_batch(spark):
+    from rayforce_spark.datapipe import sessionize_batch
+
+    rows = [
+        (1, 0.0, 1.0), (1, 10.0, 2.0), (1, 5000.0, 7.0),
+        (2, 100.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, value double")
+    out = {
+        (r.user_id, r.session_seq): (r.session_start, r.session_end,
+                                     r.n_events, r.sum_value)
+        for r in sessionize_batch(
+            df, key_col="user_id", ts_col="ts", gap=1800,
+            aggs={"sum_value": F.sum("value")},
+        ).collect()
+    }
+    assert out == {
+        (1, 1): (0.0, 10.0, 2, 3.0),
+        (1, 2): (5000.0, 5000.0, 1, 7.0),
+        (2, 1): (100.0, 100.0, 1, 5.0),
+    }
