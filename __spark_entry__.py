@@ -720,6 +720,14 @@ def q_grouped_lambda(spark, sf):
     return out.withColumn("demeaned", F.round("demeaned", 6))
 
 
+def q_group_indices(spark, sf):
+    """(group vec) -> value: sorted occurrence ids (ref core/compose.c:1071)."""
+    from rayforce_spark.operators.items import group_indices
+
+    (ev,) = _t(spark, sf, "events")
+    return group_indices(ev, "event_type", "event_id")
+
+
 def q_array_ops(spark, sf):
     """raze/enlist/map-over-array verbs on a real column."""
     from rayforce_spark.operators.iterate import map_array
@@ -789,6 +797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analysis": q_text_analysis,
     "multimodal_features": q_multimodal_features,
     "grouped_lambda": q_grouped_lambda,
+    "group_indices": q_group_indices,
     "array_ops": q_array_ops,
     "cube_rollup": q_cube_rollup,
     "pivot": q_pivot,
@@ -1155,6 +1164,10 @@ ORACLE: dict[str, str] = {
                round(l_quantity - avg(l_quantity)
                      OVER (PARTITION BY l_orderkey), 6) AS demeaned
         FROM lineitem WHERE l_orderkey % 20 = 0
+    """,
+    "group_indices": """
+        SELECT event_type, list_sort(list(event_id)) AS ids
+        FROM events GROUP BY 1
     """,
     "array_ops": """
         SELECT doc_id,

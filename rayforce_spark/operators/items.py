@@ -88,3 +88,13 @@ def rand_sample(df: DataFrame, n_or_frac, *, seed: int = 42) -> DataFrame:
 def guid(n_col: Column | None = None) -> Column:
     """(guid n) -> uuid per row (ref core/compose.c:343)."""
     return F.uuid()
+
+
+def group_indices(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(group vec) — value -> indices-of-occurrences dict
+    (ref core/compose.c:1071, core/group.c:26). Spark has no implicit row
+    index, so ``id_col`` names the ordinal; indices come back sorted for
+    determinism. One hash aggregation."""
+    return df.groupBy(col).agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )

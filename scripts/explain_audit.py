@@ -94,6 +94,38 @@ def main():
     if n_exchanges != 1:
         failures.append("asof.one_shuffle")
 
+    # 6. median-split: the mixed-stats agg keeps its non-median aggregates
+    # in codegen'd HashAggregate (no Expand dragging them onto the
+    # object-hash path)
+    stats = select(
+        t["lineitem"],
+        {
+            "avg_price": A.avg("l_extendedprice"),
+            "med_qty": A.med("l_quantity"),
+            "n_parts": A.count_distinct("l_partkey"),
+        },
+        by="l_returnflag",
+    )
+    ps = plan_of(stats)
+    # the median side may use object/sort agg — but avg/count_distinct must
+    # appear under a plain HashAggregate, which the split guarantees
+    check("medsplit.fast_path", ps.split("median")[0], "HashAggregate")
+
+    # 7. batch sessionization: one shuffle on the key feeds both windows
+    # and the final aggregation
+    from rayforce_spark.datapipe import sessionize_batch
+
+    sess = sessionize_batch(
+        t["events"], key_col="user_id", ts_col="ts",
+        gap=1800 * 1_000_000_000, tiebreak=["event_id"],
+    )
+    psess = plan_of(sess)
+    n_ex = psess.count("Exchange hashpartitioning")
+    print(f"[{'ok' if n_ex == 1 else 'VIOLATION'}] sessionize.one_shuffle: "
+          f"{n_ex} hash exchange(s)")
+    if n_ex != 1:
+        failures.append("sessionize.one_shuffle")
+
     if failures:
         print(f"\nplan violations: {failures}")
         sys.exit(1)
