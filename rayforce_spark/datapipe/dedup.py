@@ -181,7 +181,9 @@ def minhash_lsh_pairs(
     cand = (
         buckets.select(F.explode(pair_gen).alias("p"))
         .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        # NB no dropDuplicates here: the verify stage's groupBy(id_a, id_b)
+        # collapses band-duplicate candidates anyway — deduping first would
+        # add a whole exchange to save a sub-2x row inflation
     )
     # verify candidates only: exact Jaccard over shingle-HASH sets (same
     # value as over the strings — Jaccard sees only set membership, and
