@@ -989,7 +989,8 @@ ORACLE: dict[str, str] = {
         SELECT c_custkey,
                row_number() OVER (PARTITION BY c_mktsegment
                                   ORDER BY c_acctbal, c_custkey) - 1 AS rank,
-               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) - 1 AS bucket
+               (row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1) * 4
+                   // count(*) OVER () AS bucket
         FROM customer
     """,
     "top_k_per_group": """

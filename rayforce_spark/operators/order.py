@@ -52,10 +52,19 @@ def rank(df: DataFrame, cols, *, by: Sequence[str] = (),
 
 def xrank(df: DataFrame, n: int, cols, *, by: Sequence[str] = (),
           out: str = "bucket") -> DataFrame:
-    """n-quantile bucket per element, 0-based (ref core/order.c:598) =
-    ntile(n)-1 over the value order."""
+    """n-quantile bucket per element, 0-based: bucket = rank*n div len
+    (ref core/order.c:589-596 xrank_worker). NOT ntile(n)-1 — ntile
+    front-loads the larger groups (sizes 3,3,2,2 for len=10 n=4), the
+    reference's formula interleaves them (3,2,3,2); they only agree when
+    n divides len."""
     w = Window.partitionBy(*by).orderBy(*[_c(c) for c in _cols(cols)])
-    return df.withColumn(out, F.ntile(n).over(w) - 1)
+    cnt = Window.partitionBy(*by)
+    rank0 = F.row_number().over(w) - 1
+    return df.withColumn(
+        out,
+        ((rank0 * n) - F.pmod(rank0 * n, F.count(F.lit(1)).over(cnt)))
+        / F.count(F.lit(1)).over(cnt),
+    ).withColumn(out, F.col(out).cast("long"))
 
 
 def bin_(boundaries: Sequence, x: ColumnOrName) -> Column:

@@ -79,12 +79,24 @@ def test_rank_xrank(tables, duck):
     out2 = xrank(
         tables["customer"], 4, ["c_acctbal", "c_custkey"]
     ).select("c_custkey", "bucket")
+    # reference xrank: bucket = rank*n div len (ref core/order.c:589-596),
+    # NOT ntile — group sizes interleave instead of front-loading
     assert_matches_duckdb(
         out2, duck,
         """SELECT c_custkey,
-                  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) - 1 AS bucket
+                  (row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1) * 4
+                      // count(*) OVER () AS bucket
            FROM customer""",
     )
+
+
+def test_xrank_interleaves_bucket_sizes(spark):
+    # len=10, n=4: reference formula gives sizes 3,2,3,2 (ntile gives
+    # 3,3,2,2) — pin the divergence explicitly
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    out = xrank(df, 4, ["v"]).groupBy("bucket").count().collect()
+    sizes = {r["bucket"]: r["count"] for r in out}
+    assert sizes == {0: 3, 1: 2, 2: 3, 3: 2}
 
 
 def test_top_k_per_group(tables, duck):
