@@ -871,11 +871,11 @@ ORACLE: dict[str, str] = {
         SELECT l_orderkey AS k, l_linenumber AS ln,
                CAST(floor((l_orderkey - 3000) / 7.0) AS BIGINT) AS d7,
                CAST((l_orderkey - 3000) - 7 * floor((l_orderkey - 3000) / 7.0) AS BIGINT) AS m7,
-               CAST(-floor((l_orderkey - 3000) / 7.0) AS BIGINT) AS dn7,
-               CAST((l_orderkey - 3000) - 7 * floor((l_orderkey - 3000) / 7.0) AS BIGINT) AS mn7,
+               CAST(floor((l_orderkey - 3000) / -7.0) AS BIGINT) AS dn7,
+               CAST((l_orderkey - 3000) + 7 * floor((l_orderkey - 3000) / -7.0) AS BIGINT) AS mn7,
                CASE WHEN l_linenumber - 1 = 0 THEN NULL
-                    ELSE CAST(floor((l_orderkey - 3000) / abs(l_linenumber - 1))
-                              * sign(l_linenumber - 1) AS BIGINT) END AS dz,
+                    ELSE CAST(floor((l_orderkey - 3000)
+                              / (l_linenumber - 1.0)) AS BIGINT) END AS dz,
                l_extendedprice / l_quantity AS fd
         FROM lineitem
     """,

@@ -36,24 +36,30 @@ def _col(c) -> Column:
 # -- arithmetic -------------------------------------------------------------
 
 def ediv(x: ColumnOrName, y: ColumnOrName) -> Column:
-    """Euclidean integer division, div-by-zero -> null.
+    """Floor integer division, div-by-zero -> null.
 
-    ref core/ops.h:165-177 (``/`` = ray_div, core/env.c:195). Euclidean:
-    the remainder is always non-negative, i.e. q = sign(y)*floor(x/|y|).
+    ref core/ops.h:165 EUCL_DIV — despite the name, the reference's
+    formula (C truncating division minus 1 when signs differ and the
+    division is inexact) is exactly FLOOR division: ediv(7,-2) = -4,
+    ediv(-7,-2) = 3. The remainder (emod) takes the divisor's sign, so
+    this is floor/modulo semantics, not the always-non-negative-remainder
+    Euclidean pair.
     """
     x, y = _col(x), _col(y)
-    q = (F.floor(x / F.abs(y)) * F.signum(y)).cast("long")
+    q = F.floor(x / y).cast("long")
     return F.when(y == 0, F.lit(None).cast("long")).otherwise(q)
 
 
 def emod(x: ColumnOrName, y: ColumnOrName) -> Column:
-    """Euclidean modulo (result in [0, |y|)), mod-by-zero -> null.
+    """Floor modulo (result has the divisor's sign), mod-by-zero -> null.
 
-    ref core/ops.h:165-177 (``%`` = ray_mod, core/env.c:194).
+    ref core/ops.h:166 EUCL_MOD = x - EUCL_DIV(x,y)*y, which is floor-mod.
+    (NB not Spark's pmod — that returns a non-negative result even for
+    negative divisors, where floor-mod is negative.)
     """
     x, y = _col(x), _col(y)
-    r = x - y * (F.floor(x / F.abs(y)) * F.signum(y)).cast("long")
-    return F.when(y == 0, F.lit(None).cast("long")).otherwise(r.cast("long"))
+    r = (x - y * F.floor(x / y)).cast("long")
+    return F.when(y == 0, F.lit(None).cast("long")).otherwise(r)
 
 
 def fdiv(x: ColumnOrName, y: ColumnOrName) -> Column:

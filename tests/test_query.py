@@ -221,3 +221,31 @@ def test_median_split_with_null_keys(spark):
     }
     assert out[None]["s"] == 4.0 and out[None]["m"] == 2.0 and out[None]["n"] == 2
     assert out["a"]["s"] == 15.0 and out["a"]["m"] == 4.0 and out["a"]["n"] == 3
+
+
+def test_ediv_emod_reference_parity(spark):
+    # ref core/ops.h:165-166: EUCL_DIV is floor division (C trunc-div
+    # minus 1 when signs differ and inexact); EUCL_MOD = x - q*y takes the
+    # divisor's sign. Exhaustive over sign combinations and zero.
+    import math
+
+    from rayforce_spark.functions.kdb import ediv, emod
+
+    def ref_div(x, y):
+        if y == 0:
+            return None
+        q = math.trunc(x / y)
+        tm = x - q * y
+        return q - (1 if ((x < 0) != (y < 0) and tm != 0) else 0)
+
+    cases = [(x, y) for x in (10, -10, 7, -7, 0, 1)
+             for y in (7, -7, 2, -2, 1, -1, 0)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    rows = df.select(
+        "x", "y", ediv("x", "y").alias("d"), emod("x", "y").alias("m")
+    ).collect()
+    for r in rows:
+        want_d = ref_div(r.x, r.y)
+        want_m = None if want_d is None else r.x - want_d * r.y
+        assert r.d == want_d, (r.x, r.y, r.d, want_d)
+        assert r.m == want_m, (r.x, r.y, r.m, want_m)
