@@ -37,14 +37,18 @@ class AggExpr:
     operators.query.update).
     """
 
-    __slots__ = ("col", "fn", "arg", "arg_name")
+    __slots__ = ("col", "fn", "arg", "arg_name", "wrap")
 
     def __init__(self, col: Column, fn=None, arg: Column | None = None,
-                 arg_name: str | None = None):
+                 arg_name: str | None = None, wrap=None):
         self.col = col
         self.fn = fn
         self.arg = arg
         self.arg_name = arg_name
+        # post-aggregation transform (e.g. sum's coalesce-to-0 identity);
+        # in window form it must apply OUTSIDE the OVER clause, so the
+        # window path threads through `windowed`, not `col`
+        self.wrap = wrap
 
     def masked(self, cond: Column) -> Column:
         """agg(x) -> agg(CASE WHEN cond THEN x END): aggregate only rows
@@ -54,7 +58,25 @@ class AggExpr:
             raise ValueError(
                 "cannot mask a composite aggregate; build it from A.* verbs"
             )
-        return self.fn(F.when(cond, self.arg))
+        out = self.fn(F.when(cond, self.arg))
+        return self.wrap(out) if self.wrap else out
+
+    def windowed(self, window, where: Column | None = None) -> Column:
+        """The grouped-update form: aggregate over a window partition,
+        optionally over passing rows only, with any post-transform applied
+        outside the OVER clause."""
+        if self.fn is not None and self.arg is not None:
+            inner = (
+                self.fn(F.when(where, self.arg)) if where is not None
+                else self.fn(self.arg)
+            )
+            out = inner.over(window)
+            return self.wrap(out) if self.wrap else out
+        if where is not None:
+            raise ValueError(
+                "cannot mask a composite aggregate; build it from A.* verbs"
+            )
+        return self.col.over(window)
 
     def alias(self, name: str) -> Column:
         return self.col.alias(name)
@@ -94,8 +116,17 @@ def _make(fn, c: ColumnOrName) -> AggExpr:
 # -- reference aggregate inventory (SURVEY §2.4) ----------------------------
 
 def sum_(c: ColumnOrName) -> AggExpr:
-    """ref core/math.c:2388 (flat), core/aggr.c:1107 (grouped)."""
-    return _make(F.sum, c)
+    """ref core/math.c:2388 (flat), core/aggr.c:1107 (grouped).
+
+    kdb sum has identity 0 — ``(sum [])`` is 0, and an all-null input
+    sums to 0 (FOLD_ADD starts at 0 and skips nulls,
+    ref tests/lang.c:4070) — where SQL SUM returns NULL; coalesce
+    restores the reference semantics (type coercion picks the summed
+    type)."""
+    col = _col(c)
+    wrap = lambda agg: F.coalesce(agg, F.lit(0))  # noqa: E731
+    return AggExpr(wrap(F.sum(col)), F.sum, col,
+                   c if isinstance(c, str) else None, wrap=wrap)
 
 
 def avg(c: ColumnOrName) -> AggExpr:

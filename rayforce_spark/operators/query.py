@@ -210,8 +210,7 @@ def update(
         if isinstance(e, AggExpr):
             if w is None:
                 raise ValueError(f"aggregate update for '{name}' requires `by`")
-            expr = e.col if where is None else e.masked(where)
-            expr = expr.over(w)
+            expr = e.windowed(w, where)
         else:
             expr = _as_col(e)
         if where is not None:

@@ -249,3 +249,20 @@ def test_ediv_emod_reference_parity(spark):
         want_m = None if want_d is None else r.x - want_d * r.y
         assert r.d == want_d, (r.x, r.y, r.d, want_d)
         assert r.m == want_m, (r.x, r.y, r.m, want_m)
+
+
+def test_sum_identity_on_empty_and_all_null(spark):
+    # (sum []) = 0 and all-null input sums to 0 (ref tests/lang.c:4070,
+    # FOLD_ADD starts at 0); min/max/med of empty stay null
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 1.5)], "k string, v double"
+    )
+    rows = {r["k"]: r for r in select(
+        df, {"s": A.sum_("v"), "mn": A.min_("v")}, by="k"
+    ).collect()}
+    assert rows["a"]["s"] == 0.0 and rows["a"]["mn"] is None
+    assert rows["b"]["s"] == 1.5
+    empty = select(
+        df.filter(F.col("k") == "zzz"), {"s": A.sum_("v"), "n": A.count()}
+    ).collect()[0]
+    assert empty["s"] == 0 and empty["n"] == 0

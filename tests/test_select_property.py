@@ -55,7 +55,7 @@ def test_grouped_aggs_match_duckdb(spark):
         want = {
             r[0]: tuple(r[1:])
             for r in con.execute(
-                """SELECT k, sum(v), avg(v), min(v), max(v), median(v),
+                """SELECT k, coalesce(sum(v), 0), avg(v), min(v), max(v), median(v),
                           count(*), count(v)
                    FROM t GROUP BY k"""
             ).fetchall()
