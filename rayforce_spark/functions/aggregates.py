@@ -158,13 +158,18 @@ def count_distinct(c: ColumnOrName) -> AggExpr:
 
 
 def first(c: ColumnOrName) -> AggExpr:
-    """ref core/items.c:1031, grouped fast path core/query.c:58-79."""
-    return _make(lambda x: F.first(x, ignorenulls=True), c)
+    """ref core/items.c:1031 (= at_idx 0, grouped fast path
+    core/query.c:58-79): the literal first element — a null first element
+    returns null, so NO ignorenulls. NB Spark only defines "first" up to
+    encounter order; pair with a sorted input (or xasc) when the table
+    order matters across partitions."""
+    return _make(lambda x: F.first(x, ignorenulls=False), c)
 
 
 def last(c: ColumnOrName) -> AggExpr:
-    """ref core/items.c:1073, core/aggr.c:897."""
-    return _make(lambda x: F.last(x, ignorenulls=True), c)
+    """ref core/items.c:1073, core/aggr.c:897 — literal last element,
+    nulls included (see first for the ordering caveat)."""
+    return _make(lambda x: F.last(x, ignorenulls=False), c)
 
 
 def med(c: ColumnOrName) -> AggExpr:

@@ -29,11 +29,25 @@ def _keys(on) -> list[str]:
 def in_(x: ColumnOrName, values) -> Column:
     """Per-element membership (ref core/items.c:736, typed hash
     core/index.h:73-89). ``values``: Python sequence -> isin (broadcast
-    literal); Column (array) -> array_contains."""
+    literal); Column (array) -> array_contains.
+
+    kdb nulls are sentinel VALUES, so ``(in 0N [0N 1])`` is true — where
+    SQL's IN yields NULL for a null probe. The result here is total
+    boolean: a null probe matches iff the value set contains null, and a
+    miss against a null-containing set is false, not null."""
     x = _col(x)
     if isinstance(values, Column):
-        return F.array_contains(values, x)
-    return x.isin(list(values))
+        has_null = F.exists(values, lambda v: v.isNull())
+        return F.when(x.isNull(), has_null).otherwise(
+            F.coalesce(F.array_contains(values, x), F.lit(False))
+        )
+    vals = list(values)
+    has_null = any(v is None for v in vals)
+    non_null = [v for v in vals if v is not None]
+    base = x.isin(non_null) if non_null else F.lit(False)
+    return F.when(x.isNull(), F.lit(has_null)).otherwise(
+        F.coalesce(base, F.lit(False))
+    )
 
 
 def within(x: ColumnOrName, lo, hi) -> Column:

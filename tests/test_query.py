@@ -266,3 +266,17 @@ def test_sum_identity_on_empty_and_all_null(spark):
         df.filter(F.col("k") == "zzz"), {"s": A.sum_("v"), "n": A.count()}
     ).collect()[0]
     assert empty["s"] == 0 and empty["n"] == 0
+
+
+def test_first_last_keep_nulls(spark):
+    # reference first = at_idx(x, 0): a null first element is returned,
+    # not skipped (ref core/items.c:1031)
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5.0), ("b", 1, 7.0)],
+        "k string, ord long, v double",
+    ).repartition(1).sortWithinPartitions("k", "ord")
+    rows = {r["k"]: r for r in select(
+        df, {"f": A.first("v"), "l": A.last("v")}, by="k"
+    ).collect()}
+    assert rows["a"]["f"] is None and rows["a"]["l"] == 5.0
+    assert rows["b"]["f"] == 7.0

@@ -140,3 +140,20 @@ def test_like_glob(tables, duck):
         out3, duck,
         "SELECT p_partkey, p_brand FROM part WHERE regexp_matches(p_brand, '^Brand#1.$')",
     )
+
+
+def test_in_null_sentinel_semantics(spark):
+    # kdb nulls are sentinel values: (in 0N [0N 1]) is true; and a miss
+    # against a null-containing set is false, never SQL NULL
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "v long"
+    ).withColumn("arr", F.array(F.lit(1), F.lit(None).cast("long")))
+    rows = df.select(
+        "v",
+        in_("v", [1, None]).alias("lit_in"),
+        in_("v", F.col("arr")).alias("arr_in"),
+    ).collect()
+    got = {r["v"]: (r["lit_in"], r["arr_in"]) for r in rows}
+    assert got[1] == (True, True)
+    assert got[2] == (False, False)     # miss vs null-set: false, not NULL
+    assert got[None] == (True, True)    # null probe matches null member
