@@ -969,13 +969,13 @@ ORACLE: dict[str, str] = {
         FROM customer
     """,
     "except_sect_union": """
-        SELECT k, 'except' AS op FROM
-          (SELECT c_nationkey AS k FROM customer
-           EXCEPT SELECT s_nationkey FROM supplier)
+        -- except/sect are duplicate-preserving FILTERS in the reference
+        -- (ref core/items.c:898,916), not SQL set ops
+        SELECT c_nationkey AS k, 'except' AS op FROM customer
+        WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)
         UNION ALL
-        SELECT k, 'sect' AS op FROM
-          (SELECT c_nationkey AS k FROM customer
-           INTERSECT SELECT s_nationkey FROM supplier)
+        SELECT c_nationkey AS k, 'sect' AS op FROM customer
+        WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
         UNION ALL
         SELECT k, 'union' AS op FROM
           (SELECT c_nationkey AS k FROM customer

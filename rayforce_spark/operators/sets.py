@@ -68,14 +68,29 @@ def anti(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, _keys(on), "left_anti")
 
 
+def _row_eq(left: DataFrame, right: DataFrame) -> Column:
+    cond = None
+    for c in left.columns:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def except_(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Left minus right on full rows, distinct (ref core/items.c:916)."""
-    return left.subtract(right)
+    """Left rows whose value does NOT appear in right
+    (ref core/items.c:916: filter(x, not(in(x,y))) — a FILTER, so left
+    duplicates survive: (except [1 1 2 2 3] [1 3]) = [2 2],
+    ref tests/lang.c:3964 — unlike SQL EXCEPT which dedups). Null-safe:
+    kdb nulls are sentinel values, so a null left row is excluded when
+    right contains null."""
+    return left.join(right, _row_eq(left, right), "left_anti")
 
 
 def sect(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Intersection (ref core/items.c:898)."""
-    return left.intersect(right)
+    """Left rows whose value appears in right (ref core/items.c:898:
+    filter(x, in(x,y)) — left duplicates survive, unlike SQL INTERSECT).
+    Null-safe like except_."""
+    return left.join(right, _row_eq(left, right), "left_semi")
 
 
 def union(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -25,13 +25,15 @@ def test_semi_anti(tables, duck):
 def test_except_sect_union(tables, duck):
     a = tables["customer"].select(F.col("c_nationkey").alias("k"))
     b = tables["supplier"].select(F.col("s_nationkey").alias("k"))
+    # duplicate-preserving filter semantics (ref tests/lang.c:3964:
+    # (except [1 1 2 2 3] [1 3]) = [2 2]) — NOT SQL EXCEPT/INTERSECT
     assert_matches_duckdb(
         except_(a, b), duck,
-        "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+        "SELECT c_nationkey AS k FROM customer WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)",
     )
     assert_matches_duckdb(
         sect(a, b), duck,
-        "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+        "SELECT c_nationkey AS k FROM customer WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)",
     )
     assert_matches_duckdb(
         union(a, b), duck,
@@ -157,3 +159,12 @@ def test_in_null_sentinel_semantics(spark):
     assert got[1] == (True, True)
     assert got[2] == (False, False)     # miss vs null-set: false, not NULL
     assert got[None] == (True, True)    # null probe matches null member
+
+
+def test_except_sect_keep_duplicates(spark):
+    # (except [1 1 2 2 3] [1 3]) = [2 2] (ref tests/lang.c:3964);
+    # sect likewise filters, keeping left duplicates
+    a = spark.createDataFrame([(1,), (1,), (2,), (2,), (3,)], "v long")
+    b = spark.createDataFrame([(1,), (3,)], "v long")
+    assert sorted(r.v for r in except_(a, b).collect()) == [2, 2]
+    assert sorted(r.v for r in sect(a, b).collect()) == [1, 1, 3]
