@@ -87,7 +87,9 @@ def xbar(n, x: ColumnOrName) -> Column:
     """
     x = _col(x)
     n_c = _col(n)
-    return (F.floor(x / n_c) * n_c)
+    # try_divide: zero bucket width -> null (the reference's XBAR macros
+    # null out y == 0, ref core/ops.h:193-197; plain / throws under ANSI)
+    return (F.floor(F.try_divide(x, n_c)) * n_c)
 
 
 def xbar_time(seconds: int, ts: ColumnOrName) -> Column:
