@@ -146,7 +146,25 @@ def split(x: ColumnOrName, sep: str) -> Column:
 
 
 def format_(fmt: str, *args: ColumnOrName) -> Column:
-    """%-placeholder formatting (ref core/vary.c:113, core/format.c:1439)."""
+    """Reference-style formatting: each bare ``%`` is a placeholder
+    replaced by the argument's printed form (ref core/vary.c:113, docs
+    format.md — ``(format "Total: %" 15025.0)``). Arguments are cast to
+    string with Spark's cast, which may differ from the reference's float
+    printer in trailing digits. printf-style codes (%s/%d/…) also work:
+    a fmt containing a letter-suffixed % is passed through verbatim."""
+    parts = fmt.split("%")
+    bare = len(parts) > 1 and all(
+        not p or not p[0].isalpha() for p in parts[1:]
+    )
+    if bare:
+        if len(parts) - 1 != len(args):
+            raise ValueError(
+                f"format has {len(parts) - 1} placeholders, {len(args)} args"
+            )
+        java_fmt = "%s".join(parts)
+        return F.format_string(
+            java_fmt, *[_col(a).cast("string") for a in args]
+        )
     return F.format_string(fmt, *[_col(a) for a in args])
 
 

@@ -280,3 +280,17 @@ def test_first_last_keep_nulls(spark):
     ).collect()}
     assert rows["a"]["f"] is None and rows["a"]["l"] == 5.0
     assert rows["b"]["f"] == 7.0
+
+
+def test_format_bare_placeholders(spark):
+    # reference format: bare % placeholders replaced by the argument's
+    # printed form (docs format.md); printf codes still pass through
+    from rayforce_spark.functions.kdb import format_
+
+    df = spark.createDataFrame([(150.25, "AAPL")], "px double, sym string")
+    r = df.select(
+        format_("Price: % Symbol: %", "px", "sym").alias("a"),
+        format_("%s/%s", "sym", "sym").alias("b"),
+    ).collect()[0]
+    assert r["a"] == "Price: 150.25 Symbol: AAPL"
+    assert r["b"] == "AAPL/AAPL"
