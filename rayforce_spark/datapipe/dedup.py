@@ -223,14 +223,23 @@ def jaccard_dup_pairs(
     *,
     shingle_k: int = 1,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard duplicate pairs via an inverted-index join —
     no LSH approximation, no O(n²) cross join.
 
     explode distinct shingles -> self-join on shingle (co-occurrence
     count = |A∩B|) -> |A∪B| = |A|+|B|-|A∩B|. Shuffles on shingle then on
-    pair id; hot shingles (stopwords) are the skew risk at scale — pair it
-    with a document-frequency cutoff upstream when corpora are large.
+    pair id.
+
+    Hot shingles (stopwords) are THE skew risk at scale: a shingle in d
+    docs contributes d² candidate pairs, so corpus-frequent shingles blow
+    the bucket join up quadratically. ``max_doc_freq`` drops shingles
+    whose document frequency exceeds the cutoff (one extra grouped pass
+    over the exploded table); Jaccard is then computed over the REDUCED
+    shingle sets — the standard stopword-filtered-similarity semantics,
+    so sizes are recomputed after the cutoff to keep numerator and
+    denominator consistent.
     """
     # explode shingle HASHES, not strings: Jaccard only needs set
     # membership, and the inverted-index shuffle moves 8-byte longs
@@ -239,6 +248,16 @@ def jaccard_dup_pairs(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
         "__t", shingle_k, "__sh",
     ).select("__id", F.explode("__sh").alias("tok"))
+    if max_doc_freq is not None:
+        hot = (
+            toks.groupBy("tok").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("tok")
+        )
+        # anti join against the (small) hot-shingle set; Catalyst/AQE
+        # broadcasts it when it fits, which it does by construction at any
+        # sane cutoff
+        toks = toks.join(hot, "tok", "left_anti")
     sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
     co = (
         toks.alias("a")
@@ -288,12 +307,27 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63) -> Dat
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                      *, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                      *, max_hamming: int = 3, bands: int | None = None) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming, found by the
     pigeonhole trick: split the fingerprint into ``bands`` chunks — any
     pair within distance < bands shares at least one exact chunk, so a
     chunk-equality self-join finds all candidates; verify with popcount.
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming).
+
+    Recall is exact ONLY when bands > max_hamming (pigeonhole needs more
+    chunks than differing bits); bands defaults to max_hamming + 1 and an
+    explicit smaller value raises rather than silently dropping pairs.
+    More bands than the minimum trades candidate volume for nothing —
+    keep the default unless distance-skew profiling says otherwise."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}): "
+            "a pair can differ in every chunk otherwise (recall loss)"
+        )
+    if bands > 63:
+        raise ValueError(f"bands ({bands}) must be <= 63 (63-bit fingerprint)")
     fp = simhash(df, text_col, id_col).withColumnRenamed(id_col, "__id")
     chunk = 64 // bands
     banded = fp.select(

@@ -123,13 +123,23 @@ def ivf_train(
 
     Only the nlist x dim centroid table ever reaches the driver (a few KB
     regardless of corpus size); assignment and the per-cluster mean are
-    distributed aggregations. Training runs on a deterministic hash-ordered
-    sample of ``max_train_rows`` — init takes the nlist hash-smallest rows,
-    so the whole procedure is reproducible with no RNG state to ship.
+    distributed aggregations. The training sample is deterministic WITHOUT
+    a global sort (an orderBy(hash).limit would totally sort the corpus —
+    a scale-killer at 100 TB): a metadata-cheap count sizes a hash
+    threshold that keeps ~1.2x the target rows in one scan-stage filter,
+    and only that small surviving set is hash-sorted to pin the exact
+    sample. Init takes the nlist hash-smallest rows, so the whole
+    procedure is reproducible with no RNG state to ship.
     """
+    v = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    n = v.count()
+    bucket_mod = 1 << 20
+    h = F.pmod(F.xxhash64(F.col("__id")), F.lit(bucket_mod))
+    if n > max_train_rows:
+        keep = min(bucket_mod, int(bucket_mod * 1.2 * max_train_rows / n) + 1)
+        v = v.filter(h < keep)
     sample = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy(F.xxhash64(F.col("__id")))
+        v.orderBy(F.xxhash64(F.col("__id")))  # sorts only the ~1.2x sample
         .limit(max_train_rows)
         .cache()
     )

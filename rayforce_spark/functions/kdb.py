@@ -35,6 +35,17 @@ def _col(c) -> Column:
 
 # -- arithmetic -------------------------------------------------------------
 
+_DEC = "decimal(38,0)"
+
+
+def _floor_mod_exact(xd: Column, yd: Column) -> Column:
+    """Floor-mod of two decimal(38,0) columns, exactly. Spark's ``%`` on
+    decimals is the C remainder (dividend's sign); shifting it by the
+    divisor re-signs it to floor-mod. All decimal arithmetic — no double
+    rounding, no i64 overflow (|x%y| + |y| can exceed 2^63)."""
+    return (xd % yd + yd) % yd
+
+
 def ediv(x: ColumnOrName, y: ColumnOrName) -> Column:
     """Floor integer division, div-by-zero -> null.
 
@@ -44,9 +55,18 @@ def ediv(x: ColumnOrName, y: ColumnOrName) -> Column:
     ediv(-7,-2) = 3. The remainder (emod) takes the divisor's sign, so
     this is floor/modulo semantics, not the always-non-negative-remainder
     Euclidean pair.
+
+    EUCL_DIV is pure i64 arithmetic in the reference; routing through
+    double division would lose exactness above 2^53 (epoch-ns longs are
+    ~1.7e18), so the quotient is computed in decimal space: subtract the
+    exact floor-mod, then divide the now-exactly-divisible value.
+    Fractional inputs are floored first (use :func:`ediv_f` for the
+    reference's f64 verb, DIVF64 = floor(x/y) as f64).
     """
     x, y = _col(x), _col(y)
-    q = F.floor(x / y).cast("long")
+    xd = F.floor(x).cast(_DEC)
+    yd = F.floor(y).cast(_DEC)
+    q = ((xd - _floor_mod_exact(xd, yd)) / yd).cast("long")
     return F.when(y == 0, F.lit(None).cast("long")).otherwise(q)
 
 
@@ -55,11 +75,32 @@ def emod(x: ColumnOrName, y: ColumnOrName) -> Column:
 
     ref core/ops.h:166 EUCL_MOD = x - EUCL_DIV(x,y)*y, which is floor-mod.
     (NB not Spark's pmod — that returns a non-negative result even for
-    negative divisors, where floor-mod is negative.)
-    """
+    negative divisors, where floor-mod is negative.) Exact decimal
+    arithmetic, like :func:`ediv`; fractional inputs are floored first
+    (:func:`emod_f` is the f64 verb, MODF64)."""
     x, y = _col(x), _col(y)
-    r = (x - y * F.floor(x / y)).cast("long")
+    xd = F.floor(x).cast(_DEC)
+    yd = F.floor(y).cast(_DEC)
+    r = _floor_mod_exact(xd, yd).cast("long")
     return F.when(y == 0, F.lit(None).cast("long")).otherwise(r)
+
+
+def ediv_f(x: ColumnOrName, y: ColumnOrName) -> Column:
+    """f64 floor division (ref core/ops.h DIVF64 = FEUCL_DIV =
+    floor(x/y) as f64, /0 -> null). The engine is statically typed per
+    column where the reference dispatches on runtime type, so the f64
+    form is a separate verb."""
+    x, y = _col(x).cast("double"), _col(y).cast("double")
+    q = F.floor(x / F.when(y != 0, y)).cast("double")
+    return F.when(y == 0, F.lit(None).cast("double")).otherwise(q)
+
+
+def emod_f(x: ColumnOrName, y: ColumnOrName) -> Column:
+    """f64 floor modulo (ref core/ops.h MODF64 = FEUCL_MOD =
+    x - floor(x/y)*y, keeps the fractional part: emod_f(7.5, 2) = 1.5)."""
+    x, y = _col(x).cast("double"), _col(y).cast("double")
+    r = x - F.floor(x / F.when(y != 0, y)).cast("double") * y
+    return F.when(y == 0, F.lit(None).cast("double")).otherwise(r)
 
 
 def fdiv(x: ColumnOrName, y: ColumnOrName) -> Column:
@@ -83,13 +124,25 @@ def xbar(n, x: ColumnOrName) -> Column:
     core/ops.h:193-197). The reference's time-bucketing idiom
     ``(xbar 300000 time)`` = 5-minute bars.
 
-    Numeric columns only; see :func:`xbar_time` for timestamps.
+    This is the f64 form (XBARF64 = floor(x/y)*y); exact below 2^53.
+    For i64 columns that exceed double precision (epoch-ns longs), use
+    :func:`xbar_i` (XBARI64 is pure integer arithmetic in the
+    reference); see :func:`xbar_time` for timestamps.
     """
     x = _col(x)
     n_c = _col(n)
     # try_divide: zero bucket width -> null (the reference's XBAR macros
     # null out y == 0, ref core/ops.h:193-197; plain / throws under ANSI)
     return (F.floor(F.try_divide(x, n_c)) * n_c)
+
+
+def xbar_i(n, x: ColumnOrName) -> Column:
+    """Integer-exact xbar: ediv(x, n) * n in decimal space
+    (ref core/ops.h XBARI64 — ((x<0) ? x+1-n : x)/n*n in C truncating
+    division == floor(x/n)*n). Use for i64 columns above 2^53, e.g.
+    bucketing raw epoch-ns longs."""
+    x_c, n_c = _col(x), _col(n)
+    return (ediv(x_c, n_c) * n_c.cast("long")).cast("long")
 
 
 def xbar_time(seconds: int, ts: ColumnOrName) -> Column:

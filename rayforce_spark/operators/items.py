@@ -23,6 +23,57 @@ def with_row_id(df: DataFrame, out: str = "row_id") -> DataFrame:
     return df.withColumn(out, F.row_number().over(w) - 1)
 
 
+def with_pos_id(df: DataFrame, out: str = "__rf_pos") -> DataFrame:
+    """0-based table-order position WITHOUT a global sort — the scale form
+    of :func:`with_row_id`.
+
+    monotonically_increasing_id encodes (partition_id << 33) + row_pos;
+    a first lightweight job collects per-partition row counts (one row
+    per partition), the driver turns them into cumulative offsets, and a
+    broadcast join adds offset[pid] + row_pos. Two scans, no shuffle of
+    the data, no single-partition window. Position is read order — the
+    same caveat as every positional verb; sort first for a defined order.
+    """
+    tmp = df.withColumn("__rf_mid", F.monotonically_increasing_id())
+    counts = (
+        tmp.groupBy(F.shiftright("__rf_mid", 33).alias("__rf_pid"))
+        .agg(F.count(F.lit(1)).alias("__rf_cnt"))
+        .collect()
+    )
+    acc, offsets = 0, []
+    for pid, cnt in sorted((r["__rf_pid"], r["__rf_cnt"]) for r in counts):
+        offsets.append((pid, acc))
+        acc += cnt
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__rf_pid long, __rf_off long"
+    )
+    return (
+        tmp.withColumn("__rf_pid", F.shiftright("__rf_mid", 33))
+        .join(F.broadcast(off), "__rf_pid")
+        .withColumn(
+            out,
+            F.col("__rf_off")
+            + F.col("__rf_mid").bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .drop("__rf_mid", "__rf_pid", "__rf_off")
+    )
+
+
+def hconcat(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Horizontal (column-wise) table concat: paste ``right``'s columns
+    onto ``left`` by row position (ref core/compose.c:465 — the reference
+    concat handles both axes; vertical is joins.insert).
+
+    Rows pair by table order via :func:`with_pos_id` (no global sort);
+    the positional join shuffles both sides on the unique position id.
+    Unequal lengths truncate to the shorter side (inner join on
+    position). Order-dependent by nature — sort the inputs first for a
+    defined pairing."""
+    l = with_pos_id(left, "__rf_pos")
+    r = with_pos_id(right, "__rf_pos")
+    return l.join(r, "__rf_pos").drop("__rf_pos")
+
+
 def at(df: DataFrame, ids: Sequence[int]) -> DataFrame:
     """(at t ids) gather rows by position (ref core/items.c:74)."""
     return with_row_id(df).filter(F.col("row_id").isin(list(ids))).drop("row_id")

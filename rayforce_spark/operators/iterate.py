@@ -73,6 +73,63 @@ def scan_col(
     return agg.over(w)
 
 
+def fold_right_array(
+    op: Callable[[Column, Column], Column],
+    init,
+    c: ColumnOrName,
+    finish: Callable[[Column], Column] | None = None,
+) -> Column:
+    """(fold-right f init xs) over an array column
+    (ref core/iter.c:1133): f(x1, f(x2, … f(xn, init))). Expressed as a
+    left fold over the reversed array with flipped arguments — one
+    F.aggregate, JVM-side."""
+    init_c = init if isinstance(init, Column) else F.lit(init)
+    return F.aggregate(
+        F.reverse(_c(c)), init_c, lambda acc, x: op(x, acc),
+        finish or (lambda x: x),
+    )
+
+
+def scan_right_array(
+    op: Callable[[Column, Column], Column], init, c: ColumnOrName
+) -> Column:
+    """(scan-right f init xs) over an array column (ref core/iter.c:1579):
+    out[i] = fold-right over the suffix xs[i:] — the running fold from the
+    right, one element per input element. O(n²) per array like scan_array;
+    for long sequences explode + scan_col on a reversed order instead."""
+    arr = _c(c)
+    init_c = init if isinstance(init, Column) else F.lit(init)
+    idx = F.sequence(F.lit(1), F.size(arr))
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.reverse(F.slice(arr, i, F.size(arr) - i + 1)),
+            init_c,
+            lambda acc, x: op(x, acc),
+        ),
+    )
+
+
+def map_left(
+    op: Callable[[Column, Column], Column], xs: ColumnOrName, y
+) -> Column:
+    """(map-left f xs y) — kdb's eachleft f\\:, ref core/iter.c:665: apply
+    ``f(x, y)`` for each x in the array ``xs`` with ``y`` fixed (the
+    reference's window-join interval idiom
+    ``(map-left + [-10000 10000] ts)``)."""
+    y_c = y if isinstance(y, Column) else F.lit(y)
+    return F.transform(_c(xs), lambda x: op(x, y_c))
+
+
+def map_right(
+    op: Callable[[Column, Column], Column], x, ys: ColumnOrName
+) -> Column:
+    """(map-right f x ys) — kdb's eachright f/:, ref core/iter.c:752:
+    ``f(x, y)`` for each y in ``ys`` with ``x`` fixed."""
+    x_c = x if isinstance(x, Column) else F.lit(x)
+    return F.transform(_c(ys), lambda y: op(x_c, y))
+
+
 def scan_array(
     op: Callable[[Column, Column], Column], init, c: ColumnOrName
 ) -> Column:

@@ -193,9 +193,11 @@ def window_join(
             raise ValueError(
                 "window_join aggs must be A.* verbs over right column names"
             )
-        agg_cols.append(
-            a.fn(F.col(rt_names.get(a.arg_name, a.arg_name))).alias(name)
-        )
+        out_c = a.fn(F.col(rt_names.get(a.arg_name, a.arg_name)))
+        # keep the verb's post-aggregation wrap (e.g. sum's kdb 0 identity,
+        # A.sum_'s coalesce) — a left row with no right rows in range must
+        # agree with the select/update paths
+        agg_cols.append((a.wrap(out_c) if a.wrap else out_c).alias(name))
 
     left_cols = [c for c in left.columns]
     out = (

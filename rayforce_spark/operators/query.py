@@ -139,19 +139,24 @@ def _split_median(out: DataFrame, cols, keys) -> DataFrame | None:
         return None  # implicit collects keep single-agg semantics
     key_cols = [c for _, c in keys]
     key_names = [n for n, _ in keys]
+    # alias both plans and join on qualified names: both sides share the
+    # same lineage, and unqualified fast[k] == slow[k] rests on Spark's
+    # ambiguous-self-join resolution (config-dependent, warns "trivially
+    # true predicate") — explicit aliases make the resolution
+    # deterministic
     fast = out.groupBy(*key_cols).agg(
         *[e.col.alias(n) for n, e in rest.items()]
-    )
+    ).alias("__rf_fast")
     slow = out.groupBy(*key_cols).agg(
         *[e.col.alias(n) for n, e in med.items()]
-    )
+    ).alias("__rf_slow")
     cond = None
     for k in key_names:
-        c = fast[k].eqNullSafe(slow[k])
+        c = F.col(f"__rf_fast.{k}").eqNullSafe(F.col(f"__rf_slow.{k}"))
         cond = c if cond is None else cond & c
     joined = fast.join(slow, cond)
     return joined.select(
-        *[fast[k] for k in key_names],
+        *[F.col(f"__rf_fast.{k}") for k in key_names],
         *[F.col(n) for n in cols if n not in key_names],
     )
 

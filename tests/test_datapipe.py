@@ -233,3 +233,40 @@ def test_sessionize_batch(spark):
         (1, 2): (5000.0, 5000.0, 1, 7.0),
         (2, 1): (100.0, 100.0, 1, 5.0),
     }
+
+
+def test_simhash_bands_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # bands <= max_hamming can miss pairs (pigeonhole violated) -> error
+    with pytest.raises(ValueError):
+        simhash_dup_pairs(df, "text", "doc_id", max_hamming=8, bands=4)
+    # default bands = max_hamming+1 keeps exact recall at high distances
+    base = " ".join(f"w{i}" for i in range(80))
+    df2 = spark.createDataFrame(
+        [(1, base), (2, base + " x y z q"), (3, "tiny unrelated")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_dup_pairs(df2, "text", "doc_id", max_hamming=12).collect()}
+    assert (1, 2) in got
+
+
+def test_jaccard_max_doc_freq(spark):
+    # a stopword present in every doc would pair everything; the cutoff
+    # drops it and Jaccard is recomputed over the reduced shingle sets
+    rows = [
+        (1, "the alpha beta"), (2, "the alpha beta"),
+        (3, "the gamma delta"), (4, "the epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # without the cutoff 'the' makes every pair a candidate
+    all_pairs = jaccard_dup_pairs(df, "text", "doc_id", threshold=0.2)
+    assert all_pairs.count() == 6
+    cut = jaccard_dup_pairs(
+        df, "text", "doc_id", threshold=0.2, max_doc_freq=3
+    ).collect()
+    # only (1,2) share non-stopword shingles; jaccard over reduced sets = 1.0
+    assert {(r.id_a, r.id_b) for r in cut} == {(1, 2)}
+    assert cut[0].jaccard == 1.0

@@ -91,3 +91,45 @@ def test_apply_grouped(tables, duck):
                   AS demeaned
            FROM lineitem""",
     )
+
+
+def test_right_combinators(spark):
+    # fold-right/scan-right goldens (ref core/iter.c:1133,1579): with
+    # subtraction the direction is observable: fold-right - 0 [1 2 3]
+    # = 1-(2-(3-0)) = 2, vs fold-left = ((0-1)-2)-3 = -6
+    from rayforce_spark.operators.iterate import (
+        fold_right_array,
+        map_left,
+        map_right,
+        scan_right_array,
+    )
+
+    df = spark.createDataFrame([([1, 2, 3],)], "xs array<long>")
+    out = df.select(
+        fold_right_array(lambda x, acc: x - acc, F.lit(0).cast("long"), "xs").alias("fr"),
+        scan_right_array(lambda x, acc: x - acc, F.lit(0).cast("long"), "xs").alias("sr"),
+        map_left(lambda x, y: x * y, "xs", F.lit(10).cast("long")).alias("ml"),
+        map_right(lambda x, y: x - y, F.lit(10).cast("long"), "xs").alias("mr"),
+    ).collect()[0]
+    assert out.fr == 2
+    # suffix folds: [1-(2-(3-0)), 2-(3-0), 3-0]
+    assert out.sr == [2, -1, 3]
+    assert out.ml == [10, 20, 30]
+    assert out.mr == [9, 8, 7]
+
+
+def test_hconcat_and_pos_id(spark):
+    from rayforce_spark.operators.items import hconcat, with_pos_id
+
+    l = spark.createDataFrame([(i,) for i in range(100)], "a long").orderBy("a")
+    r = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "b long, c long"
+    ).orderBy("b")
+    out = hconcat(l.repartition(7, "a").sortWithinPartitions("a"), r).collect()
+    assert len(out) == 100
+    # positional ids are a permutation of 0..n-1 regardless of partitioning
+    pos = sorted(r2.p for r2 in with_pos_id(l, "p").collect())
+    assert pos == list(range(100))
+    # unequal lengths truncate to the shorter side
+    short = spark.createDataFrame([(9,), (8,)], "d long")
+    assert hconcat(l, short).count() == 2

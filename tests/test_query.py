@@ -294,3 +294,39 @@ def test_format_bare_placeholders(spark):
     ).collect()[0]
     assert r["a"] == "Price: 150.25 Symbol: AAPL"
     assert r["b"] == "AAPL/AAPL"
+
+
+def test_ediv_emod_exact_above_2_53(spark):
+    # epoch-ns longs (~1.7e18) exceed double's 2^53 integer range; the
+    # decimal-space floor-div/mod must stay exact (ref EUCL_DIV/EUCL_MOD
+    # are pure i64 arithmetic, core/ops.h:165-166)
+    from rayforce_spark.functions.kdb import ediv, emod, xbar_i
+
+    ns = 1_700_000_000_123_456_789
+    bucket = 300_000_000_000  # 5 minutes in ns
+    df = spark.createDataFrame([(ns, bucket), (-ns, bucket)], "x long, y long")
+    rows = {r.x: r for r in df.select(
+        "x", ediv("x", "y").alias("d"), emod("x", "y").alias("m"),
+        xbar_i("y", "x").alias("b"),
+    ).collect()}
+    assert rows[ns].d == ns // bucket
+    assert rows[ns].m == ns % bucket
+    assert rows[ns].b == (ns // bucket) * bucket
+    assert rows[-ns].d == (-ns) // bucket          # python // is floor-div
+    assert rows[-ns].m == (-ns) % bucket
+    assert rows[-ns].b == ((-ns) // bucket) * bucket
+
+
+def test_ediv_emod_float_forms(spark):
+    # f64 verbs (ref DIVF64/MODF64): keep the fractional remainder
+    from rayforce_spark.functions.kdb import ediv_f, emod_f
+
+    df = spark.createDataFrame(
+        [(7.5, 2.0), (-7.5, 2.0), (7.5, 0.0)], "x double, y double"
+    )
+    rows = {(r.x, r.y): r for r in df.select(
+        "x", "y", ediv_f("x", "y").alias("d"), emod_f("x", "y").alias("m")
+    ).collect()}
+    assert rows[(7.5, 2.0)].d == 3.0 and rows[(7.5, 2.0)].m == 1.5
+    assert rows[(-7.5, 2.0)].d == -4.0 and rows[(-7.5, 2.0)].m == 0.5
+    assert rows[(7.5, 0.0)].d is None and rows[(7.5, 0.0)].m is None
