@@ -69,9 +69,11 @@ def main():
 
     times: dict[str, float] = {}
     for name in bench_names:
-        if name not in qs:
+        # bench-only shapes (near-duplicate group-by variants) live as
+        # q_* functions outside the driver-capped QUERIES dict
+        fn = qs.get(name) or getattr(E, f"q_{name}", None)
+        if fn is None:
             continue
-        fn = qs[name]
         try:
             noop_write(fn(spark, SF_DIR))  # warmup (plan + cache fill)
             best = float("inf")

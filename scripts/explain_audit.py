@@ -126,6 +126,36 @@ def main():
     if n_ex != 1:
         failures.append("sessionize.one_shuffle")
 
+    # 8. no driver-gated query plans a GLOBAL window (empty partition
+    # spec = Exchange SinglePartition + full sort — a scale-killer).
+    # Walk the optimized logical plan and check Window.partitionSpec
+    # directly; plan-string parsing is ambiguous (a partitioned window
+    # with no ORDER clause prints the same bracket count as a global one).
+    import __spark_entry__ as E
+
+    def walk(node):
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+
+    global_windows = []
+    for name, fn in E.queries().items():
+        try:
+            lp = fn(spark, sf)._jdf.queryExecution().optimizedPlan()
+            if any(
+                n.getClass().getSimpleName() in ("Window", "WindowGroupLimit")
+                and n.partitionSpec().isEmpty()
+                for n in walk(lp)
+            ):
+                global_windows.append(name)
+        except Exception as e:  # noqa: BLE001 — audit shouldn't die mid-sweep
+            print(f"[VIOLATION] window_sweep.{name}: plan failed: {e}")
+            failures.append(f"window_sweep.{name}")
+    print(f"[{'ok' if not global_windows else 'VIOLATION'}] "
+          f"window_sweep: global windows in {global_windows or 'none'}")
+    failures.extend(f"window_sweep.{n}" for n in global_windows)
+
     if failures:
         print(f"\nplan violations: {failures}")
         sys.exit(1)
