@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rayforce_spark.functions.aggregates import AggExpr
+from rayforce_spark.functions.kdb import ediv
 
 _LEFT_TAG = "__rf_is_left"
 _RID = "__rf_rid"
@@ -206,6 +207,157 @@ def window_join(
         .drop(_LID)
     )
     return out
+
+
+def window_join_fixed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    time_col: str,
+    lo: int,
+    hi: int,
+    aggs: Mapping[str, AggExpr],
+    *,
+    closed: bool = True,
+) -> DataFrame:
+    """Window join for CONSTANT interval offsets (the reference's own
+    benchmark idiom ``(map-left + [-10000 10000] ts)``) and decomposable
+    aggregates (min/max/sum/count/avg): per left row, aggregate right rows
+    with ``time_col`` in [t+lo, t+hi].
+
+    Semantics identical to :func:`window_join` with ``lo=col+lo, hi=col+hi``
+    (ref core/join.c:358-488); the plan is what changes. The generic form
+    enumerates every (left row, in-window right row) pair — with dense
+    right rows per key that is O(rows-in-window) per left row, quadratic
+    on hot keys (the reference's wj1 bench: 3 symbols, ~100k quotes per
+    ±10s window — 1e12 pairs). This form never enumerates pairs:
+
+    Every interval of length B = hi-lo intersects exactly two width-B time
+    blocks, so agg([t+lo, t+hi]) = combine(suffix-agg of block b from
+    t+lo, prefix-agg of block b+1 up to t+hi). The suffix/prefix running
+    aggregates are two Window passes over right rows pre-combined per
+    (key, block, timestamp) — one shuffle — and each left row picks its
+    two split values with an as-of probe (greatest ts <= t+hi in block
+    b+1; least ts >= t+lo in block b, as-of over negated time). Four
+    O(n+m) shuffles total, no pair blowup, no per-key buffering: the
+    sorted-merge running-extrema plan the reference hand-codes per key,
+    expressed distributively.
+    """
+    if hi <= lo:
+        raise ValueError(f"window_join_fixed needs hi > lo, got [{lo}, {hi}]")
+    keys = _keys(on)
+    B = int(hi - lo)
+
+    # per-agg partial/running/combine plans keyed by the A.* verb
+    def _plan(a: AggExpr):
+        if not isinstance(a, AggExpr) or a.fn is None or a.arg_name is None:
+            raise ValueError(
+                "window_join_fixed aggs must be A.* verbs over right columns"
+            )
+        both_null_is_null = lambda p, s, v: (  # noqa: E731
+            F.when(p.isNull() & s.isNull(), F.lit(None))
+            .otherwise(F.coalesce(p, F.lit(0)) + F.coalesce(s, F.lit(0)))
+            if v else F.coalesce(p, F.lit(0)) + F.coalesce(s, F.lit(0))
+        )
+        if a.fn is F.min:
+            return [F.min], lambda p, s: F.least(p[0], s[0])
+        if a.fn is F.max:
+            return [F.max], lambda p, s: F.greatest(p[0], s[0])
+        if a.fn is F.sum:
+            return [F.sum], lambda p, s: both_null_is_null(p[0], s[0], True)
+        if a.fn is F.count:
+            # count partials are non-null; sum them, empty window -> 0
+            return [F.count], lambda p, s: (
+                F.coalesce(p[0], F.lit(0)) + F.coalesce(s[0], F.lit(0))
+            )
+        if a.fn is F.avg:
+            return [F.sum, F.count], lambda p, s: F.try_divide(
+                both_null_is_null(p[0], s[0], True),
+                F.coalesce(p[1], F.lit(0)) + F.coalesce(s[1], F.lit(0)),
+            )
+        raise ValueError(
+            "window_join_fixed supports min/max/sum/count/avg (decomposable"
+            " running aggregates); use window_join for anything else"
+        )
+
+    plans = {name: _plan(a) for name, a in aggs.items()}
+
+    # 1. pre-combine right rows per (keys, block, ts): removes duplicate-ts
+    # ordering concerns and shrinks the window input; map-side combine.
+    partial_cols, n_parts = [], {}
+    for name, (fns, _) in plans.items():
+        n_parts[name] = len(fns)
+        for i, fn in enumerate(fns):
+            partial_cols.append(
+                fn(F.col(f"__rf_r_{aggs[name].arg_name}")).alias(f"__p_{name}_{i}")
+            )
+    arg_names = sorted({a.arg_name for a in aggs.values()})
+    rt = right.select(
+        *keys,
+        F.col(time_col).alias("__rf_t"),
+        *[F.col(n).alias(f"__rf_r_{n}") for n in arg_names],
+    ).withColumn("__rf_blk", ediv(F.col("__rf_t"), F.lit(B)))  # exact
+    # floor-div: double-routed / loses exactness above 2^53 (epoch-ns)
+    g = rt.groupBy(*keys, "__rf_blk", "__rf_t").agg(*partial_cols)
+
+    # 2. running prefix (block order) and suffix (reverse) aggregates —
+    # same hash partitioning, two sort orders
+    wf = (
+        Window.partitionBy(*keys, "__rf_blk").orderBy(F.col("__rf_t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy(*keys, "__rf_blk").orderBy(F.col("__rf_t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_cols = []
+    for name, (fns, _) in plans.items():
+        for i, fn in enumerate(fns):
+            agg_fn = F.sum if fn is F.count else fn  # counts accumulate by sum
+            run_cols.append(agg_fn(f"__p_{name}_{i}").over(wf).alias(f"__pre_{name}_{i}"))
+            run_cols.append(agg_fn(f"__p_{name}_{i}").over(wb).alias(f"__suf_{name}_{i}"))
+    summary = g.select(*keys, "__rf_blk", "__rf_t", *run_cols)
+    pre_cols = [c for c in summary.columns if c.startswith("__pre_")]
+    suf_cols = [c for c in summary.columns if c.startswith("__suf_")]
+
+    # 3. probe: prefix of block(t+hi) at greatest ts <= t+hi, suffix of
+    # block(t+lo) at least ts >= t+lo (as-of over negated time). asof_join
+    # bounds are non-strict; strict gives the open-bounds (wj1) variant.
+    lt = left.withColumn(_LID, F.monotonically_increasing_id())
+    probe_hi = lt.select(
+        _LID, *keys,
+        ediv(F.col(time_col) + hi, F.lit(B)).alias("__rf_blk"),
+        (F.col(time_col) + hi).alias("__rf_pt"),
+    )
+    pre_side = summary.select(
+        *keys, "__rf_blk", F.col("__rf_t").alias("__rf_pt"), *pre_cols
+    )
+    got_hi = asof_join(
+        probe_hi, pre_side, [*keys, "__rf_blk"], "__rf_pt",
+        strict=not closed,
+    ).select(_LID, *pre_cols)
+    probe_lo = lt.select(
+        _LID, *keys,
+        ediv(F.col(time_col) + lo, F.lit(B)).alias("__rf_blk"),
+        (-(F.col(time_col) + lo)).alias("__rf_nt"),
+    )
+    suf_side = summary.select(
+        *keys, "__rf_blk", (-F.col("__rf_t")).alias("__rf_nt"), *suf_cols
+    )
+    got_lo = asof_join(
+        probe_lo, suf_side, [*keys, "__rf_blk"], "__rf_nt",
+        strict=not closed,
+    ).select(_LID, *suf_cols)
+
+    combined = lt.join(got_hi, _LID, "left").join(got_lo, _LID, "left")
+    out_cols = []
+    for name, (fns, comb) in plans.items():
+        p = [F.col(f"__pre_{name}_{i}") for i in range(len(fns))]
+        s = [F.col(f"__suf_{name}_{i}") for i in range(len(fns))]
+        out = comb(p, s)
+        a = aggs[name]
+        out_cols.append((a.wrap(out) if a.wrap else out).alias(name))
+    return combined.select(*left.columns, *out_cols)
 
 
 def insert(target: DataFrame, rows: DataFrame) -> DataFrame:

@@ -244,3 +244,42 @@ def test_salted_join_matches_plain(tables):
         a = sorted(map(tuple, plain.collect()))
         b = sorted(map(tuple, salted.collect()))
         assert a == b, f"salted {how} join differs"
+
+
+def test_window_join_fixed_equivalence(tables):
+    # the block prefix/suffix plan must agree with the generic pair-join
+    # plan on both closed and open bounds, incl. empty-window rows
+    from pyspark.sql import functions as F
+
+    from rayforce_spark import A
+    from rayforce_spark.operators.joins import window_join, window_join_fixed
+
+    ev = tables["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("cv")
+    )
+    ns5 = 300_000_000_000
+    aggs = {
+        "mn": A.min_("cv"), "mx": A.max_("cv"), "sm": A.sum_("cv"),
+        "n": A.count("cv"), "av": A.avg("cv"),
+    }
+    for closed in (True, False):
+        generic = window_join(
+            purchases, clicks, on="user_id", time_col="ts",
+            lo=F.col("ts") - ns5, hi=F.col("ts") + ns5,
+            aggs=aggs, closed=closed,
+        )
+        fixed = window_join_fixed(
+            purchases, clicks, on="user_id", time_col="ts",
+            lo=-ns5, hi=ns5, aggs=aggs, closed=closed,
+        )
+        ga = {r.event_id: (r.mn, r.mx, round(r.sm, 9), r.n,
+                           None if r.av is None else round(r.av, 9))
+              for r in generic.collect()}
+        fa = {r.event_id: (r.mn, r.mx, round(r.sm, 9), r.n,
+                           None if r.av is None else round(r.av, 9))
+              for r in fixed.collect()}
+        assert ga == fa, f"closed={closed}: {len(ga)} vs {len(fa)} rows"
