@@ -171,15 +171,16 @@ def q_project_filter(spark, sf):
 
 def q_xbar_bucket(spark, sf):
     (o,) = _t(spark, sf, "orders")
-    out = select(
+    # avg_exact: decimal-space sum (order-independent, exact) + one double
+    # division — bit-identical to the oracle's CAST(sum(DECIMAL) AS
+    # DOUBLE)/count regardless of partition count. Plain double avg drifts
+    # in the last ulps with partial-aggregation order and fails the
+    # driver's value hash (r1/r2: round() cannot absorb that drift).
+    return select(
         o,
-        {"n": A.count(), "avg_price": A.avg("o_totalprice")},
+        {"n": A.count(), "avg_price": A.avg_exact("o_totalprice")},
         by={"price_bucket": K.xbar(1000, F.col("o_totalprice"))},
     )
-    # round fp aggregates in query AND oracle: partial-aggregation order
-    # differs between Spark partitions and DuckDB, so raw double sums
-    # drift in the last bits and fail the driver's value hash
-    return out.withColumn("avg_price", F.round("avg_price", 6))
 
 
 def q_update_where(spark, sf):
@@ -502,7 +503,12 @@ def q_sessionize(spark, sf):
     gap_ns = 1800 * 1_000_000_000
     return sessionize_batch(
         ev, key_col="user_id", ts_col="ts", gap=gap_ns,
-        aggs={"sum_value": F.sum("value")}, tiebreak=["event_id"],
+        # decimal-space sum: exact in any partial-aggregation order, one
+        # final cast to double — bit-identical to the oracle (see
+        # q_xbar_bucket / A.avg_exact for why round() was not enough)
+        aggs={"sum_value":
+              F.sum(F.col("value").cast("decimal(18,6)")).cast("double")},
+        tiebreak=["event_id"],
     ).select(
         "user_id", "session_seq",
         # report bounds in µs: DuckDB reads the TIMESTAMP(NANOS) parquet at
@@ -511,8 +517,7 @@ def q_sessionize(spark, sf):
         F.expr("session_start div 1000").alias("start_us"),
         F.expr("session_end div 1000").alias("end_us"),
         "n_events",
-        # rounded both sides: double-sum order drift (see q_xbar_bucket)
-        F.round("sum_value", 6).alias("sum_value"),
+        "sum_value",
     )
 
 
@@ -637,10 +642,17 @@ def q_dedup_minhash(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs, oracle-gated: the gated config uses the
+    md5-derived 60-bit token hash (portable to plain SQL) so DuckDB can
+    rebuild the exact fingerprints; bands=9 > max_hamming=8 makes the
+    pigeonhole candidate step exact-recall, so the output equals the
+    exhaustive hamming<=8 pair set the oracle computes. Production keeps
+    the faster xxhash64 token hash (identical plan shape)."""
     from rayforce_spark.datapipe import simhash_dup_pairs
 
     (d,) = _t(spark, sf, "documents")
-    return simhash_dup_pairs(d, "text", "doc_id", max_hamming=8)
+    return simhash_dup_pairs(d, "text", "doc_id", max_hamming=8,
+                             token_hash="md5")
 
 
 def q_dedup_embedding(spark, sf):
@@ -717,11 +729,22 @@ def q_text_analysis(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
+    """mapInPandas feature extraction over a binary media column.
+
+    Gated projection: media_id is the document key (not a synthetic id —
+    reproducible), and the feature vector is unpacked into f0..f7 scalar
+    doubles (the driver's canonicalizer can't hash array cells, r2 err).
+    Each f_i is one digest byte / 255.0 — a single IEEE division, so the
+    DuckDB oracle reproduces it bit-exactly from md5 hex."""
     from rayforce_spark.datapipe.multimodal import attach_binary, extract_features
 
     (d,) = _t(spark, sf, "documents")
-    media = attach_binary(d, "text", kind="image")
-    return extract_features(media, dim=8)
+    media = attach_binary(d, "text", kind="image", id_col="doc_id")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "n_bytes",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
+    )
 
 
 # -- iteration / UDF surface (SURVEY §2.8) ----------------------------------
@@ -748,11 +771,21 @@ def q_grouped_lambda(spark, sf):
 
 
 def q_group_indices(spark, sf):
-    """(group vec) -> value: sorted occurrence ids (ref core/compose.c:1071)."""
+    """(group vec) -> value: sorted occurrence ids (ref core/compose.c:1071).
+
+    The gated projection serializes the ids array to a comma-joined string:
+    the driver's canonicalizer hashes scalar cells only (r2: raw
+    array<long> crashed it with 'unhashable type: list')."""
     from rayforce_spark.operators.items import group_indices
 
     (ev,) = _t(spark, sf, "events")
-    return group_indices(ev, "event_type", "event_id")
+    out = group_indices(ev, "event_type", "event_id")
+    return out.select(
+        "event_type",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",")
+        .alias("ids"),
+        F.size("ids").alias("n"),
+    )
 
 
 def q_array_ops(spark, sf):
@@ -869,7 +902,9 @@ ORACLE: dict[str, str] = {
     """,
     "xbar_bucket": """
         SELECT floor(o_totalprice / 1000) * 1000 AS price_bucket,
-               count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(o_totalprice) AS avg_price
         FROM orders GROUP BY 1
     """,
     "update_where": """
@@ -1077,7 +1112,8 @@ ORACLE: dict[str, str] = {
         SELECT user_id, session_seq,
                min(tns // 1000) AS start_us,
                max(tns // 1000) AS end_us,
-               count(*) AS n_events, round(sum(value), 6) AS sum_value
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM sess GROUP BY 1, 2
     """,
     "quantiles": """
@@ -1120,10 +1156,22 @@ ORACLE: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
     """,
-    # dedup_simhash / multimodal_features: fingerprint internals (xxhash64
-    # bit family; binary feature hashing) are not SQL-expressible ->
-    # rows-only checks (deterministic outputs). Everything else is
-    # oracle-gated, incl. the LSH/IVF paths via recall-exact configs.
+    "multimodal_features": """
+        -- the fake decoder is md5(utf8(text) || '0'): each feature is one
+        -- digest byte / 255.0 (single IEEE division, bit-exact), n_bytes
+        -- the utf-8 byte length of the content column
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               ('0x' || substring(md5(text || '0'),  1, 2))::INT / 255.0 AS f0,
+               ('0x' || substring(md5(text || '0'),  3, 2))::INT / 255.0 AS f1,
+               ('0x' || substring(md5(text || '0'),  5, 2))::INT / 255.0 AS f2,
+               ('0x' || substring(md5(text || '0'),  7, 2))::INT / 255.0 AS f3,
+               ('0x' || substring(md5(text || '0'),  9, 2))::INT / 255.0 AS f4,
+               ('0x' || substring(md5(text || '0'), 11, 2))::INT / 255.0 AS f5,
+               ('0x' || substring(md5(text || '0'), 13, 2))::INT / 255.0 AS f6,
+               ('0x' || substring(md5(text || '0'), 15, 2))::INT / 255.0 AS f7
+        FROM documents
+    """,
     "dedup_minhash": """
         -- exact Jaccard over distinct 3-word shingles: with bands=num_perm
         -- the LSH candidate step has recall 1 up to a (1-s)^64 < 6e-20
@@ -1151,6 +1199,34 @@ ORACLE: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    "dedup_simhash": """
+        -- exhaustive simhash-hamming<=8 pair set: rebuild each 63-bit
+        -- fingerprint from the md5-derived 60-bit token hash (the gated
+        -- config's portable hash), then all-pairs popcount. The operator's
+        -- pigeonhole banding (bands=9 > max_hamming=8) is exact-recall, so
+        -- its bucketed output equals this exhaustive set.
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
+          FROM documents
+        ), hs AS (
+          SELECT doc_id,
+                 list(('0x'||substring(md5(tok),1,15))::BIGINT) AS hl
+          FROM toks GROUP BY 1
+        ), fp AS (
+          SELECT doc_id,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                     CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END
+                     FOR h IN hl]) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                   FOR b IN generate_series(0, 62)]) AS BIGINT) AS f
+          FROM hs
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.f, b.f)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 8
     """,
     "dedup_embedding": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1263,7 +1339,9 @@ ORACLE: dict[str, str] = {
         FROM lineitem WHERE l_orderkey % 20 = 0
     """,
     "group_indices": """
-        SELECT event_type, list_sort(list(event_id)) AS ids
+        SELECT event_type,
+               array_to_string(list_sort(list(event_id)), ',') AS ids,
+               count(event_id) AS n
         FROM events GROUP BY 1
     """,
     "array_ops": """

@@ -283,15 +283,29 @@ def jaccard_dup_pairs(
     return out
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63,
+            token_hash: str = "xxhash64") -> DataFrame:
     """63-bit SimHash fingerprint per document (bit 63 omitted to stay in a
     signed long). Tokens explode once; each bit is a conditional ±1 sum
     over token hashes — one grouped aggregation, all JVM expressions.
-    Returns (id_col, simhash:long)."""
+    Returns (id_col, simhash:long).
+
+    token_hash: "xxhash64" (default, fastest) or "md5" — a 60-bit hash
+    derived from the first 15 hex chars of md5, reproducible in plain SQL
+    (DuckDB: ('0x'||substring(md5(tok),1,15))::BIGINT) so the whole
+    pipeline can be oracle-checked; bits 60-62 of the fingerprint are then
+    constant 0, which costs nothing for recall (hamming distance ignores
+    always-equal bits)."""
+    if token_hash == "xxhash64":
+        h_expr = F.xxhash64("tok")
+    elif token_hash == "md5":
+        h_expr = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash}")
     toks = df.select(
         F.col(id_col).alias(id_col),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h_expr)
     bit_sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
@@ -307,7 +321,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63) -> Dat
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                      *, max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+                      *, max_hamming: int = 3, bands: int | None = None,
+                      token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming, found by the
     pigeonhole trick: split the fingerprint into ``bands`` chunks — any
     pair within distance < bands shares at least one exact chunk, so a
@@ -328,7 +343,8 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         )
     if bands > 63:
         raise ValueError(f"bands ({bands}) must be <= 63 (63-bit fingerprint)")
-    fp = simhash(df, text_col, id_col).withColumnRenamed(id_col, "__id")
+    fp = (simhash(df, text_col, id_col, token_hash=token_hash)
+          .withColumnRenamed(id_col, "__id"))
     chunk = 64 // bands
     banded = fp.select(
         "__id", "simhash",

@@ -33,11 +33,19 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
-def attach_binary(df: DataFrame, source_col: str, *, kind: str = "image") -> DataFrame:
+def attach_binary(df: DataFrame, source_col: str, *, kind: str = "image",
+                  id_col: str | None = None) -> DataFrame:
     """Demo/ingest helper: wrap a column's bytes (here: utf-8 of a string
-    column stands in for real media) into the MEDIA_SCHEMA shape."""
+    column stands in for real media) into the MEDIA_SCHEMA shape.
+
+    ``id_col`` names an existing stable key to use as media_id; when None
+    a synthetic id is generated (monotonically_increasing_id — fine for
+    ingest, but NOT reproducible across recomputation, so pass a real key
+    whenever downstream joins or oracle checks need determinism)."""
+    mid = (F.col(id_col).cast("long") if id_col is not None
+           else F.monotonically_increasing_id())
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        mid.alias("media_id"),
         F.lit(kind).alias("kind"),
         F.encode(F.col(source_col), "utf-8").alias("content"),
         F.lit("application/octet-stream").alias("mime"),
@@ -48,11 +56,17 @@ def attach_binary(df: DataFrame, source_col: str, *, kind: str = "image") -> Dat
 
 
 def _fake_features(content: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a decoder+encoder: md5-seeded values."""
+    """Deterministic stand-in for a decoder+encoder: md5-seeded values.
+
+    The counter salt is ASCII decimal (b"0", b"1", ...) rather than raw
+    little-endian bytes so the scheme is reproducible in plain SQL
+    (md5(text || '0') — DuckDB's md5 is VARCHAR-only and cannot embed NUL
+    bytes); each digest byte maps to [0,1] via a single fp division,
+    which is bit-exact in any IEEE engine."""
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.md5(content + counter.to_bytes(4, "little")).digest()
+        h = hashlib.md5(content + str(counter).encode()).digest()
         out.extend(b / 255.0 for b in h)
         counter += 1
     return out[:dim]

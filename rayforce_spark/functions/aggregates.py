@@ -134,6 +134,31 @@ def avg(c: ColumnOrName) -> AggExpr:
     return _make(F.avg, c)
 
 
+def sum_exact(c: ColumnOrName, *, scale: int = 6,
+              precision: int = 18) -> AggExpr:
+    """Order-independent exact sum of a double column: quantize each value
+    to decimal(precision, scale) first, sum in decimal space (exact, any
+    partial-aggregation order), then present as double with one final
+    correctly-rounded cast. Use when the result must be bit-identical
+    across engines/partitionings — plain double sums drift in the last
+    ulps with partition count (fp addition is not associative)."""
+    col = _col(c).cast(f"decimal({precision},{scale})")
+    fn = lambda x: F.sum(x).cast("double")  # noqa: E731
+    return AggExpr(fn(col), fn, col)
+
+
+def avg_exact(c: ColumnOrName, *, scale: int = 6,
+              precision: int = 18) -> AggExpr:
+    """Order-independent mean: exact decimal sum (see sum_exact) cast to
+    double, divided by the group count — exactly two deterministic fp
+    operations, so the result is bit-identical regardless of partial
+    aggregation order (and reproducible in any engine that sums decimals
+    exactly)."""
+    col = _col(c).cast(f"decimal({precision},{scale})")
+    fn = lambda x: F.sum(x).cast("double") / F.count(x)  # noqa: E731
+    return AggExpr(fn(col), fn, col)
+
+
 def min_(c: ColumnOrName) -> AggExpr:
     """ref core/math.c:2428, core/aggr.c:1263."""
     return _make(F.min, c)
