@@ -641,6 +641,20 @@ def q_dedup_minhash(spark, sf):
     ).withColumn("jaccard", F.round("jaccard", 6))
 
 
+def q_dedup_minhash_bench(spark, sf):
+    # production LSH tuning (bands=16 -> 4-row bands): the perf-path shape.
+    # The oracle-gated q_dedup_minhash runs bands=num_perm for exact
+    # recall, which inflates the candidate set ~20x — correct for the
+    # gate, wrong for the bench (r2 regression: 2.7s -> 15.1s).
+    from rayforce_spark.datapipe import minhash_lsh_pairs
+
+    (d,) = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
+        threshold=0.5,
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, oracle-gated: the gated config uses the
     md5-derived 60-bit token hash (portable to plain SQL) so DuckDB can
