@@ -34,7 +34,13 @@ def with_pos_id(df: DataFrame, out: str = "__rf_pos") -> DataFrame:
     the data, no single-partition window. Position is read order — the
     same caveat as every positional verb; sort first for a defined order.
     """
-    tmp = df.withColumn("__rf_mid", F.monotonically_increasing_id())
+    # localCheckpoint pins the (nondeterministic) monotonic ids before the
+    # plan fans out into the counts job AND the returned plan: without it a
+    # recomputation (task retry, AQE replan) could re-assign ids under the
+    # already-collected offsets and silently misalign positions.
+    tmp = df.withColumn(
+        "__rf_mid", F.monotonically_increasing_id()
+    ).localCheckpoint()
     counts = (
         tmp.groupBy(F.shiftright("__rf_mid", 33).alias("__rf_pid"))
         .agg(F.count(F.lit(1)).alias("__rf_cnt"))

@@ -323,7 +323,14 @@ def window_join_fixed(
     # 3. probe: prefix of block(t+hi) at greatest ts <= t+hi, suffix of
     # block(t+lo) at least ts >= t+lo (as-of over negated time). asof_join
     # bounds are non-strict; strict gives the open-bounds (wj1) variant.
-    lt = left.withColumn(_LID, F.monotonically_increasing_id())
+    # localCheckpoint (lazy) pins the monotonic row ids before the plan
+    # fans out into probe_hi / probe_lo / combined, which self-join on
+    # _LID: recomputing an un-pinned branch (task retry, AQE replan) could
+    # assign different ids per branch and silently misalign rows. The
+    # checkpoint materializes left once and all three branches read it.
+    lt = left.withColumn(
+        _LID, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     probe_hi = lt.select(
         _LID, *keys,
         ediv(F.col(time_col) + hi, F.lit(B)).alias("__rf_blk"),

@@ -1,0 +1,364 @@
+"""Same-scale benchmark vs BASELINE.md: H2O db-benchmark shapes at 10M rows.
+
+BASELINE.md's reference numbers are 10M-row runs (H2O.ai db-benchmark
+G1_1e7_1e2_0_0 group-by set, join-datagen 1e7 joins, and a custom 10M-row
+trades/quotes window join). The driver's sf0.1 bench (~600k rows) cannot
+measure the 2x gate — per-query JVM overhead dominates — so this script
+reproduces the reference's own benchmark datasets at the SAME row counts
+and times the same query shapes through rayforce_spark operators.
+
+Datagen follows the PUBLIC recipes:
+* group-by: H2O db-benchmark groupby-datagen.R semantics for
+  G1_1e7_1e2_0_0 — N=1e7, K=100; id1/id2 'id%03d' in 1..K, id3 'id%010d'
+  in 1..N/K, id4/id5 int 1..K, id6 int 1..N/K, v1 int 1..5, v2 int 1..15,
+  v3 = round(uniform(0,100), 6).
+* join: H2O join-datagen.R semantics for N=1e7 — x (J1_1e7_NA) and the
+  big rhs (J1_1e7_1e7), both N rows: id1 int 1..N*1.1/1e6, id2 int
+  1..N*1.1/1e3, id3 int 1..N*1.1, id4/5/6 string forms, one value column.
+  The reference benchmarks `ij`/`lj` on [id1 id2] between x and the BIG
+  rhs (docs/docs/content/get-started/benchmarks/inner-join.md,
+  left-join.md) — note its joins go through the key->single-row hash
+  index (right side deduplicated, last write wins), which is why plain
+  SQL engines OOM on the same query (their output is the ~800M-row
+  multiplicity join) while the reference returns 1e7 rows. The honest
+  Spark equivalent is left_join(dedup=True) / inner vs dedup_last.
+* window join: the reference's wj1 recipe verbatim
+  (benchmarks/window-join.md): n=1e7 trades (99% AAPL / 1% MSFT,
+  0.3ms-spaced ms timestamps), 2n quotes (3:2:1 AAPL/MSFT/GOOG,
+  0.2ms-spaced), intervals ts+-10000ms, aggs {min Bid, max Ask}.
+
+All data is generated deterministically (fixed seeds) into .h2o/ as
+parquet, once; inputs are cached before timing (the reference holds CSVs
+fully in memory). Methodology mirrors BASELINE.md: warm JVM, min of
+--reps timed runs, each query fully materialized through a noop sink.
+
+Usage:
+    python scripts/h2o_bench.py [--gen-only] [--skip-window] [--reps N]
+Writes BASELINE_CMP.md + .h2o/h2o_bench.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, ".h2o")
+
+N_GROUPBY = 10_000_000
+K = 100
+N_JOIN = 10_000_000
+N_WJ = 10_000_000
+
+# BASELINE.md reference numbers (ms, 10M rows, M3 Max, single-node C)
+BASELINE_MS = {
+    "gq1": 60, "gq2": 74, "gq3": 118, "gq4": 72, "gq5": 122,
+    "gq6": 104, "gq7": 1394,
+    "join_inner": 1610, "join_left": 3149,
+    "window_join": 59145.6,
+}
+
+
+def _write(tbl, name):
+    import pyarrow.parquet as pq
+
+    path = os.path.join(DATA, f"{name}.parquet")
+    pq.write_table(tbl, path, compression="snappy")
+    print(f"[gen] {name}: {tbl.num_rows} rows -> {path}", file=sys.stderr)
+
+
+def gen_groupby(rng):
+    import numpy as np
+    import pyarrow as pa
+
+    N, nk = N_GROUPBY, N_GROUPBY // K
+    small = [f"id{i + 1:03d}" for i in range(K)]
+    big = [f"id{i + 1:010d}" for i in range(nk)]
+
+    def dict_col(values, n_unique):
+        codes = rng.integers(0, n_unique, N, dtype=np.int32)
+        return pa.DictionaryArray.from_arrays(pa.array(codes), pa.array(values))
+
+    tbl = pa.table({
+        "id1": dict_col(small, K),
+        "id2": dict_col(small, K),
+        "id3": dict_col(big, nk),
+        "id4": pa.array(rng.integers(1, K + 1, N, dtype=np.int64)),
+        "id5": pa.array(rng.integers(1, K + 1, N, dtype=np.int64)),
+        "id6": pa.array(rng.integers(1, nk + 1, N, dtype=np.int64)),
+        "v1": pa.array(rng.integers(1, 6, N, dtype=np.int64)),
+        "v2": pa.array(rng.integers(1, 16, N, dtype=np.int64)),
+        "v3": pa.array(np.round(rng.uniform(0, 100, N), 6)),
+    })
+    _write(tbl, "G1_1e7_1e2")
+
+
+def gen_join(rng):
+    import numpy as np
+    import pyarrow as pa
+
+    N = N_JOIN
+    n1, n2, n3 = int(N * 1.1 / 1e6), int(N * 1.1 / 1e3), int(N * 1.1)
+
+    def one(value_name):
+        id1 = rng.integers(1, n1 + 1, N, dtype=np.int64)
+        id2 = rng.integers(1, n2 + 1, N, dtype=np.int64)
+        id3 = rng.integers(1, n3 + 1, N, dtype=np.int64)
+        s1 = [f"id{i + 1}" for i in range(n1)]
+        s2 = [f"id{i + 1}" for i in range(n2)]
+        return pa.table({
+            "id1": pa.array(id1),
+            "id2": pa.array(id2),
+            "id3": pa.array(id3),
+            "id4": pa.DictionaryArray.from_arrays(
+                pa.array((id1 - 1).astype(np.int32)), pa.array(s1)),
+            "id5": pa.DictionaryArray.from_arrays(
+                pa.array((id2 - 1).astype(np.int32)), pa.array(s2)),
+            # id6 = 'id<id3>': plain strings (1.1e7 near-unique values —
+            # dictionary encoding would be larger than the data)
+            "id6": pa.array(np.char.add("id", id3.astype("U8"))),
+            value_name: pa.array(rng.uniform(0, 100, N)),
+        })
+
+    _write(one("v1"), "J1_x")
+    _write(one("v2"), "J1_big")
+
+
+def gen_window(rng):
+    import numpy as np
+    import pyarrow as pa
+
+    n = N_WJ
+    base = 9 * 3600 * 1000  # 09:00:00 in ms-of-day
+    i = np.arange(n, dtype=np.int64)
+    tsym_codes = np.where(i % 100 == 99, 1, 0).astype(np.int32)  # 99 AAPL, 1 MSFT
+    trades = pa.table({
+        "Sym": pa.DictionaryArray.from_arrays(
+            pa.array(tsym_codes), pa.array(["AAPL", "MSFT"])),
+        "Ts": pa.array(base + (3 * i) // 10),
+        "Price": pa.array(10 + i),
+    })
+    _write(trades, "wj_trades")
+
+    j = np.arange(2 * n, dtype=np.int64)
+    bsym_codes = np.array([0, 0, 0, 1, 1, 2], dtype=np.int32)[j % 6]
+    quotes = pa.table({
+        "Sym": pa.DictionaryArray.from_arrays(
+            pa.array(bsym_codes), pa.array(["AAPL", "MSFT", "GOOG"])),
+        "Ts": pa.array(base + (2 * j) // 10),
+        "Bid": pa.array(8 + j // 2),
+        "Ask": pa.array(12 + j // 2),
+    })
+    _write(quotes, "wj_quotes")
+
+
+def ensure_data():
+    import numpy as np
+
+    os.makedirs(DATA, exist_ok=True)
+    have = {f for f in os.listdir(DATA) if f.endswith(".parquet")}
+    if "G1_1e7_1e2.parquet" not in have:
+        gen_groupby(np.random.default_rng(42))
+    if "J1_x.parquet" not in have or "J1_big.parquet" not in have:
+        gen_join(np.random.default_rng(43))
+    if "wj_trades.parquet" not in have or "wj_quotes.parquet" not in have:
+        gen_window(np.random.default_rng(44))
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument("--skip-window", action="store_true")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    ensure_data()
+    if args.gen_only:
+        return
+
+    from pyspark.sql import functions as F
+
+    import rayforce_spark.functions.aggregates as A
+    from rayforce_spark.functions.symbols import (
+        desymbolize, desymbolize_lit, symbol_map, symbol_table, symbolize)
+    from rayforce_spark.operators.joins import dedup_last, inner_join, left_join, window_join_fixed
+    from rayforce_spark.operators.query import select
+    from rayforce_spark.session import get_spark
+
+    spark = get_spark("h2o_bench")
+
+    # symbol-intern the string key columns at load, exactly as the
+    # reference's CSV loader interns SYMBOL vectors (untimed there too):
+    # the cached table carries 8-byte codes, queries aggregate on codes
+    # and decode labels on the (result-sized) output.
+    raw = spark.read.parquet(os.path.join(DATA, "G1_1e7_1e2.parquet"))
+    syms = {c: symbol_table(raw, c, verify=True).cache() for c in ("id1", "id2", "id3")}
+    for s in syms.values():
+        s.count()
+    # id1/id2 are 100-symbol columns: decode via literal map (no per-query
+    # broadcast build); id3 (100k symbols) decodes via broadcast join
+    maps = {c: symbol_map(syms[c], c) for c in ("id1", "id2")}
+    t = symbolize(raw, ["id1", "id2", "id3"]).cache()
+    t.count()
+
+    def _dec(df, *cols):
+        for c in cols:
+            if c in maps:
+                df = desymbolize_lit(df, maps[c], c)
+            else:
+                df = desymbolize(df, syms[c], c)
+        return df
+
+    def gq1(): return _dec(
+        select(t, {"v1": A.sum_("v1")}, by="id1_sym"), "id1")
+    def gq2(): return _dec(
+        select(t, {"v1": A.sum_("v1")}, by=["id1_sym", "id2_sym"]),
+        "id1", "id2")
+    def gq3(): return _dec(
+        select(t, {"v1": A.sum_("v1"), "v3": A.avg("v3")}, by="id3_sym"),
+        "id3")
+    def gq4(): return select(
+        t, {"v1": A.avg("v1"), "v2": A.avg("v2"), "v3": A.avg("v3")}, by="id4")
+    def gq5(): return select(
+        t, {"v1": A.sum_("v1"), "v2": A.sum_("v2"), "v3": A.sum_("v3")}, by="id6")
+    def gq6(): return _dec(
+        select(t, {"range_v1_v2": A.max_("v1") - A.min_("v2")}, by="id3_sym"),
+        "id3")
+    def gq7(): return _dec(
+        select(t, {"v3": A.sum_("v3"), "count": A.count()},
+               by=["id1_sym", "id2_sym", "id3_sym", "id4", "id5", "id6"]),
+        "id1", "id2", "id3")
+
+    x = spark.read.parquet(os.path.join(DATA, "J1_x.parquet")).cache()
+    y = spark.read.parquet(os.path.join(DATA, "J1_big.parquet")).cache()
+    x.count(); y.count()
+    jkeys = ["id1", "id2"]
+    ydd = dedup_last(
+        y, jkeys, order_col=F.struct("id3", "v2"))  # deterministic last
+
+    # reference ij/lj route through the key->single-row index: right side
+    # deduped, output multiplicity = left rows (1e7), NOT the ~800M-row
+    # SQL multiplicity join that OOMed DuckDB/ClickHouse on the same box
+    def join_inner(): return inner_join(x, ydd, jkeys)
+    def join_left(): return left_join(x, y, jkeys,
+                                      order_col=F.struct("id3", "v2"))
+
+    queries = {
+        "gq1": gq1, "gq2": gq2, "gq3": gq3, "gq4": gq4, "gq5": gq5,
+        "gq6": gq6, "gq7": gq7,
+        "join_inner": join_inner, "join_left": join_left,
+    }
+
+    if not args.skip_window:
+        trades = spark.read.parquet(os.path.join(DATA, "wj_trades.parquet")).cache()
+        quotes = spark.read.parquet(os.path.join(DATA, "wj_quotes.parquet")).cache()
+        trades.count(); quotes.count()
+
+        def window_join():
+            return window_join_fixed(
+                trades, quotes, "Sym", "Ts", -10_000, 10_000,
+                {"Bid": A.min_("Bid"), "Ask": A.max_("Ask")},
+            )
+        queries["window_join"] = window_join
+
+    # global JIT warmup: the first ~60-90s of query execution in a fresh
+    # JVM runs interpreted/C1 codegen (measured 3-10x slower); run every
+    # query shape once before ANY timing so C2-compiled code is what gets
+    # measured (the reference's timeit runs in a long-lived warm process).
+    for fn in queries.values():
+        try:
+            noop(fn())
+        except Exception:
+            pass
+
+    times: dict[str, float] = {}
+    for name, fn in queries.items():
+        try:
+            noop(fn())  # per-query warmup (plan + exchange reuse state)
+            best = float("inf")
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                noop(fn())
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best * 1000, 1)  # ms
+            print(f"[h2o] {name}: {times[name]} ms "
+                  f"(baseline {BASELINE_MS[name]} ms)", file=sys.stderr)
+        except Exception as e:
+            print(f"[h2o] {name} FAILED: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    ratios = {
+        n: round(times[n] / BASELINE_MS[n], 2)
+        for n in times if times[n] > 0
+    }
+    out = {
+        "metric": "h2o_10m_vs_baseline",
+        "unit": "ms",
+        "rows": {"groupby": N_GROUPBY, "join": N_JOIN, "window": N_WJ},
+        "times_ms": times,
+        "baseline_ms": {n: BASELINE_MS[n] for n in times},
+        "ratio": ratios,
+        "median_groupby_ratio": round(sorted(
+            ratios[n] for n in ratios if n.startswith("gq"))[
+                len([n for n in ratios if n.startswith("gq")]) // 2], 2),
+    }
+    with open(os.path.join(DATA, "h2o_bench.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    write_md(out)
+    print(json.dumps(out))
+
+
+def write_md(out):
+    rows = []
+    desc = {
+        "gq1": "sum v1 by id1 (100 groups)",
+        "gq2": "sum v1 by id1,id2 (10k groups)",
+        "gq3": "sum v1, avg v3 by id3 (100k groups)",
+        "gq4": "avg v1,v2,v3 by id4 (100 groups)",
+        "gq5": "sum v1,v2,v3 by id6 (100k groups)",
+        "gq6": "max v1 - min v2 by id3 (100k groups)",
+        "gq7": "sum v3, count by id1..id6 (~10M groups)",
+        "join_inner": "inner join 1e7 x 1e7 on (id1,id2), right deduped",
+        "join_left": "left join 1e7 x 1e7 on (id1,id2), right deduped",
+        "window_join": "wj1: 1e7 trades, 2e7 quotes, +-10s min/max",
+    }
+    for n, ms in out["times_ms"].items():
+        b = out["baseline_ms"][n]
+        r = out["ratio"].get(n, "FAIL")
+        rows.append(f"| {n} | {desc.get(n, '')} | {b} | {ms} | {r} |")
+    md = f"""# BASELINE_CMP — same-scale comparison vs BASELINE.md
+
+Generated by `scripts/h2o_bench.py` (datagen + methodology documented
+there). Row counts match the reference's published runs: group-by
+G1_1e7_1e2_0_0 (10M rows), join-datagen 1e7 (x and big rhs, 1e7 rows
+each, joined on id1+id2 through the reference's dedup-index semantics),
+window-join wj1 (1e7 trades / 2e7 quotes, +-10s, min Bid / max Ask).
+
+Hardware differs (reference: Apple M3 Max, single-node in-memory C;
+here: local[{os.environ.get("SPARK_GRAFT_CPUS", "32")}] JVM,
+{os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")} heap) — same row
+counts, warm JVM, cached inputs, min of N runs, full materialization
+via noop sink.
+
+| query | shape | reference ms | rayforce_spark ms | ratio |
+|---|---|---|---|---|
+{chr(10).join(rows)}
+
+Median group-by ratio: **{out["median_groupby_ratio"]}x**
+(2x gate per BASELINE.json).
+"""
+    with open(os.path.join(REPO, "BASELINE_CMP.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -330,3 +330,26 @@ def test_ediv_emod_float_forms(spark):
     assert rows[(7.5, 2.0)].d == 3.0 and rows[(7.5, 2.0)].m == 1.5
     assert rows[(-7.5, 2.0)].d == -4.0 and rows[(-7.5, 2.0)].m == 0.5
     assert rows[(7.5, 0.0)].d is None and rows[(7.5, 0.0)].m is None
+
+
+def test_symbol_interning(spark, tables):
+    from rayforce_spark.functions.symbols import (
+        desymbolize, desymbolize_lit, symbol_map, symbol_table, symbolize)
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"].select("l_returnflag", "l_quantity")
+    st = symbol_table(li, "l_returnflag", verify=True)
+    enc = symbolize(li, ["l_returnflag"])
+    assert "l_returnflag" not in enc.columns and "l_returnflag_sym" in enc.columns
+
+    agg = enc.groupBy("l_returnflag_sym").agg(F.sum("l_quantity").alias("s"))
+    via_join = {r["l_returnflag"]: r["s"] for r in desymbolize(agg, st, "l_returnflag").collect()}
+    via_map = {
+        r["l_returnflag"]: r["s"]
+        for r in desymbolize_lit(agg, symbol_map(st, "l_returnflag"), "l_returnflag").collect()
+    }
+    direct = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    assert via_join == direct and via_map == direct
