@@ -260,6 +260,29 @@ def ns_to_timestamp(x: ColumnOrName) -> Column:
     return F.timestamp_micros(ns_to_us(x))
 
 
+def ms_of_day(ts: ColumnOrName) -> Column:
+    """TimestampType -> i32 milliseconds since midnight UTC — the
+    reference's time-of-day TIME type (i32 millis, ref core/ops.h:269),
+    extracted from a timestamp. Its tick-data idiom buckets quotes by
+    time-of-day regardless of date (examples/asof.rfl).
+
+    unix_micros is exact i64; pmod keeps pre-epoch timestamps positive
+    (floor-mod), matching a clock reading. DuckDB twin:
+    ``CAST(floor(((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000 / 1000) AS INT)``.
+    """
+    us = F.pmod(F.unix_micros(_col(ts)), F.lit(86_400_000_000))
+    return F.floor(us / 1000).cast("int")
+
+
+def time_from_ms(ms: ColumnOrName) -> Column:
+    """i32 millis-since-midnight -> TimestampType on the epoch day —
+    the constructor half of the reference's TIME pair (ref core/ops.h:269).
+    Spark has no time-of-day type; anchoring on 1970-01-01 keeps ordering,
+    arithmetic, and xbar_time bucketing working, and formats as HH:mm:ss.SSS
+    with date_format."""
+    return F.timestamp_millis(_col(ms).cast("long"))
+
+
 def null_if_sentinel(x: ColumnOrName, sentinel) -> Column:
     """Ingest helper: map a reference typed-null sentinel (e.g. INT32_MIN,
     ref core/rayforce.h:97-107) to SQL NULL."""

@@ -135,7 +135,11 @@ def til(spark, n: int) -> DataFrame:
 
 def rand_sample(df: DataFrame, n_or_frac, *, seed: int = 42) -> DataFrame:
     """(rand n t)-style sampling (ref core/compose.c:439): fraction ->
-    bernoulli sample (distributed); int -> limit of a shuffled sample."""
+    bernoulli sample (fully distributed, the 100 TB path); int -> exactly-n
+    rows via a seeded global shuffle-sort + limit. The int path plans a
+    global sort on F.rand, so it is a SMALL-RESULT verb (sample sizes that
+    fit a driver/collect budget); for large exact-n samples use the
+    fraction form with a small over-sample and a downstream limit."""
     if isinstance(n_or_frac, float):
         return df.sample(n_or_frac, seed=seed)
     frac_df = df.sample(False, 1.0, seed=seed).orderBy(F.rand(seed))

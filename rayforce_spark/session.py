@@ -65,6 +65,36 @@ class Session:
         self.spark = spark or get_spark()
         self._catalog: dict[str, DataFrame] = {}
 
+    @classmethod
+    def connect(cls, url: str) -> "Session":
+        """Open a session against a REMOTE engine — the reference's
+        ``(hopen "host:port")`` client handle (ref core/ipc.c:226,
+        core/io.c:144-197), re-expressed over Spark Connect.
+
+        ``url`` is a Spark Connect endpoint (``sc://host:port``); a bare
+        ``host:port`` is promoted to ``sc://host:port`` to keep the
+        reference's spelling working. Every Session verb (set/get/query
+        helpers) then runs against the remote cluster — the Connect
+        DataFrame API is plan-compatible with the classic one, so the
+        operator layer needs no changes.
+
+        Requires the ``grpcio``/``pyspark[connect]`` extra at runtime;
+        raises ImportError with the install hint when absent (this
+        container ships without it — the shim is import-gated, not
+        stubbed).
+        """
+        try:
+            import grpc  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "Session.connect requires Spark Connect's client deps "
+                "(pip install 'pyspark[connect]')"
+            ) from e
+        if "://" not in url:
+            url = f"sc://{url}"
+        remote = SparkSession.builder.remote(url).getOrCreate()
+        return cls(remote)
+
     # -- catalog -----------------------------------------------------------
     def set(self, name: str, df: DataFrame) -> DataFrame:
         self._catalog[name] = df
