@@ -253,7 +253,10 @@ def q_groupby_highcard(spark, sf):
 
 
 def q_groupby_avg3(spark, sf):
-    # H2O Q4 shape: avg of 3 value columns by a medium-cardinality key
+    # H2O Q4 shape: avg of 3 value columns by a medium-cardinality key.
+    # Bench-only since r4 (bench.py resolves q_* by name): its gate slot
+    # went to time_of_day — the shape is near-duplicate of groupby_stats
+    # and QUERIES sits at the driver's 50-query cap.
     (li,) = _t(spark, sf, "lineitem")
     return select(
         li,
@@ -263,6 +266,30 @@ def q_groupby_avg3(spark, sf):
             "a3": A.avg("l_discount"),
         },
         by="l_suppkey",
+    )
+
+
+def q_time_of_day(spark, sf):
+    """Reference TIME type (i32 ms-of-day, ref core/ops.h:269): clock time
+    extracted from event timestamps, bucketed to the hour — the tick-data
+    "by time-of-day regardless of date" idiom (examples/asof.rfl).
+    Covers ms_of_day (extract), time_from_ms (construct), and the
+    HH:mm render, all JVM expressions on one scan."""
+    (ev,) = _t(spark, sf, "events")
+    ev = ev.withColumn("ms", K.ms_of_day("ts"))
+    out = select(
+        ev,
+        {
+            "n": A.count(),
+            "min_ms": A.min_("ms"),
+            "max_ms": A.max_("ms"),
+            "sum_value": A.sum_exact("value"),
+        },
+        by={"hour": F.floor(F.col("ms") / F.lit(3_600_000)).cast("int")},
+    )
+    return out.withColumn(
+        "hhmm",
+        F.date_format(K.time_from_ms(F.col("hour") * 3_600_000), "HH:mm"),
     )
 
 
@@ -353,7 +380,9 @@ def q_window_join(spark, sf):
     purchases, clicks = _purchases_clicks(spark, sf)
     return window_join(
         purchases, clicks, on="user_id", time_col="ts",
-        lo=F.col("ts") - NS_5MIN, hi=F.col("ts") + NS_5MIN,
+        # constant ns offsets: window_join auto-routes to the
+        # block-decomposed window_join_fixed plan (no pair enumeration)
+        lo=-NS_5MIN, hi=NS_5MIN,
         aggs={
             "min_click": A.min_("click_value"),
             "max_click": A.max_("click_value"),
@@ -838,7 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ediv_emod": q_ediv_emod,
     "null_semantics": q_null_semantics,
     "groupby_highcard": q_groupby_highcard,
-    "groupby_avg3": q_groupby_avg3,
+    "time_of_day": q_time_of_day,
     "groupby_sum3_highcard": q_groupby_sum3_highcard,
     "groupby_manykeys": q_groupby_manykeys,
     "tpch_q3ish": q_tpch_q3ish,
@@ -961,10 +990,22 @@ ORACLE: dict[str, str] = {
         SELECT l_partkey, sum(l_quantity) AS sum_qty, avg(l_discount) AS avg_disc
         FROM lineitem GROUP BY 1
     """,
-    "groupby_avg3": """
-        SELECT l_suppkey, avg(l_quantity) AS a1, avg(l_extendedprice) AS a2,
-               avg(l_discount) AS a3
-        FROM lineitem GROUP BY 1
+    "time_of_day": """
+        -- ms_of_day twin: floor-mod of epoch_us keeps pre-epoch clocks
+        -- positive; time_from_ms twin: make_timestamp(us) on the epoch day
+        SELECT hour, n, min_ms, max_ms, sum_value,
+               strftime(make_timestamp(CAST(hour AS BIGINT) * 3600000000),
+                        '%H:%M') AS hhmm
+        FROM (
+          SELECT CAST(floor(ms / 3600000.0) AS INT) AS hour,
+                 count(*) AS n, min(ms) AS min_ms, max(ms) AS max_ms,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          FROM (SELECT CAST(floor((((epoch_us(ts) % 86400000000)
+                             + 86400000000) % 86400000000) / 1000.0) AS INT)
+                       AS ms, value
+                FROM events)
+          GROUP BY 1
+        )
     """,
     "groupby_sum3_highcard": """
         SELECT l_orderkey, sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rayforce_spark.functions.kdb import to_ns
+
 
 def sessionize_batch(
     df: DataFrame,
@@ -27,17 +29,20 @@ def sessionize_batch(
     """Assign gap-based sessions and aggregate one row per session.
 
     A new session starts when the time since the key's previous event
-    exceeds ``gap`` (same units as ``ts_col``). Returns
+    exceeds ``gap`` (ns for Timestamp(NTZ) columns, column units for
+    longs — the gap test runs on the i64-ns shadow either way, so both
+    temporal dtypes sessionize identically). Returns
     (key, session_seq, session_start, session_end, n_events, **aggs) —
-    ``session_seq`` is the 1-based session ordinal per key. Pass
-    ``tiebreak`` columns to make the event order (and hence lag)
-    deterministic when timestamps collide.
+    ``session_seq`` is the 1-based session ordinal per key; the session
+    bounds keep ``ts_col``'s own dtype. Pass ``tiebreak`` columns to make
+    the event order (and hence lag) deterministic when timestamps collide.
     """
     order = [ts_col, *(tiebreak or [])]
+    tns = to_ns(F.col(ts_col), df.schema[ts_col].dataType)
     w = Window.partitionBy(key_col).orderBy(*order)
     is_break = (
         F.when(F.lag(ts_col).over(w).isNull(), 1)
-        .when(F.col(ts_col) - F.lag(ts_col).over(w) > gap, 1)
+        .when(tns - F.lag(tns).over(w) > gap, 1)
         .otherwise(0)
     )
     run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(

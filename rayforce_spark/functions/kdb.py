@@ -21,8 +21,18 @@ from typing import Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DataType,
+    DateType,
+    LongType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 ColumnOrName = Union[Column, str]
+
+#: Spark types the engine treats as temporal instants (besides i64-ns longs).
+TEMPORAL_TYPES = (TimestampType, TimestampNTZType)
 
 
 def _col(c) -> Column:
@@ -132,8 +142,11 @@ def xbar(n, x: ColumnOrName) -> Column:
     x = _col(x)
     n_c = _col(n)
     # try_divide: zero bucket width -> null (the reference's XBAR macros
-    # null out y == 0, ref core/ops.h:193-197; plain / throws under ANSI)
-    return (F.floor(F.try_divide(x, n_c)) * n_c)
+    # null out y == 0, ref core/ops.h:193-197; plain / throws under ANSI).
+    # The result is f64 like the reference's XBARF64: F.floor yields
+    # LongType, and leaving the silent long would diverge from the f64
+    # verb on fractional input (r1-r3 oracle dtype mismatch).
+    return (F.floor(F.try_divide(x, n_c)) * n_c).cast("double")
 
 
 def xbar_i(n, x: ColumnOrName) -> Column:
@@ -145,13 +158,18 @@ def xbar_i(n, x: ColumnOrName) -> Column:
     return (ediv(x_c, n_c) * n_c.cast("long")).cast("long")
 
 
-def xbar_time(seconds: int, ts: ColumnOrName) -> Column:
-    """xbar over a timestamp column: bucket to ``seconds``-wide bars.
+def xbar_time(seconds: int, ts: ColumnOrName, dtype: DataType | None = None) -> Column:
+    """xbar over a temporal column: bucket to ``seconds``-wide bars.
 
     Equivalent of the reference's xbar on TIME/TIMESTAMP columns
-    (i64 nanos, ref core/ops.h:273-276), expressed on Spark TimestampType.
+    (i64 nanos, ref core/ops.h:273-276). Accepts a Timestamp(NTZ)
+    expression directly (dtype None or temporal) or the engine's i64-ns
+    shadow longs (pass ``LongType()``); always returns TimestampType bars.
     """
-    ts = _col(ts)
+    if isinstance(dtype, LongType):
+        ts = ns_to_timestamp(ts)
+    else:
+        ts = _col(ts).cast("timestamp")
     secs = F.floor(ts.cast("double") / seconds) * seconds
     return F.timestamp_seconds(secs)
 
@@ -246,22 +264,50 @@ def til(spark, n: int):
     return spark.range(n).withColumnRenamed("id", "x")
 
 
-def ns_to_us(x: ColumnOrName) -> Column:
-    """i64 epoch-nanos -> epoch-micros, exactly. Plain ``x/1000`` routes
-    through double and loses bits above 2^53 (ns epochs are ~1.7e18);
-    decimal division is exact. Pairs with DuckDB's epoch_us()."""
+def to_ns(x: ColumnOrName, dtype: DataType | None = None) -> Column:
+    """Exact i64 epoch-nanos from EITHER temporal shape the engine meets:
+
+    * LongType — already the canonical i64-ns shadow (SURVEY §1.2):
+      identity;
+    * TimestampType / TimestampNTZType — what real parquet usually
+      carries (µs precision): ``unix_micros * 1000``, exact i64 (µs
+      epochs are ~1.7e15; *1000 stays well inside i64). NTZ wall-clock is
+      read as a UTC instant (the engine pins
+      ``spark.sql.session.timeZone=UTC``, session.py), matching DuckDB's
+      timezone-less ``epoch_ns()``.
+
+    Spark columns are statically typed where the reference dispatches on
+    runtime type (ref core/ops.h:264-277 temporal conversions), so the
+    dispatch needs the column's DataType — pass
+    ``df.schema[name].dataType``; ``None`` assumes the canonical ns-long.
+    """
+    c = _col(x)
+    if isinstance(dtype, (*TEMPORAL_TYPES, DateType)):
+        return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
+    return c
+
+
+def ns_to_us(x: ColumnOrName, dtype: DataType | None = None) -> Column:
+    """Temporal column -> i64 epoch-micros, exactly. For the i64-ns shape,
+    plain ``x/1000`` routes through double and loses bits above 2^53 (ns
+    epochs are ~1.7e18); decimal division is exact. Timestamp input is
+    unix_micros directly. Pairs with DuckDB's epoch_us()."""
+    if isinstance(dtype, TEMPORAL_TYPES):
+        return F.unix_micros(_col(x).cast("timestamp"))
     return (_col(x).cast("decimal(38,0)") / 1000).cast("long")
 
 
-def ns_to_timestamp(x: ColumnOrName) -> Column:
-    """i64 epoch-nanos -> TimestampType (µs precision), the reference's
+def ns_to_timestamp(x: ColumnOrName, dtype: DataType | None = None) -> Column:
+    """Temporal column -> TimestampType (µs precision), the reference's
     ns-timestamp column (ref core/ops.h:273-276) surfaced as a Spark
-    temporal."""
+    temporal. Timestamp(NTZ) input passes through (one cast)."""
+    if isinstance(dtype, TEMPORAL_TYPES):
+        return _col(x).cast("timestamp")
     return F.timestamp_micros(ns_to_us(x))
 
 
-def ms_of_day(ts: ColumnOrName) -> Column:
-    """TimestampType -> i32 milliseconds since midnight UTC — the
+def ms_of_day(ts: ColumnOrName, dtype: DataType | None = None) -> Column:
+    """Temporal column -> i32 milliseconds since midnight UTC — the
     reference's time-of-day TIME type (i32 millis, ref core/ops.h:269),
     extracted from a timestamp. Its tick-data idiom buckets quotes by
     time-of-day regardless of date (examples/asof.rfl).
@@ -270,8 +316,12 @@ def ms_of_day(ts: ColumnOrName) -> Column:
     (floor-mod), matching a clock reading. DuckDB twin:
     ``CAST(floor(((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000 / 1000) AS INT)``.
     """
-    us = F.pmod(F.unix_micros(_col(ts)), F.lit(86_400_000_000))
-    return F.floor(us / 1000).cast("int")
+    if isinstance(dtype, TEMPORAL_TYPES):
+        us = F.unix_micros(_col(ts).cast("timestamp"))
+    else:
+        us = ns_to_us(ts)  # i64-ns shadow; exact decimal divide
+    us_of_day = F.pmod(us, F.lit(86_400_000_000))
+    return F.floor(us_of_day / 1000).cast("int")
 
 
 def time_from_ms(ms: ColumnOrName) -> Column:

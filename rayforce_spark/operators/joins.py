@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rayforce_spark.functions.aggregates import AggExpr
-from rayforce_spark.functions.kdb import ediv
+from rayforce_spark.functions.kdb import ediv, to_ns
 
 _LEFT_TAG = "__rf_is_left"
 _RID = "__rf_rid"
@@ -108,15 +108,21 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in keys and c != asof]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
 
-    # right row order for duplicate-timestamp last-wins
+    # right row order for duplicate-timestamp last-wins. __rf_t goes
+    # through to_ns so i64-ns-long and Timestamp(NTZ) asof columns — even
+    # mixed across the two sides — order in one comparable dtype
+    # (the reference dispatches its temporal types at runtime,
+    # ref core/ops.h:264-277; Spark dispatches here, statically).
     r = right.select(
         *keys,
-        F.col(asof).alias("__rf_t"),
+        to_ns(F.col(asof), right.schema[asof].dataType).alias("__rf_t"),
         F.monotonically_increasing_id().alias(_RID),
         *[F.col(c).alias(out_names[c]) for c in right_cols],
     ).withColumn(_LEFT_TAG, F.lit(0))
 
-    l = left.withColumn("__rf_t", F.col(asof)).withColumn(_LEFT_TAG, F.lit(1)).withColumn(
+    l = left.withColumn(
+        "__rf_t", to_ns(F.col(asof), left.schema[asof].dataType)
+    ).withColumn(_LEFT_TAG, F.lit(1)).withColumn(
         _RID, F.lit(None).cast("long")
     )
     for c in right_cols:
@@ -148,8 +154,8 @@ def window_join(
     right: DataFrame,
     on: Union[str, Sequence[str]],
     time_col: str,
-    lo: Column,
-    hi: Column,
+    lo: Union[Column, int],
+    hi: Union[Column, int],
     aggs: Mapping[str, AggExpr],
     *,
     closed: bool = True,
@@ -161,14 +167,33 @@ def window_join(
 
     Reference: ref core/join.c:358-488, core/index.c:3287,
     docs queries/joins.md:154-243. ``lo``/``hi`` are expressions over the
-    LEFT row (the reference supplies [lo-vec hi-vec]).
+    LEFT row (the reference supplies [lo-vec hi-vec]) — or plain ints,
+    read as CONSTANT offsets around the left time (``[t+lo, t+hi]``, ns
+    for temporal columns, column units for longs), the reference's own
+    benchmark idiom.
 
-    Spark plan: equi-join on keys with the range conjunct (hash join on
-    keys, range as post-filter), then re-aggregate on a left row id.
-    Skewed keys are split by AQE skew-join. Left rows with no right rows
-    in range are preserved (null/zero aggregates) via a left join.
+    Spark plan: constant offsets with decomposable aggregates route to
+    :func:`window_join_fixed` — the block-decomposed running-aggregate
+    plan that never enumerates (left, right) pairs (the generic form is
+    quadratic on dense keys). Everything else: equi-join on keys with the
+    range conjunct (hash join on keys, range as post-filter), then
+    re-aggregate on a left row id. Skewed keys are split by AQE
+    skew-join. Left rows with no right rows in range are preserved
+    (null/zero aggregates) via a left join.
     """
     keys = _keys(on)
+    norm_time = None
+    if isinstance(lo, int) and isinstance(hi, int):
+        try:
+            return window_join_fixed(
+                left, right, on, time_col, lo, hi, aggs, closed=closed
+            )
+        except ValueError:
+            # non-decomposable agg (or degenerate interval): build the
+            # offset bounds on the ns shadow and take the generic plan
+            t_ns = to_ns(F.col(time_col), left.schema[time_col].dataType)
+            lo, hi = t_ns + F.lit(lo), t_ns + F.lit(hi)
+            norm_time = True
     lt = left.withColumn(_LID, F.monotonically_increasing_id()).withColumn(
         "__rf_lo", lo
     ).withColumn("__rf_hi", hi)
@@ -178,6 +203,8 @@ def window_join(
 
     eq = [lt[k] == rt[rt_names[k]] for k in keys]
     t = rt[rt_names[time_col]]
+    if norm_time:
+        t = to_ns(t, right.schema[time_col].dataType)
     rng = (t >= lt["__rf_lo"]) & (t <= lt["__rf_hi"]) if closed else (
         (t > lt["__rf_lo"]) & (t < lt["__rf_hi"])
     )
@@ -292,9 +319,12 @@ def window_join_fixed(
                 fn(F.col(f"__rf_r_{aggs[name].arg_name}")).alias(f"__p_{name}_{i}")
             )
     arg_names = sorted({a.arg_name for a in aggs.values()})
+    # both sides' time goes through to_ns: offsets and block math run on
+    # the canonical i64-ns shadow whether the column is a long or a
+    # Timestamp(NTZ) (offsets are then ns / column units respectively)
     rt = right.select(
         *keys,
-        F.col(time_col).alias("__rf_t"),
+        to_ns(F.col(time_col), right.schema[time_col].dataType).alias("__rf_t"),
         *[F.col(n).alias(f"__rf_r_{n}") for n in arg_names],
     ).withColumn("__rf_blk", ediv(F.col("__rf_t"), F.lit(B)))  # exact
     # floor-div: double-routed / loses exactness above 2^53 (epoch-ns)
@@ -331,10 +361,11 @@ def window_join_fixed(
     lt = left.withColumn(
         _LID, F.monotonically_increasing_id()
     ).localCheckpoint(eager=False)
+    lt_ns = to_ns(F.col(time_col), left.schema[time_col].dataType)
     probe_hi = lt.select(
         _LID, *keys,
-        ediv(F.col(time_col) + hi, F.lit(B)).alias("__rf_blk"),
-        (F.col(time_col) + hi).alias("__rf_pt"),
+        ediv(lt_ns + hi, F.lit(B)).alias("__rf_blk"),
+        (lt_ns + hi).alias("__rf_pt"),
     )
     pre_side = summary.select(
         *keys, "__rf_blk", F.col("__rf_t").alias("__rf_pt"), *pre_cols
@@ -345,8 +376,8 @@ def window_join_fixed(
     ).select(_LID, *pre_cols)
     probe_lo = lt.select(
         _LID, *keys,
-        ediv(F.col(time_col) + lo, F.lit(B)).alias("__rf_blk"),
-        (-(F.col(time_col) + lo)).alias("__rf_nt"),
+        ediv(lt_ns + lo, F.lit(B)).alias("__rf_blk"),
+        (-(lt_ns + lo)).alias("__rf_nt"),
     )
     suf_side = summary.select(
         *keys, "__rf_blk", (-F.col("__rf_t")).alias("__rf_nt"), *suf_cols

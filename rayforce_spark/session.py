@@ -12,11 +12,45 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+#: event-time columns canonicalized to i64-ns at load (TESTDATA: events.ts).
+#: Date-valued timestamps (l_shipdate, o_orderdate) stay temporal — they are
+#: compared/bucketed as calendar dates, not event-time arithmetic operands.
+NS_SHADOW_COLS = ("ts",)
+
+
+def normalize_ns(df: DataFrame, cols=NS_SHADOW_COLS) -> DataFrame:
+    """Canonicalize event-time columns to the engine's i64 epoch-ns shape.
+
+    SURVEY §1.2's "LongType ns shadow" strategy: the reference's timestamps
+    are i64 nanos (ref core/ops.h:273-276); parquet in the wild carries
+    TIMESTAMP(µs) (the driver fixture does, all SFs — r3's gate regression
+    was exactly this dtype drift). Rewriting Timestamp(NTZ) event-time
+    columns to ``unix_micros*1000`` longs right after the scan gives the
+    temporal operators one canonical dtype; it is a pure projection
+    (column pruning and parquet predicate pushdown on other columns are
+    unaffected, and Catalyst folds it into the scan's project). NTZ
+    wall-clock is read as a UTC instant — the engine pins the session
+    timezone to UTC, so this matches DuckDB's timezone-less epoch_ns().
+    The operators also dispatch on dtype themselves (functions/kdb.to_ns),
+    so non-normalized timestamp inputs still work — this just keeps one
+    canonical shape inside the engine.
+    """
+    reps = {
+        f.name: F.unix_micros(F.col(f.name).cast("timestamp")) * F.lit(1000)
+        for f in df.schema.fields
+        if f.name in cols
+        and isinstance(f.dataType, (TimestampType, TimestampNTZType))
+    }
+    return df.withColumns(reps) if reps else df
 
 
 def get_spark(app_name: str = "rayforce_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -120,7 +154,7 @@ class Session:
         for t in tables or TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(path):
-                out[t] = self.set(t, self.spark.read.parquet(path))
+                out[t] = self.set(t, normalize_ns(self.spark.read.parquet(path)))
         return out
 
 
@@ -128,12 +162,18 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     """Functional form of Session.load_dir for driver entry points.
 
     Sets the nanos-as-long conf on the given session (runtime-settable), so
-    externally created sessions can read the TIMESTAMP(NANOS) parquet too.
+    externally created sessions can read TIMESTAMP(NANOS) parquet too;
+    TIMESTAMP(µs) columns (what the fixture carries) are normalized to the
+    same i64-ns shadow by :func:`normalize_ns` — both parquet temporal
+    encodings land on one canonical dtype.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ wall-clock -> instant goes through the session tz; pin UTC so
+    # externally created sessions agree with DuckDB's epoch_us()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for t in tables or TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
-            out[t] = spark.read.parquet(path)
+            out[t] = normalize_ns(spark.read.parquet(path))
     return out
