@@ -381,8 +381,9 @@ def q_window_join(spark, sf):
     return window_join(
         purchases, clicks, on="user_id", time_col="ts",
         # constant ns offsets: window_join auto-routes to the
-        # block-decomposed window_join_fixed plan (no pair enumeration)
-        lo=-NS_5MIN, hi=NS_5MIN,
+        # block-decomposed window_join_fixed plan (no pair enumeration);
+        # event_id is a real key, so no synthetic-id checkpoint
+        lo=-NS_5MIN, hi=NS_5MIN, row_id_col="event_id",
         aggs={
             "min_click": A.min_("click_value"),
             "max_click": A.max_("click_value"),

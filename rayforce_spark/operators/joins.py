@@ -159,6 +159,7 @@ def window_join(
     aggs: Mapping[str, AggExpr],
     *,
     closed: bool = True,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Window join: per left row, aggregate right rows with
     ``time_col`` in [lo, hi] (closed bounds; ``closed=False`` = open
@@ -186,7 +187,8 @@ def window_join(
     if isinstance(lo, int) and isinstance(hi, int):
         try:
             return window_join_fixed(
-                left, right, on, time_col, lo, hi, aggs, closed=closed
+                left, right, on, time_col, lo, hi, aggs,
+                closed=closed, row_id_col=row_id_col,
             )
         except ValueError:
             # non-decomposable agg (or degenerate interval): build the
@@ -194,7 +196,11 @@ def window_join(
             t_ns = to_ns(F.col(time_col), left.schema[time_col].dataType)
             lo, hi = t_ns + F.lit(lo), t_ns + F.lit(hi)
             norm_time = True
-    lt = left.withColumn(_LID, F.monotonically_increasing_id()).withColumn(
+    lid = (
+        F.col(row_id_col) if row_id_col is not None
+        else F.monotonically_increasing_id()
+    )
+    lt = left.withColumn(_LID, lid).withColumn(
         "__rf_lo", lo
     ).withColumn("__rf_hi", hi)
 
@@ -246,11 +252,19 @@ def window_join_fixed(
     aggs: Mapping[str, AggExpr],
     *,
     closed: bool = True,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Window join for CONSTANT interval offsets (the reference's own
     benchmark idiom ``(map-left + [-10000 10000] ts)``) and decomposable
     aggregates (min/max/sum/count/avg): per left row, aggregate right rows
     with ``time_col`` in [t+lo, t+hi].
+
+    ``row_id_col``: a left column already unique per row (primary key).
+    Without it the plan synthesizes monotonic ids and pins them with a
+    lazy localCheckpoint (a synthetic id may not be recomputed
+    identically across plan fan-out); with it the checkpoint
+    materialization is skipped entirely — always pass one when you have
+    one.
 
     Semantics identical to :func:`window_join` with ``lo=col+lo, hi=col+hi``
     (ref core/join.c:358-488); the plan is what changes. The generic form
@@ -261,12 +275,16 @@ def window_join_fixed(
 
     Every interval of length B = hi-lo intersects exactly two width-B time
     blocks, so agg([t+lo, t+hi]) = combine(suffix-agg of block b from
-    t+lo, prefix-agg of block b+1 up to t+hi). The suffix/prefix running
-    aggregates are two Window passes over right rows pre-combined per
-    (key, block, timestamp) — one shuffle — and each left row picks its
-    two split values with an as-of probe (greatest ts <= t+hi in block
-    b+1; least ts >= t+lo in block b, as-of over negated time). Four
-    O(n+m) shuffles total, no pair blowup, no per-key buffering: the
+    t+lo, prefix-agg of block b+1 up to t+hi). Each left row explodes
+    into two PROBE rows (one at t+hi in block b+1, one at t+lo in block
+    b) carrying the left payload, unioned with the raw right rows;
+    running aggregates over ``partitionBy(keys, block)`` — ascending for
+    the prefix, descending for the suffix — read the split values
+    directly AT the probe rows, because probe rows carry null values and
+    running sum/min/max/count skip nulls. A final row-id fold stitches
+    each left row's two halves (and its payload) back together. TWO
+    exchanges total — right+probes into the window, probes into the fold
+    — no pair blowup, no per-key buffering, no join-back: the
     sorted-merge running-extrema plan the reference hand-codes per key,
     expressed distributively.
     """
@@ -308,86 +326,132 @@ def window_join_fixed(
         )
 
     plans = {name: _plan(a) for name, a in aggs.items()}
-
-    # 1. pre-combine right rows per (keys, block, ts): removes duplicate-ts
-    # ordering concerns and shrinks the window input; map-side combine.
-    partial_cols, n_parts = [], {}
-    for name, (fns, _) in plans.items():
-        n_parts[name] = len(fns)
-        for i, fn in enumerate(fns):
-            partial_cols.append(
-                fn(F.col(f"__rf_r_{aggs[name].arg_name}")).alias(f"__p_{name}_{i}")
-            )
     arg_names = sorted({a.arg_name for a in aggs.values()})
-    # both sides' time goes through to_ns: offsets and block math run on
-    # the canonical i64-ns shadow whether the column is a long or a
-    # Timestamp(NTZ) (offsets are then ns / column units respectively)
+
+    # Tie order at equal time: closed bounds include an exactly-at-bound
+    # right row, so right rows sort BEFORE probe rows (running agg at the
+    # probe sees them); open bounds (window-join1) flip it.
+    side_rt, side_pr = (0, 1) if closed else (1, 0)
+
+    # right rows — time through to_ns: offsets and block math run on the
+    # canonical i64-ns shadow whether the column is a long or a
+    # Timestamp(NTZ) (offsets are then ns / column units respectively).
+    # ediv = exact floor-div (double-routed / loses bits above 2^53).
     rt = right.select(
         *keys,
         to_ns(F.col(time_col), right.schema[time_col].dataType).alias("__rf_t"),
         *[F.col(n).alias(f"__rf_r_{n}") for n in arg_names],
-    ).withColumn("__rf_blk", ediv(F.col("__rf_t"), F.lit(B)))  # exact
-    # floor-div: double-routed / loses exactness above 2^53 (epoch-ns)
-    g = rt.groupBy(*keys, "__rf_blk", "__rf_t").agg(*partial_cols)
+    )
+    from pyspark.sql.types import StructType
 
-    # 2. running prefix (block order) and suffix (reverse) aggregates —
-    # same hash partitioning, two sort orders
-    wf = (
-        Window.partitionBy(*keys, "__rf_blk").orderBy(F.col("__rf_t").asc())
+    pay_type = StructType(left.schema.fields)
+    rt = rt.select(
+        *keys,
+        ediv(F.col("__rf_t"), F.lit(B)).alias("__rf_blk"),
+        "__rf_t",
+        F.lit(side_rt).alias("__rf_side"),
+        F.lit(None).cast("long").alias(_LID),
+        F.lit(0).alias("__rf_kind"),
+        F.lit(None).cast(pay_type).alias("__rf_pay"),
+        *[f"__rf_r_{n}" for n in arg_names],
+    )
+
+    # probe rows: each left row explodes into block(t+hi) (reads the
+    # running PREFIX there) and block(t+lo) (reads the running SUFFIX),
+    # carrying the whole left row as a struct payload. One linear pass —
+    # no plan fan-out, so a synthetic monotonic row id is computed once
+    # and both probes of a left row always agree on it (task retries
+    # recompute the partition as a unit); a caller-supplied key is
+    # nicer (stable across runs) but no longer required for correctness.
+    lid = (
+        F.col(row_id_col) if row_id_col is not None
+        else F.monotonically_increasing_id()
+    )
+    lt_ns = to_ns(F.col(time_col), left.schema[time_col].dataType)
+    null_args = [
+        F.lit(None).cast(right.schema[n].dataType).alias(f"__rf_r_{n}")
+        for n in arg_names
+    ]
+    # the id select stays SEPARATE from (and below) the explode select:
+    # expressions in the same select as a generator are evaluated per
+    # OUTPUT row, which would mint two different monotonic ids per left
+    # row (observed; nondeterministic exprs are not collapsed through
+    # Generate, so a dedicated projection pins the evaluation point)
+    base = left.select(
+        *keys,
+        lid.alias(_LID),
+        F.struct(*left.columns).alias("__rf_pay"),
+        lt_ns.alias("__rf_lt"),
+    )
+    probes_src = base.select(
+        *keys,
+        _LID,
+        "__rf_pay",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("__rf_lt") + hi).alias("t"), F.lit(1).alias("kind")
+                ),
+                F.struct(
+                    (F.col("__rf_lt") + lo).alias("t"), F.lit(2).alias("kind")
+                ),
+            )
+        ).alias("__rf_pb"),
+    ).select(
+        *keys,
+        ediv(F.col("__rf_pb.t"), F.lit(B)).alias("__rf_blk"),
+        F.col("__rf_pb.t").alias("__rf_t"),
+        F.lit(side_pr).alias("__rf_side"),
+        F.col(_LID),
+        F.col("__rf_pb.kind").alias("__rf_kind"),
+        "__rf_pay",
+        *null_args,
+    )
+
+    u = rt.unionByName(probes_src)
+
+    # running prefix (time order) and suffix (reverse) aggregates over
+    # right+probe rows together — probe rows carry null values, and
+    # running sum/min/max/count skip nulls, so the value AT a probe row
+    # IS the block prefix/suffix split this left row needs. One exchange
+    # on (keys, block), two in-partition sort orders.
+    wasc = (
+        Window.partitionBy(*keys, "__rf_blk")
+        .orderBy(F.col("__rf_t").asc(), F.col("__rf_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wb = (
-        Window.partitionBy(*keys, "__rf_blk").orderBy(F.col("__rf_t").desc())
+    wdesc = (
+        Window.partitionBy(*keys, "__rf_blk")
+        .orderBy(F.col("__rf_t").desc(), F.col("__rf_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run_cols = []
     for name, (fns, _) in plans.items():
+        arg = F.col(f"__rf_r_{aggs[name].arg_name}")
         for i, fn in enumerate(fns):
-            agg_fn = F.sum if fn is F.count else fn  # counts accumulate by sum
-            run_cols.append(agg_fn(f"__p_{name}_{i}").over(wf).alias(f"__pre_{name}_{i}"))
-            run_cols.append(agg_fn(f"__p_{name}_{i}").over(wb).alias(f"__suf_{name}_{i}"))
-    summary = g.select(*keys, "__rf_blk", "__rf_t", *run_cols)
-    pre_cols = [c for c in summary.columns if c.startswith("__pre_")]
-    suf_cols = [c for c in summary.columns if c.startswith("__suf_")]
+            run_cols.append(fn(arg).over(wasc).alias(f"__pre_{name}_{i}"))
+            run_cols.append(fn(arg).over(wdesc).alias(f"__suf_{name}_{i}"))
+    probes = u.select(_LID, "__rf_kind", "__rf_pay", *run_cols).filter(
+        F.col("__rf_kind") != 0
+    )
 
-    # 3. probe: prefix of block(t+hi) at greatest ts <= t+hi, suffix of
-    # block(t+lo) at least ts >= t+lo (as-of over negated time). asof_join
-    # bounds are non-strict; strict gives the open-bounds (wj1) variant.
-    # localCheckpoint (lazy) pins the monotonic row ids before the plan
-    # fans out into probe_hi / probe_lo / combined, which self-join on
-    # _LID: recomputing an un-pinned branch (task retry, AQE replan) could
-    # assign different ids per branch and silently misalign rows. The
-    # checkpoint materializes left once and all three branches read it.
-    lt = left.withColumn(
-        _LID, F.monotonically_increasing_id()
-    ).localCheckpoint(eager=False)
-    lt_ns = to_ns(F.col(time_col), left.schema[time_col].dataType)
-    probe_hi = lt.select(
-        _LID, *keys,
-        ediv(lt_ns + hi, F.lit(B)).alias("__rf_blk"),
-        (lt_ns + hi).alias("__rf_pt"),
-    )
-    pre_side = summary.select(
-        *keys, "__rf_blk", F.col("__rf_t").alias("__rf_pt"), *pre_cols
-    )
-    got_hi = asof_join(
-        probe_hi, pre_side, [*keys, "__rf_blk"], "__rf_pt",
-        strict=not closed,
-    ).select(_LID, *pre_cols)
-    probe_lo = lt.select(
-        _LID, *keys,
-        ediv(lt_ns + lo, F.lit(B)).alias("__rf_blk"),
-        (-(lt_ns + lo)).alias("__rf_nt"),
-    )
-    suf_side = summary.select(
-        *keys, "__rf_blk", (-F.col("__rf_t")).alias("__rf_nt"), *suf_cols
-    )
-    got_lo = asof_join(
-        probe_lo, suf_side, [*keys, "__rf_blk"], "__rf_nt",
-        strict=not closed,
-    ).select(_LID, *suf_cols)
+    # fold each left row's two probe rows into one (exactly one row per
+    # kind per _LID, so any agg picks the value; map-side combine) and
+    # recover the left payload — no join back to the left side at all
+    hi_probe = F.col("__rf_kind") == 1
+    fold_cols = [F.first("__rf_pay").alias("__rf_pay")]
+    for name, (fns, _) in plans.items():
+        for i in range(len(fns)):
+            fold_cols.append(
+                F.max(F.when(hi_probe, F.col(f"__pre_{name}_{i}")))
+                .alias(f"__pre_{name}_{i}")
+            )
+            fold_cols.append(
+                F.max(F.when(~hi_probe, F.col(f"__suf_{name}_{i}")))
+                .alias(f"__suf_{name}_{i}")
+            )
+    per_lid = probes.groupBy(_LID).agg(*fold_cols)
 
-    combined = lt.join(got_hi, _LID, "left").join(got_lo, _LID, "left")
     out_cols = []
     for name, (fns, comb) in plans.items():
         p = [F.col(f"__pre_{name}_{i}") for i in range(len(fns))]
@@ -395,7 +459,9 @@ def window_join_fixed(
         out = comb(p, s)
         a = aggs[name]
         out_cols.append((a.wrap(out) if a.wrap else out).alias(name))
-    return combined.select(*left.columns, *out_cols)
+    return per_lid.select(
+        *[F.col(f"__rf_pay.{c}").alias(c) for c in left.columns], *out_cols
+    )
 
 
 def insert(target: DataFrame, rows: DataFrame) -> DataFrame:
