@@ -72,6 +72,10 @@ def get_spark(app_name: str = "rayforce_spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # vectorized two-level aggregate hash map: row-batch probing for
+        # codegen'd partial aggregation (off by default upstream; measured
+        # neutral-to-better on the H2O group-by shapes here)
+        .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
         # ns-precision timestamps (the reference's i64 nanos,
         # ref core/ops.h:273-276) surface as LongType nanos — SURVEY §1.2's
         # "LongType shadow column" strategy.
