@@ -121,16 +121,29 @@ class Session:
         container ships without it — the shim is import-gated, not
         stubbed).
         """
+        hint = (
+            "Session.connect requires Spark Connect's client deps "
+            "(pip install 'pyspark[connect]')"
+        )
         try:
             import grpc  # noqa: F401
         except ImportError as e:
-            raise ImportError(
-                "Session.connect requires Spark Connect's client deps "
-                "(pip install 'pyspark[connect]')"
-            ) from e
+            raise ImportError(hint) from e
         if "://" not in url:
             url = f"sc://{url}"
-        remote = SparkSession.builder.remote(url).getOrCreate()
+        try:
+            remote = SparkSession.builder.remote(url).getOrCreate()
+        except ImportError as e:
+            # grpc alone isn't enough (grpcio-status, googleapis protos,
+            # pandas/pyarrow are also required) — keep the install hint
+            raise ImportError(hint) from e
+        except RuntimeError as e:
+            raise RuntimeError(
+                f"{e} — note a classic (non-Connect) SparkSession already "
+                "active in this process prevents builder.remote(); stop it "
+                "with SparkSession.getActiveSession().stop() first, or "
+                "connect from a fresh process"
+            ) from e
         return cls(remote)
 
     # -- catalog -----------------------------------------------------------

@@ -19,11 +19,13 @@ from rayforce_spark.streaming.journal import (
     replay_journal,
 )
 from rayforce_spark.streaming.ops import stream_xbar_agg, timer
+from rayforce_spark.streaming.stateful import sessionize
 
 __all__ = [
     "Journal",
     "read_journal_stream",
     "replay_journal",
+    "sessionize",
     "stream_xbar_agg",
     "timer",
 ]

@@ -31,7 +31,17 @@ def stream_xbar_agg(
     ``window`` emits overlapping bars (each event lands in
     window/slide bars) — the reference has no sliding idiom short of a
     window-join; here it's the same groupBy.
+
+    Accepts either temporal shape (Timestamp(NTZ) or the engine's i64-ns
+    shadow longs — watermarks need a timestamp, so ns-longs get one
+    projection through ns_to_timestamp first).
     """
+    from pyspark.sql.types import LongType
+
+    from rayforce_spark.functions.kdb import ns_to_timestamp
+
+    if isinstance(stream.schema[ts_col].dataType, LongType):
+        stream = stream.withColumn(ts_col, ns_to_timestamp(ts_col))
     win = (
         F.window(F.col(ts_col), window, slide)
         if slide else F.window(F.col(ts_col), window)

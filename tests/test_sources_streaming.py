@@ -127,6 +127,37 @@ def test_stream_xbar_agg(spark, tmp_path):
         q.stop()
 
 
+def test_stream_xbar_agg_ns_long(spark, tmp_path):
+    # the engine's canonical i64-ns shadow dtype must stream too:
+    # watermarks need a timestamp, so the operator projects ns->timestamp
+    jpath = str(tmp_path / "nsjournal")
+    schema = "ts long, px double"
+    j = Journal(jpath, schema)
+    base = 1_704_067_200 * 1_000_000_000  # 2024-01-01T00:00:00Z ns
+    j.append([
+        {"ts": base + 10 * 10**9, "px": 1.0},
+        {"ts": base + 20 * 10**9, "px": 3.0},
+        {"ts": base + 420 * 10**9, "px": 5.0},
+    ])
+    stream = read_journal_stream(spark, jpath, schema)
+    agg = stream_xbar_agg(
+        stream, "ts", "5 minutes", {"avg_px": F.avg("px")}
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("xbar_ns_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT bar.start AS s, avg_px FROM xbar_ns_out ORDER BY s"
+        ).collect()
+        assert [r.avg_px for r in rows] == [2.0, 5.0]
+        assert rows[0].s.minute == 0 and rows[1].s.minute == 5
+    finally:
+        q.stop()
+
+
 def test_stream_xbar_agg_sliding(spark, tmp_path):
     jpath = str(tmp_path / "slidejournal")
     schema = "ts timestamp, px double"
