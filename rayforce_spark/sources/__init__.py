@@ -17,6 +17,7 @@ The reference's disk formats map onto Parquet:
 from rayforce_spark.sources.csv import read_csv, write_csv
 from rayforce_spark.sources.splayed import get_splayed, set_splayed
 from rayforce_spark.sources.parted import get_parted, set_parted
+from rayforce_spark.sources.bucketed import get_bucketed, set_bucketed
 
 __all__ = [
     "read_csv",
@@ -25,4 +26,6 @@ __all__ = [
     "set_splayed",
     "get_parted",
     "set_parted",
+    "get_bucketed",
+    "set_bucketed",
 ]

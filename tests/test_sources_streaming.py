@@ -64,6 +64,36 @@ def test_parted_roundtrip_and_pruning(spark, tables, tmp_path):
     assert got == want > 0
 
 
+def test_bucketed_join_no_exchange(spark, tables, tmp_path):
+    # the 100 TB co-location contract: both sides bucketed on the join
+    # key -> the equi-join plans with ZERO Exchange operators (and, with
+    # sortBy, zero Sort operators) — the scan layout satisfies the join
+    from rayforce_spark.sources import get_bucketed, set_bucketed
+
+    o = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    li = tables["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    set_bucketed(o, "b_orders", "o_orderkey", n_buckets=4,
+                 path=str(tmp_path / "b_orders"))
+    set_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=4,
+                 path=str(tmp_path / "b_lineitem"))
+    bo, bl = get_bucketed(spark, "b_orders"), get_bucketed(spark, "b_lineitem")
+    # disable auto-broadcast so the small test tables take the
+    # large-table code path (SMJ) the bucketing is designed for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bl, "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == tables["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_journal_replay_and_stream(spark, tmp_path):
     jpath = str(tmp_path / "journal")
     schema = "k long, v string"
