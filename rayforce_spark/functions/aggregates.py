@@ -182,6 +182,16 @@ def count_distinct(c: ColumnOrName) -> AggExpr:
     return AggExpr(F.countDistinct(_col(c)))
 
 
+def approx_count_distinct(c: ColumnOrName, rsd: float = 0.05) -> AggExpr:
+    """HyperLogLog++ distinct-count sketch — the 100 TB path: exact
+    count_distinct plans an Expand (one input duplication per distinct
+    aggregate) and keeps every distinct value in the agg hash map;
+    the sketch is fixed-size mergeable state per group. ``rsd`` is the
+    max relative standard deviation (default 5%)."""
+    fn = lambda col: F.approx_count_distinct(col, rsd)  # noqa: E731
+    return _make(fn, c)
+
+
 def first(c: ColumnOrName) -> AggExpr:
     """ref core/items.c:1031 (= at_idx 0, grouped fast path
     core/query.c:58-79): the literal first element — a null first element

@@ -126,6 +126,27 @@ def main():
     if n_ex != 1:
         failures.append("sessionize.one_shuffle")
 
+    # 7b. fixed-offset window join: the block-decomposed plan is exactly
+    # two hash exchanges (right+probes into the running-agg window,
+    # probes into the per-row fold) — a third would mean the join-back
+    # crept back in
+    from rayforce_spark.operators.joins import window_join
+
+    import rayforce_spark.functions.aggregates as AGG
+
+    wj = window_join(
+        l, r, on="user_id", time_col="ts",
+        lo=-300_000_000_000, hi=300_000_000_000,
+        aggs={"n_cv": AGG.count("cv"), "max_cv": AGG.max_("cv")},
+        row_id_col="event_id",
+    )
+    pwj = plan_of(wj)
+    n_wx = pwj.count("Exchange hashpartitioning")
+    print(f"[{'ok' if n_wx == 2 else 'VIOLATION'}] window_join_fixed.two_shuffles: "
+          f"{n_wx} hash exchange(s)")
+    if n_wx != 2:
+        failures.append("window_join_fixed.two_shuffles")
+
     # 8. no driver-gated query plans a GLOBAL window (empty partition
     # spec = Exchange SinglePartition + full sort — a scale-killer).
     # Walk the optimized logical plan and check Window.partitionSpec

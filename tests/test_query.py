@@ -20,6 +20,21 @@ def test_groupby_sum(tables, duck):
     )
 
 
+def test_approx_count_distinct_close_to_exact(tables):
+    # HLL++ sketch vs exact: within the configured rsd on real data
+    out = select(
+        tables["lineitem"],
+        {
+            "exact": A.count_distinct("l_partkey"),
+            "approx": A.approx_count_distinct("l_partkey", rsd=0.02),
+        },
+        by="l_returnflag",
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r.approx - r.exact) <= max(3, 0.08 * r.exact), r
+
+
 def test_groupby_multi_aggs(tables, duck):
     out = select(
         tables["lineitem"],
