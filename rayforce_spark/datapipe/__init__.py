@@ -20,6 +20,12 @@ from rayforce_spark.datapipe.dedup import (
     simhash,
     simhash_dup_pairs,
 )
+from rayforce_spark.datapipe.multimodal import (
+    attach_binary,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from rayforce_spark.datapipe.similarity import ivf_train, knn_cosine, knn_ivf, knn_lsh
 from rayforce_spark.datapipe.sessions import sessionize_batch
 from rayforce_spark.datapipe.text import (
@@ -30,7 +36,11 @@ from rayforce_spark.datapipe.text import (
 )
 
 __all__ = [
+    "attach_binary",
     "dedup_exact",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
     "sessionize_batch",
     "embedding_dup_pairs",
     "jaccard_dup_pairs",

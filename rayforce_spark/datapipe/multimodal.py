@@ -121,6 +121,64 @@ def extract_features(
     return narrow.mapInPandas(gen, out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize plumbing: emit (id, content, width, height) with the target
+    dimensions via mapInPandas — the same narrow-projection Arrow-batch
+    shape as extract_features, so the wide table never ships to Python.
+
+    decoder="real" is the PIL/opencv plug-point (decode -> resample ->
+    re-encode), not available in this container. decoder="fake"
+    deterministically "resizes" by resampling the BYTE stream to a
+    length proportional to the pixel count (length = width*height bytes,
+    cycled from the source) — content-derived, order-free, and
+    reproducible, so partitioning/batching are fully testable.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "media codecs (PIL/opencv) are not installed in this "
+            "environment; use decoder='fake' for plumbing tests"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    narrow = df.select(id_col, content_col)
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField(content_col, T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ])
+    n_out = width * height
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def fake_resize(c):
+            if c is None:
+                return None
+            b = bytes(c) or b"\x00"
+            reps = -(-n_out // len(b))  # ceil
+            return (b * reps)[:n_out]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                content_col: [fake_resize(c) for c in pdf[content_col]],
+                "width": width,
+                "height": height,
+            })
+
+    return narrow.mapInPandas(gen, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     *,

@@ -17,7 +17,12 @@ from rayforce_spark.datapipe import (
     simhash_dup_pairs,
     token_count,
 )
-from rayforce_spark.datapipe.multimodal import attach_binary, extract_features, sample_frames
+from rayforce_spark.datapipe.multimodal import (
+    attach_binary,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 
 from tests.conftest import assert_matches_duckdb
 
@@ -202,6 +207,16 @@ def test_multimodal_plumbing(tables):
     frames = sample_frames(vids, every_ms=1000)
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 4 for r in per)  # 0,1000,2000,3000
+
+    small = resize_media(media, width=4, height=3)
+    srows = small.collect()
+    assert len(srows) == 20
+    assert all(len(r.content) == 12 and r.width == 4 and r.height == 3
+               for r in srows)
+    # deterministic: same source bytes -> same resized bytes
+    again = {r.media_id: bytes(r.content)
+             for r in resize_media(media, width=4, height=3).collect()}
+    assert all(again[r.media_id] == bytes(r.content) for r in srows)
 
 
 def test_extract_features_real_decoder_stub(tables):
