@@ -306,20 +306,30 @@ def ns_to_timestamp(x: ColumnOrName, dtype: DataType | None = None) -> Column:
     return F.timestamp_micros(ns_to_us(x))
 
 
-def ms_of_day(ts: ColumnOrName, dtype: DataType | None = None) -> Column:
+def ms_of_day(ts: ColumnOrName, dtype: DataType | None = None,
+              *, truncated: bool = False) -> Column:
     """Temporal column -> i32 milliseconds since midnight UTC — the
     reference's time-of-day TIME type (i32 millis, ref core/ops.h:269),
     extracted from a timestamp. Its tick-data idiom buckets quotes by
     time-of-day regardless of date (examples/asof.rfl).
 
-    unix_micros is exact i64; pmod keeps pre-epoch timestamps positive
-    (floor-mod), matching a clock reading. DuckDB twin:
+    unix_micros is exact i64; by default pmod keeps pre-epoch timestamps
+    positive (floor-mod), matching a clock reading. DuckDB twin:
     ``CAST(floor(((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000 / 1000) AS INT)``.
+
+    ``truncated=True`` is exact reference parity instead: the reference's
+    timestamp_to_time uses C ``%``/``/`` (truncated toward zero), so
+    pre-epoch inputs yield NEGATIVE values (e.g. -1.234s -> -1234), not a
+    positive clock reading. Identical for post-1970 data.
     """
     if isinstance(dtype, TEMPORAL_TYPES):
         us = F.unix_micros(_col(ts).cast("timestamp"))
     else:
         us = ns_to_us(ts)  # i64-ns shadow; exact decimal divide
+    if truncated:
+        # Spark's % on longs is C-truncated; double->int cast truncates
+        # toward zero (values < 8.64e10 are double-exact)
+        return ((us % 86_400_000_000) / 1000).cast("int")
     us_of_day = F.pmod(us, F.lit(86_400_000_000))
     return F.floor(us_of_day / 1000).cast("int")
 

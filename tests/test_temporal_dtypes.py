@@ -153,6 +153,20 @@ def test_sessionize_dtype_parity(spark, pre_epoch):
         _rows(b.select(*cols), ("session_start", "session_end"))
 
 
+def test_ms_of_day_truncated_reference_parity(spark):
+    # reference timestamp_to_time is C truncated %/: pre-epoch -> negative
+    # (ref core/ops.h:269); the default floor-mod form gives a clock value
+    rows = [(-1_234_567_000,), (1_234_567_000,)]  # ns: -1.234567s, +1.234567s
+    df = spark.createDataFrame(rows, "ts LONG")
+    out = df.select(
+        K.ms_of_day("ts").alias("clock"),
+        K.ms_of_day("ts", truncated=True).alias("trunc"),
+    ).collect()
+    pre, post = out[0], out[1]
+    assert pre.trunc == -1234 and pre.clock == 86_400_000 - 1235
+    assert post.trunc == 1234 and post.clock == 1234
+
+
 @pytest.mark.parametrize("pre_epoch", [False, True])
 def test_scalar_temporal_dtype_parity(spark, pre_epoch):
     l_long, l_ts = _make_events(spark, seed=9, pre_epoch=pre_epoch)
