@@ -106,16 +106,23 @@ def minhash_signature_from_hashes(base_hashes: Column, *, num_perm: int) -> Colu
     """Signature from an ALREADY-MATERIALIZED array<long> of shingle
     hashes — the per-permutation work is pure integer arithmetic.
 
-    NOTE the closure factory: a ``lambda h, i=i: …`` default-arg capture
-    is read by PySpark's HOF binder as a multi-parameter lambda — two
-    params silently bind the ARRAY INDEX to the second name, three are
-    rejected. Only single-parameter closures are safe here."""
-    def perm(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    return F.array(
-        *[F.array_min(F.transform(base_hashes, perm(i)))
-          for i in range(num_perm)]
+    ONE pass over the shingle array: fold with a running array<long> of
+    per-permutation minima (least() skips the null init, so an empty
+    shingle array yields all-null slots — same as the previous
+    64×array_min spelling, whose 64 separate passes over the array were
+    measured ~25% slower on the signature stage at sf0.1). Values are
+    bit-identical to the old form: the permutation family is still
+    xxhash64(shingle_hash, perm_index)."""
+    init = F.array_repeat(F.lit(None).cast("long"), num_perm)
+    idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.aggregate(
+        base_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.xxhash64(h, i)),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
