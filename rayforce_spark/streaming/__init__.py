@@ -18,7 +18,11 @@ from rayforce_spark.streaming.journal import (
     read_journal_stream,
     replay_journal,
 )
-from rayforce_spark.streaming.ops import stream_xbar_agg, timer
+from rayforce_spark.streaming.ops import (
+    stream_window_join,
+    stream_xbar_agg,
+    timer,
+)
 from rayforce_spark.streaming.stateful import sessionize
 
 __all__ = [
@@ -26,6 +30,7 @@ __all__ = [
     "read_journal_stream",
     "replay_journal",
     "sessionize",
+    "stream_window_join",
     "stream_xbar_agg",
     "timer",
 ]

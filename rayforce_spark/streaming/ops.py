@@ -54,6 +54,64 @@ def stream_xbar_agg(
     )
 
 
+def stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "str | list[str]",
+    time_col: str,
+    lo_seconds: float,
+    hi_seconds: float,
+    *,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream window join: the streaming twin of the batch
+    ``window_join`` — per left event, right events with the same keys
+    whose time falls in ``[t+lo_seconds, t+hi_seconds]``.
+
+    The reference's engine has no streaming join (its IPC loop mutates
+    session tables row-by-row, examples/sesslog.rfl); Structured
+    Streaming's watermarked interval join is the scale form: both sides
+    declare a watermark, and the time-range conjunct lets Spark BOUND
+    the join state (old rows are dropped once the watermark passes
+    t+hi). Aggregate downstream for the window_join(aggs=...) shape.
+
+    Accepts Timestamp(NTZ) or i64-ns-long time columns (longs get one
+    ns_to_timestamp projection — watermarks need timestamps). Right
+    columns (except the keys) are prefixed with ``right_prefix``.
+    ``how``: "inner" (default), or the outer forms Spark supports for
+    stream-stream joins ("leftOuter"/"rightOuter"/"fullOuter").
+    """
+    from pyspark.sql.types import LongType
+
+    from rayforce_spark.functions.kdb import ns_to_timestamp
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if isinstance(left.schema[time_col].dataType, LongType):
+        left = left.withColumn(time_col, ns_to_timestamp(time_col))
+    if isinstance(right.schema[time_col].dataType, LongType):
+        right = right.withColumn(time_col, ns_to_timestamp(time_col))
+    l = left.withWatermark(time_col, watermark)
+    r = right.withWatermark(time_col, watermark)
+    for c in r.columns:
+        if c not in keys:
+            r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    rt = F.col(f"{right_prefix}{time_col}")
+    lt = F.col(time_col)
+    cond = None
+    for k in keys:
+        e = l[k] == r[k]
+        cond = e if cond is None else cond & e
+    cond = cond & rt.between(
+        lt + F.expr(f"INTERVAL {lo_seconds} SECONDS"),
+        lt + F.expr(f"INTERVAL {hi_seconds} SECONDS"),
+    )
+    joined = l.join(r, cond, how)
+    # drop the duplicated right key columns
+    return joined.drop(*[r[k] for k in keys])
+
+
 def timer(
     stream_df: DataFrame,
     fn: Callable[[DataFrame, int], None],

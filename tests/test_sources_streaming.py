@@ -188,6 +188,45 @@ def test_stream_xbar_agg_ns_long(spark, tmp_path):
         q.stop()
 
 
+def test_stream_window_join(spark, tmp_path):
+    # streaming twin of window_join: purchases enriched with clicks in
+    # [t-60s, t+60s]; ns-long time columns take the timestamp projection
+    from rayforce_spark.streaming import stream_window_join
+
+    base = 1_704_067_200 * 1_000_000_000  # 2024-01-01T00:00:00Z ns
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema = "user LONG, ts LONG, amount DOUBLE"
+    rschema = "user LONG, ts LONG, click DOUBLE"
+    jl, jr = Journal(lpath, lschema), Journal(rpath, rschema)
+    jl.append([
+        {"user": 1, "ts": base + 100 * 10**9, "amount": 5.0},
+        {"user": 2, "ts": base + 200 * 10**9, "amount": 7.0},
+    ])
+    jr.append([
+        {"user": 1, "ts": base + 80 * 10**9, "click": 0.5},   # in window
+        {"user": 1, "ts": base + 90 * 10**9, "click": 0.7},   # in window
+        {"user": 1, "ts": base + 300 * 10**9, "click": 0.9},  # out
+        {"user": 2, "ts": base + 199 * 10**9, "click": 0.2},  # in window
+    ])
+    ls = read_journal_stream(spark, lpath, lschema)
+    rs = read_journal_stream(spark, rpath, rschema)
+    j = stream_window_join(ls, rs, "user", "ts", -60, 60)
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory").queryName("swj_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user, amount, r_click FROM swj_out ORDER BY user, r_click"
+        ).collect()
+        assert [(r.user, r.amount, r.r_click) for r in rows] == [
+            (1, 5.0, 0.5), (1, 5.0, 0.7), (2, 7.0, 0.2),
+        ]
+    finally:
+        q.stop()
+
+
 def test_stream_xbar_agg_sliding(spark, tmp_path):
     jpath = str(tmp_path / "slidejournal")
     schema = "ts timestamp, px double"
