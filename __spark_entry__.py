@@ -914,6 +914,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of datapipe.dedup.cosine, deterministic cross-engine:
+    double products rounded ONCE to 1e-9 fixed-point units, summed as
+    exact integers (association-free), one IEEE sqrt/divide on identical
+    inputs. list_cosine_similarity's internal summation matched Spark's
+    fold only to the last ulp, which flipped a round(·,6) boundary at
+    sf0.1."""
+    u = "1000000000.0"
+    dot = (f"(CAST(list_sum(list_transform(list_zip({a}::DOUBLE[], "
+           f"{b}::DOUBLE[]), x -> CAST(round(x[1]*x[2]*{u}) AS BIGINT)))"
+           f" AS DOUBLE) / {u})")
+    na2 = (f"(CAST(list_sum(list_transform({a}::DOUBLE[], "
+           f"v -> CAST(round(v*v*{u}) AS BIGINT))) AS DOUBLE) / {u})")
+    nb2 = (f"(CAST(list_sum(list_transform({b}::DOUBLE[], "
+           f"v -> CAST(round(v*v*{u}) AS BIGINT))) AS DOUBLE) / {u})")
+    return f"{dot} / NULLIF(sqrt({na2} * {nb2}), 0.0)"
+
+
+# knn_lsh (planes=1, tables=16) and knn_ivf (nprobe=nlist) run in
+# recall-exact configurations (see the query docstrings), so all three
+# knn queries reproduce the brute-force top-k and share one oracle
+_KNN_ORACLE = f"""
+    WITH pc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 3
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pc
+    ) WHERE rank <= 5
+"""
+
+
 ORACLE: dict[str, str] = {
     "groupby_stats": """
         SELECT l_returnflag,
@@ -1287,56 +1323,16 @@ ORACLE: dict[str, str] = {
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.f, b.f)) <= 8
     """,
-    "dedup_embedding": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[]), 6) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                     b.embedding::DOUBLE[]) >= 0.4
+    "dedup_embedding": f"""
+        SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_cos_sql('a.embedding', 'b.embedding')} AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos >= 0.4
     """,
-    "knn_cosine": """
-        SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_cosine_similarity(q.embedding::DOUBLE[],
-                                        c.embedding::DOUBLE[]) AS cos,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                                   c.embedding::DOUBLE[]) DESC,
-                            c.vec_id) AS rank
-          FROM embeddings q JOIN embeddings c ON q.vec_id < 3
-        ) WHERE rank <= 5
-    """,
-    # knn_lsh (planes=1, tables=16) and knn_ivf (nprobe=nlist) run in
-    # recall-exact configurations (see the query docstrings), so both
-    # reproduce the brute-force top-k and share knn_cosine's oracle
-    "knn_lsh": """
-        SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_cosine_similarity(q.embedding::DOUBLE[],
-                                        c.embedding::DOUBLE[]) AS cos,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                                   c.embedding::DOUBLE[]) DESC,
-                            c.vec_id) AS rank
-          FROM embeddings q JOIN embeddings c ON q.vec_id < 3
-        ) WHERE rank <= 5
-    """,
-    "knn_ivf": """
-        SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_cosine_similarity(q.embedding::DOUBLE[],
-                                        c.embedding::DOUBLE[]) AS cos,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                                   c.embedding::DOUBLE[]) DESC,
-                            c.vec_id) AS rank
-          FROM embeddings q JOIN embeddings c ON q.vec_id < 3
-        ) WHERE rank <= 5
-    """,
+    "knn_cosine": _KNN_ORACLE,
+    "knn_lsh": _KNN_ORACLE,
+    "knn_ivf": _KNN_ORACLE,
     "text_analysis": """
         -- language_id: distinct-stopword-overlap argmax, ties broken by
         -- the lexicographically greatest language code (Spark's

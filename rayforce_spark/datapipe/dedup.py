@@ -397,17 +397,69 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+#: fixed-point unit for cross-engine-exact cosine: products are rounded
+#: once to 1e-9 units and summed as LONGS — exact, association-free, and
+#: codegen-fast (a decimal-accumulator variant measured ~20x slower).
+#: Unit sums stay far inside i64 for |element| < ~9 and dim <= ~1e6.
+_COS_UNIT = 1_000_000_000.0
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns — JVM-side
-    (zip_with + aggregate), no UDF."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v,
+    (zip_with + aggregate), no UDF.
+
+    Cross-engine deterministic by construction: elements are promoted to
+    double, each product is rounded ONCE to 1e-9 fixed-point units
+    (double multiply + round — identical in any IEEE engine), and the
+    sums run in exact integer arithmetic, so there is no float-sum
+    association drift between engines or partitionings; the final
+    divide/sqrt are single IEEE ops on identical inputs. (A plain double
+    fold matched DuckDB's list_cosine_similarity only to the last ulp,
+    and a cosine sitting on a round(·, 6) boundary flipped at sf0.1.)
+    The 1e-9 quantization shifts the cosine by ~1e-8 relative — far
+    below any near-duplicate threshold's meaningful resolution."""
+    return cosine_from_units(dot_units(a, b), norm_units(a), norm_units(b))
+
+
+def _prod_units(x: Column, y: Column) -> Column:
+    return F.round(
+        x.cast("double") * y.cast("double") * F.lit(_COS_UNIT)
+    ).cast("long")
+
+
+def norm_units(v: Column) -> Column:
+    """Squared-norm of a vector in 1e-9 fixed-point units (long).
+
+    Spark's higher-order lambdas are interpreted per element, so
+    PRECOMPUTE this once per vector before any pairwise join — a
+    cosine() call inside an n^2 join re-folds both norms per pair
+    (measured 3x the pair stage's cost)."""
+    return F.aggregate(
+        v, F.lit(0).cast("long"),
+        lambda acc, x: acc + _prod_units(x, x),
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    # try_divide: zero vectors -> NULL similarity rather than an ANSI error
-    return F.try_divide(dot, na * nb)
+
+
+def dot_units(a: Column, b: Column) -> Column:
+    """Dot product in 1e-9 fixed-point units (long) — the only
+    per-pair fold cosine needs when norms are precomputed."""
+    return F.aggregate(
+        F.zip_with(a, b, _prod_units),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+
+
+def cosine_from_units(dot_u: Column, na_u: Column, nb_u: Column) -> Column:
+    """Combine fixed-point dot/norm units into the cosine — single IEEE
+    ops, identical in any engine. try_divide: zero vectors -> NULL
+    similarity rather than an ANSI error."""
+    unit = F.lit(_COS_UNIT)
+    return F.try_divide(
+        dot_u.cast("double") / unit,
+        F.sqrt(
+            (na_u.cast("double") / unit) * (nb_u.cast("double") / unit)
+        ),
+    )
 
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
@@ -416,13 +468,18 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     the smaller side broadcast — correct but quadratic: use as the
     verifier/oracle, or behind an LSH candidate filter (see
     similarity.knn_lsh) at corpus scale. Returns (id_a, id_b, cos)."""
-    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    v = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__nu", norm_units(F.col("__v")))  # once per vector
     pairs = (
         v.alias("a")
         .join(F.broadcast(v.alias("b")), F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+            cosine_from_units(
+                dot_units(F.col("a.__v"), F.col("b.__v")),
+                F.col("a.__nu"), F.col("b.__nu"),
+            ).alias("cos"),
         )
     )
     return pairs.filter(F.col("cos") >= threshold)

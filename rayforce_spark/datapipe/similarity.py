@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rayforce_spark.datapipe.dedup import cosine
+from rayforce_spark.datapipe.dedup import cosine_from_units, dot_units, norm_units
 
 
 def knn_cosine(
@@ -38,11 +38,20 @@ def knn_cosine(
     by neighbor id (deterministic). No driver collect — the query side is
     broadcast, scoring is a single pass over the corpus."""
     qid = query_id_col or id_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # norms fold once per side BEFORE the cross join (HOF lambdas are
+    # interpreted — per-pair refolds cost 3x the scoring stage)
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", norm_units(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", norm_units(F.col("__cv")))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id", "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        cosine_from_units(
+            dot_units(F.col("__qv"), F.col("__cv")),
+            F.col("__qn"), F.col("__cn"),
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -196,15 +205,19 @@ def knn_ivf(
         )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__list", _nearest(F.col("__cv"), centroids, 1)[0])
+    ).withColumn("__list", _nearest(F.col("__cv"), centroids, 1)[0]) \
+        .withColumn("__cn", norm_units(F.col("__cv")))
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn(
         "__list", F.explode(_nearest(F.col("__qv"), centroids, nprobe))
-    )
+    ).withColumn("__qn", norm_units(F.col("__qv")))
     cand = q.join(c, "__list").select(
         "query_id", "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        cosine_from_units(
+            dot_units(F.col("__qv"), F.col("__cv")),
+            F.col("__qn"), F.col("__cn"),
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -235,7 +248,9 @@ def knn_lsh(
     qid = query_id_col or id_col
 
     def with_buckets(df, idc, out_id):
-        sel = df.select(F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_v"))
+        sel = df.select(
+            F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_v")
+        ).withColumn(f"__{out_id}_n", norm_units(F.col(f"__{out_id}_v")))
         buckets = F.array(*[
             F.struct(
                 F.lit(t).alias("tbl"),
@@ -244,8 +259,10 @@ def knn_lsh(
             )
             for t in range(tables)
         ])
-        return sel.select(out_id, f"__{out_id}_v", F.explode(buckets).alias("bk")) \
-                  .select(out_id, f"__{out_id}_v", "bk.tbl", "bk.key")
+        return sel.select(
+            out_id, f"__{out_id}_v", f"__{out_id}_n",
+            F.explode(buckets).alias("bk"),
+        ).select(out_id, f"__{out_id}_v", f"__{out_id}_n", "bk.tbl", "bk.key")
 
     qb = with_buckets(queries, qid, "query_id")
     cb = with_buckets(corpus, id_col, "neighbor_id")
@@ -254,7 +271,10 @@ def knn_lsh(
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("cos"),
+            cosine_from_units(
+                dot_units(F.col("__query_id_v"), F.col("__neighbor_id_v")),
+                F.col("__query_id_n"), F.col("__neighbor_id_n"),
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
