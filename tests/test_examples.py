@@ -24,6 +24,10 @@ NAMES = sorted(
 def test_example_runs(spark, name, tmp_path, monkeypatch):
     # journal/sesslog write files — run with a scratch cwd
     monkeypatch.chdir(tmp_path)
+    # the scripts end with spark.stop() (correct standalone); here they
+    # share the session-scoped fixture, so stop() must be a no-op or
+    # every later test in the suite dies with a dead SparkContext
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
     if EXAMPLES_DIR not in sys.path:
         sys.path.insert(0, EXAMPLES_DIR)
     mod = importlib.import_module(name)
