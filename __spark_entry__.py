@@ -1199,9 +1199,11 @@ ORACLE: dict[str, str] = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
           SELECT user_id, tns, value,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS session_seq
+                 CAST(sum(brk) OVER (PARTITION BY user_id
+                                     ORDER BY tns, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                      AS BIGINT) AS session_seq
           FROM flagged
         )
         SELECT user_id, session_seq,

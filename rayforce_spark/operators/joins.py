@@ -345,12 +345,19 @@ def window_join_fixed(
     from pyspark.sql.types import StructType
 
     pay_type = StructType(left.schema.fields)
+    # the right-side row-id placeholder must union-type with the probe
+    # side's id: a caller-supplied row_id_col may be any unique column
+    # (string UUID, int, ...), so mirror its dtype; the synthetic
+    # monotonic id is always long.
+    lid_type = (
+        left.schema[row_id_col].dataType if row_id_col is not None else "long"
+    )
     rt = rt.select(
         *keys,
         ediv(F.col("__rf_t"), F.lit(B)).alias("__rf_blk"),
         "__rf_t",
         F.lit(side_rt).alias("__rf_side"),
-        F.lit(None).cast("long").alias(_LID),
+        F.lit(None).cast(lid_type).alias(_LID),
         F.lit(0).alias("__rf_kind"),
         F.lit(None).cast(pay_type).alias("__rf_pay"),
         *[f"__rf_r_{n}" for n in arg_names],

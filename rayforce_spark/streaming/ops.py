@@ -108,7 +108,19 @@ def stream_window_join(
         lt + F.expr(f"INTERVAL {hi_seconds} SECONDS"),
     )
     joined = l.join(r, cond, how)
-    # drop the duplicated right key columns
+    # Collapse the duplicated key columns. For rightOuter/fullOuter the
+    # LEFT copy is NULL on unmatched right rows, so plain drop(right key)
+    # would lose the key those rows exist to report — coalesce instead.
+    if how in ("rightOuter", "fullOuter", "right_outer", "full_outer"):
+        out = [
+            F.coalesce(l[c], r[c]).alias(c) if c in keys else joined[c]
+            for c in left.columns
+        ]
+        out += [
+            joined[c] for c in joined.columns
+            if c.startswith(right_prefix) and c not in left.columns
+        ]
+        return joined.select(*out)
     return joined.drop(*[r[k] for k in keys])
 
 

@@ -313,8 +313,11 @@ def main():
         if os.path.exists(prev_path):
             with open(prev_path) as f:
                 prev = json.load(f)
+            # only fold in a prior minimum when THIS run also succeeded:
+            # a query that regressed to outright failure must publish as
+            # failed, not silently inherit a stale green time.
             for n, ms in prev.get("times_ms", {}).items():
-                if n in times and ms > 0 and (times[n] < 0 or ms < times[n]):
+                if n in times and ms > 0 and 0 < times[n] and ms < times[n]:
                     times[n] = ms
             merged_runs = prev.get("merged_runs", 1) + 1
 
