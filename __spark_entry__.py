@@ -717,6 +717,20 @@ def q_knn_cosine(spark, sf):
     ).withColumn("cos", F.round("cos", 6))
 
 
+def q_knn_cosine_bench(spark, sf):
+    # production scoring path: plain double fold (no per-element
+    # round+cast) — the fixed-point integer cosine exists for
+    # cross-engine oracle exactness and costs ~1/3 more per pair
+    # (r3->r4 bench regression); the gate keeps score="fixed".
+    from rayforce_spark.datapipe import knn_cosine
+
+    (e,) = _t(spark, sf, "embeddings")
+    return knn_cosine(
+        e, e.filter(F.col("vec_id") < 3), "embedding", "vec_id", k=5,
+        score="double",
+    ).withColumn("cos", F.round("cos", 6))
+
+
 def q_knn_lsh(spark, sf):
     """Hyperplane-LSH ANN, oracle-gated: planes=1, per-table candidate
     probability 1-θ/π. The bound must hold for the LOWEST true top-k

@@ -7,6 +7,7 @@ from rayforce_spark.datapipe import (
     dedup_exact,
     doc_fingerprint,
     embedding_dup_pairs,
+    ivf_train,
     jaccard_dup_pairs,
     knn_cosine,
     knn_ivf,
@@ -157,6 +158,51 @@ def test_knn_ivf_recall(tables):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_knn_cosine_double_matches_fixed(tables):
+    # production double-scoring path returns the same top-k sets as the
+    # oracle-exact fixed-point path (last-ulp drift never flips a rank
+    # on real data)
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    fixed = knn_cosine(emb, queries, "embedding", "vec_id", k=5)
+    dbl = knn_cosine(
+        emb, queries, "embedding", "vec_id", k=5, score="double"
+    )
+    fx = {(r.query_id, r.neighbor_id, r.rank) for r in fixed.collect()}
+    db = {(r.query_id, r.neighbor_id, r.rank) for r in dbl.collect()}
+    assert fx == db
+
+
+def test_ivf_highdim(spark):
+    # dim-256 clustered vectors: the vector-native Summarizer mean keeps
+    # the training plan at one aggregate column regardless of dim, and
+    # probing all lists reproduces brute-force top-k
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 256, 4, 50
+    rows = []
+    for c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for i in range(per):
+            rows.append(
+                (c * per + i,
+                 [x + rng.gauss(0, 0.05) for x in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id").isin(0, 50, 100, 150))
+    cents = ivf_train(df, "embedding", "vec_id", nlist=n_clusters, iters=3)
+    assert len(cents) == n_clusters and len(cents[0]) == dim
+    exact = knn_cosine(df, queries, "embedding", "vec_id", k=5)
+    approx = knn_ivf(
+        df, queries, "embedding", "vec_id", k=5,
+        nlist=n_clusters, nprobe=2, centroids=cents,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
 
 
 def test_text_ops_vs_duckdb(tables, duck):
