@@ -76,18 +76,25 @@ def desymbolize(df: DataFrame, table: DataFrame, col: str) -> DataFrame:
 
 
 def symbol_map(table: DataFrame, col: str) -> dict[int, str]:
-    """Collect a symbol table to a driver-side {code: label} dict — for
-    LOW-cardinality columns where a per-query broadcast build (~100ms)
-    would dominate: bake the labels into the plan as a literal map
-    instead (the closest analog of the reference's in-memory symbol
-    array, ref core/symbols.c:24). Keep it to ~1e3 symbols; use
-    desymbolize (broadcast join) beyond that."""
+    """Collect a symbol table to a driver-side {code: label} dict (the
+    closest analog of the reference's in-memory symbol array, ref
+    core/symbols.c:24) — for driver-side formatting or tiny static maps.
+
+    NOT a decode fast path: baking the dict into the plan as a literal
+    map (desymbolize_lit) re-analyzes a 2x|symbols| expression tree on
+    every query — measured ~+110 ms/column at just 100 symbols vs
+    ~+40 ms TOTAL for the broadcast-join decode over a cached symbol
+    table (H2O gq2, r5). Prefer :func:`desymbolize` at any cardinality
+    when the decode runs per query."""
     return {r[col + SYM_SUFFIX]: r[col] for r in table.collect()}
 
 
 def desymbolize_lit(df: DataFrame, mapping: dict[int, str], col: str) -> DataFrame:
     """Swap a code column back to its label via a literal map expression —
-    no join, no broadcast exchange; label lookup happens inside codegen."""
+    no join, no broadcast exchange; label lookup happens inside codegen.
+    Per-query PLAN-ANALYSIS cost scales with the map size (see
+    symbol_map) — use desymbolize unless the plan is built once and
+    re-executed many times."""
     items = []
     for k, v in mapping.items():
         items.append(F.lit(k))

@@ -76,6 +76,13 @@ def get_spark(app_name: str = "rayforce_spark", shuffle_partitions: int | None =
         # codegen'd partial aggregation (off by default upstream; measured
         # neutral-to-better on the H2O group-by shapes here)
         .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+        # first-level fast-map capacity 2^18 (default 2^16): 100k-group
+        # partial aggs otherwise overflow to the BytesToBytesMap fallback
+        # for most rows — measured ~45% faster on 100k-group H2O shapes
+        # (gq3 799->411ms, gq6 682->352, gq5 637->335; 2^20 regresses from
+        # cache footprint). Memory cost is bounded: partial-only, per-task,
+        # and the map spills/falls back as usual when heap is tight.
+        .config("spark.sql.codegen.aggregate.fastHashMap.capacityBit", "18")
         # ns-precision timestamps (the reference's i64 nanos,
         # ref core/ops.h:273-276) surface as LongType nanos — SURVEY §1.2's
         # "LongType shadow column" strategy.
