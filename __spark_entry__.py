@@ -184,12 +184,23 @@ def q_xbar_bucket(spark, sf):
 
 
 def q_update_where(spark, sf):
+    # routed through the Rayfall front-end (rayforce_spark/rayfall): the
+    # reader+evaluator parse the reference's own surface syntax
+    # (ref core/parse.c, core/eval.c:934) and stage onto operators.query —
+    # this gate run covers update-where + nested select projection verbatim
+    from rayforce_spark.rayfall import eval_str
+
     (o,) = _t(spark, sf, "orders")
-    return update(
-        o,
-        {"o_totalprice": F.col("o_totalprice") * 1.1},
-        where=F.col("o_orderstatus") == "F",
-    ).select("o_orderkey", "o_totalprice")
+    return eval_str(
+        """
+        (select {o_orderkey: o_orderkey o_totalprice: o_totalprice
+                 from: (update {o_totalprice: (* o_totalprice 1.1)
+                                from: orders
+                                where: (= o_orderstatus 'F)})})
+        """,
+        spark,
+        {"orders": o},
+    )
 
 
 def q_update_grouped(spark, sf):
@@ -200,8 +211,16 @@ def q_update_grouped(spark, sf):
 
 
 def q_distinct(spark, sf):
+    # routed through the Rayfall front-end: projection + distinct verb
+    from rayforce_spark.rayfall import eval_str
+
     (li,) = _t(spark, sf, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct()
+    return eval_str(
+        "(distinct (select {l_returnflag: l_returnflag"
+        " l_linestatus: l_linestatus from: lineitem}))",
+        spark,
+        {"lineitem": li},
+    )
 
 
 def q_ediv_emod(spark, sf):

@@ -18,6 +18,8 @@ Layout:
     datapipe   — beyond-reference large-scale pipeline ops: dedup,
                  similarity search, text analysis, multimodal columns
     streaming  — journal replay + timers as Structured Streaming
+    rayfall    — parse/eval of the reference's query strings onto the
+                 verbs above (ref core/parse.c, core/eval.c:934-1005)
 """
 
 from rayforce_spark.session import Session, get_spark
@@ -26,6 +28,7 @@ from rayforce_spark.functions import aggregates as A
 from rayforce_spark.functions import kdb as K
 
 from rayforce_spark.operators.query import select, update
+from rayforce_spark.rayfall import eval_str
 from rayforce_spark.operators.joins import (
     left_join,
     inner_join,
@@ -59,6 +62,7 @@ __all__ = [
     "K",
     "select",
     "update",
+    "eval_str",
     "left_join",
     "inner_join",
     "asof_join",

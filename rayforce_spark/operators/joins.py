@@ -26,6 +26,7 @@ from typing import Mapping, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rayforce_spark.functions import aggregates as _A
 from rayforce_spark.functions.aggregates import AggExpr
 from rayforce_spark.functions.kdb import ediv, to_ns
 
@@ -159,12 +160,16 @@ def window_join(
     aggs: Mapping[str, AggExpr],
     *,
     closed: bool = True,
+    bounds: str | None = None,
     row_id_col: str | None = None,
 ) -> DataFrame:
     """Window join: per left row, aggregate right rows with
-    ``time_col`` in [lo, hi] (closed bounds; ``closed=False`` = open
-    bounds, the reference's window-join1 variant), exact-matching the
-    leading keys.
+    ``time_col`` in [lo, hi] (closed bounds = the reference's
+    ``window-join1``, ref tests/lang.c:4297-4303; ``closed=False`` = open
+    bounds; ``bounds`` in ``"[]" "()" "(]" "[)"`` overrides ``closed``
+    for half-open intervals), exact-matching the leading keys. The
+    reference's ``window-join`` (kdb wj: prevailing row at window entry +
+    half-open window) is :func:`window_join_wj`.
 
     Reference: ref core/join.c:358-488, core/index.c:3287,
     docs queries/joins.md:154-243. ``lo``/``hi`` are expressions over the
@@ -183,12 +188,18 @@ def window_join(
     (null/zero aggregates) via a left join.
     """
     keys = _keys(on)
+    if bounds is None:
+        bounds = "[]" if closed else "()"
+    if bounds not in ("[]", "()", "(]", "[)"):
+        raise ValueError(f"bounds must be one of [] () (] [), got {bounds!r}")
     norm_time = None
     if isinstance(lo, int) and isinstance(hi, int):
         try:
+            if bounds not in ("[]", "()"):
+                raise ValueError("half-open bounds take the generic plan")
             return window_join_fixed(
                 left, right, on, time_col, lo, hi, aggs,
-                closed=closed, row_id_col=row_id_col,
+                closed=(bounds == "[]"), row_id_col=row_id_col,
             )
         except ValueError:
             # non-decomposable agg (or degenerate interval): build the
@@ -211,9 +222,9 @@ def window_join(
     t = rt[rt_names[time_col]]
     if norm_time:
         t = to_ns(t, right.schema[time_col].dataType)
-    rng = (t >= lt["__rf_lo"]) & (t <= lt["__rf_hi"]) if closed else (
-        (t > lt["__rf_lo"]) & (t < lt["__rf_hi"])
-    )
+    lo_cmp = (t >= lt["__rf_lo"]) if bounds[0] == "[" else (t > lt["__rf_lo"])
+    hi_cmp = (t <= lt["__rf_hi"]) if bounds[1] == "]" else (t < lt["__rf_hi"])
+    rng = lo_cmp & hi_cmp
     cond = eq[0]
     for e in eq[1:]:
         cond = cond & e
@@ -469,6 +480,118 @@ def window_join_fixed(
     return per_lid.select(
         *[F.col(f"__rf_pay.{c}").alias(c) for c in left.columns], *out_cols
     )
+
+
+_WID = "__rf_wid"
+
+
+def window_join_wj(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    time_col: str,
+    lo: Union[Column, int],
+    hi: Union[Column, int],
+    aggs: Mapping[str, AggExpr],
+    *,
+    row_id_col: str | None = None,
+) -> DataFrame:
+    """The reference's ``window-join`` — kdb wj convention: per left row
+    with window [lo, hi], aggregate the PREVAILING right row (greatest
+    right ``time_col`` <= lo, exact-matching the leading keys) together
+    with the right rows in the half-open window (lo, hi].
+
+    Semantics pinned by the reference's own tests (ref tests/lang.c:4289:
+    windows ±2000ms over quotes at :00/:02/:04 give minBid [99 100] — the
+    second window [10:00:03, 10:00:07] contains only Bid 101, so the 100
+    is the prevailing quote at window entry) and the docs example's 72501
+    lower bound (docs queries/joins.md:183). The bounds-only variant
+    ``window-join1`` is :func:`window_join` with ``closed=True``.
+
+    Spark plan: in-window :func:`window_join` on (lo, hi] + :func:`asof_join`
+    at the window entry for the prevailing values + an expression-level
+    per-verb merge — keyed shuffles only, no per-pair enumeration, scales
+    like its two components. Supported verbs: min/max/sum/count/avg/
+    first/last/collect (each needs a merge rule for one extra row).
+
+    Int ``lo``/``hi`` are offsets around the left time (ns for temporal
+    columns, column units for longs). Column bounds must be in the right
+    side's raw column units (pass long/ns columns).
+    """
+    keys = _keys(on)
+    fixed = isinstance(lo, int) and isinstance(hi, int)
+
+    if row_id_col is None:
+        # the asof and in-window branches fork the plan from lt; pin the
+        # nondeterministic ids so a task retry / AQE replan cannot
+        # re-assign them on one branch only (same rationale as
+        # items.with_pos_id)
+        lt = left.withColumn(_WID, F.monotonically_increasing_id()).localCheckpoint()
+        wid = _WID
+    else:
+        lt, wid = left, row_id_col
+
+    # --- branch 1: in-window aggregation over (lo, hi] -------------------
+    # avg merges as (sum + prev)/(count + 1) — decompose it
+    inw_aggs: dict[str, AggExpr] = {}
+    plans: dict[str, tuple] = {}
+    for name, a in aggs.items():
+        if not isinstance(a, AggExpr) or a.fn is None or a.arg_name is None:
+            raise ValueError("window_join_wj aggs must be A.* verbs over right column names")
+        if a.fn is F.avg:
+            inw_aggs[f"__wj_s_{name}"] = _A.sum_(a.arg_name)
+            inw_aggs[f"__wj_c_{name}"] = _A.count(a.arg_name)
+        else:
+            inw_aggs[name] = a
+        plans[name] = (a.fn, a.arg_name)
+
+    inw = window_join(
+        lt, right, on, time_col, lo, hi, inw_aggs,
+        bounds="(]", row_id_col=wid,
+    )
+
+    # --- branch 2: prevailing right values at window entry ---------------
+    if fixed:
+        entry = to_ns(F.col(time_col), left.schema[time_col].dataType) + F.lit(lo)
+    else:
+        entry = lo
+    aux = lt.select(*keys, wid, entry.alias(time_col))
+    src_cols = sorted({arg for _, arg in plans.values()})
+    pv = asof_join(aux, right, keys, time_col, right_cols=src_cols)
+    prev_name = {c: (c + "_r" if c in aux.columns else c) for c in src_cols}
+    pv = pv.select(F.col(wid), *[F.col(prev_name[c]).alias(f"__wj_p_{c}") for c in src_cols])
+
+    merged = inw.join(pv, wid, "left")
+
+    # --- merge: fold the prevailing row into each aggregate --------------
+    out_cols = []
+    for name, (fn, arg) in plans.items():
+        p = F.col(f"__wj_p_{arg}")
+        if fn is F.min:
+            e = F.least(F.col(name), p)  # least/greatest skip nulls
+        elif fn is F.max:
+            e = F.greatest(F.col(name), p)
+        elif fn is F.sum:
+            e = F.col(name) + F.coalesce(p, F.lit(0))  # A.sum_ already coalesces to 0
+        elif fn is F.count:
+            e = F.col(name) + F.when(p.isNull(), F.lit(0)).otherwise(F.lit(1))
+        elif fn is F.avg:
+            s = F.col(f"__wj_s_{name}") + F.coalesce(p, F.lit(0))
+            c = F.col(f"__wj_c_{name}") + F.when(p.isNull(), F.lit(0)).otherwise(F.lit(1))
+            e = F.when(c > 0, s / c)
+        elif fn is F.first:
+            e = F.coalesce(p, F.col(name))  # prevailing row is earliest
+        elif fn is F.last:
+            e = F.coalesce(F.col(name), p)
+        elif fn is F.collect_list:
+            e = F.when(p.isNull(), F.col(name)).otherwise(
+                F.concat(F.array(p), F.col(name))
+            )
+        else:
+            raise ValueError(f"window_join_wj: no merge rule for aggregate of {name!r}")
+        out_cols.append(e.alias(name))
+
+    return merged.select(*list(left.columns), *out_cols)
 
 
 def insert(target: DataFrame, rows: DataFrame) -> DataFrame:

@@ -1,0 +1,213 @@
+"""Rayfall reader: query strings -> s-expression AST.
+
+The reference's surface language is a Lisp (parser at ref core/parse.c;
+tokens :126, numbers :507, time :202, timestamp :267, symbols :733,
+vectors :784, lists :937). This reader covers the query subset scoped in
+SURVEY §2.9 / §7 — literals, symbols, vectors, dicts, nested calls — so
+reference doc examples (docs queries/select.md, joins.md, update.md,
+insert.md, upsert.md, examples/*.rfl) run verbatim against the Spark
+verbs. No lambdas, no bytecode VM: those are Python's job in this engine.
+
+Grammar notes (all observed in the reference docs, not its C code):
+- ``(f a b)``        call — a Python list ``[Sym('f'), a, b]``
+- ``{k: v ...}``     dict literal — ``DictLit([(key, ast), ...])``; keys
+                     are identifiers immediately followed by ``:``
+- ``[x 1 'y]``       vector literal — self-quoting: bare identifiers are
+                     symbol literals (``(table [name dept] …)``,
+                     ``(left-join [order_id] …)``)
+- ``'sym``           quoted symbol literal
+- ``"str"``          string
+- ``2021.01.15``     date literal -> datetime.date
+- ``09:00:00[.mmm]`` time literal -> TimeMs (i32 ms-of-day, SURVEY §1.2)
+- ``;`` comment to end of line
+- ``-`` before a digit after a delimiter is a negative-number sign;
+  otherwise it is part of an identifier (``left-join``, ``map-left``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+
+class Sym(str):
+    """Identifier reference (resolved against columns, then env)."""
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Sym({str.__repr__(self)})"
+
+
+class QSym(str):
+    """Quoted symbol literal ``'IT`` — a kdb symbol, i.e. a string value."""
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover
+        return f"QSym({str.__repr__(self)})"
+
+
+class Vec(list):
+    """``[ ... ]`` vector literal (elements already read; bare identifiers
+    arrive as QSym — vector literals self-quote)."""
+    __slots__ = ()
+
+
+class DictLit(list):
+    """``{k: v ...}`` — ordered (key, ast) pairs."""
+    __slots__ = ()
+
+
+class TimeMs(int):
+    """Time-of-day literal, ms since midnight (reference TIME is i32
+    ms-of-day, ref core/chrono.c; SURVEY §1.2)."""
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover
+        return f"TimeMs({int(self)})"
+
+
+_DATE_RE = re.compile(r"^(\d{4})\.(\d{2})\.(\d{2})$")
+_TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,3}))?)?$")
+_INT_RE = re.compile(r"^-?\d+$")
+_FLOAT_RE = re.compile(r"^-?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?$|^-?\d+[eE][+-]?\d+$")
+
+_DELIMS = "()[]{}"
+_WS = " \t\r\n,"
+
+
+def tokenize(src: str) -> list[str]:
+    toks: list[str] = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in _WS:
+            i += 1
+        elif c == ";":
+            while i < n and src[i] != "\n":
+                i += 1
+        elif c in _DELIMS:
+            toks.append(c)
+            i += 1
+        elif c == "'":
+            toks.append(c)
+            i += 1
+        elif c == '"':
+            j = i + 1
+            buf = []
+            while j < n and src[j] != '"':
+                if src[j] == "\\" and j + 1 < n:
+                    esc = src[j + 1]
+                    buf.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\"}.get(esc, esc))
+                    j += 2
+                else:
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise SyntaxError("unterminated string literal")
+            toks.append('"' + "".join(buf))  # leading quote marks a string token
+            i = j + 1
+        else:
+            # atom: runs until whitespace/delimiter/comment. ``:`` ends an
+            # atom only when it terminates a dict key (next char is not a
+            # digit — keeps 09:00:00 whole).
+            j = i
+            while j < n:
+                d = src[j]
+                if d in _WS or d in _DELIMS or d == ";" or d == '"':
+                    break
+                if d == ":" and not (j + 1 < n and src[j + 1].isdigit()):
+                    j += 1  # include the colon: keyword token
+                    break
+                j += 1
+            toks.append(src[i:j])
+            i = j
+    return toks
+
+
+def _atom(tok: str):
+    """Classify a non-delimiter token."""
+    if tok.startswith('"'):
+        return tok[1:]
+    if _INT_RE.match(tok):
+        return int(tok)
+    if _FLOAT_RE.match(tok):
+        return float(tok)
+    m = _DATE_RE.match(tok)
+    if m:
+        return _dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    m = _TIME_RE.match(tok)
+    if m:
+        h, mi = int(m.group(1)), int(m.group(2))
+        s = int(m.group(3) or 0)
+        ms = int((m.group(4) or "0").ljust(3, "0"))
+        return TimeMs(((h * 60 + mi) * 60 + s) * 1000 + ms)
+    return Sym(tok)
+
+
+class _Reader:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        tok = self.peek()
+        if tok is None:
+            raise SyntaxError("unexpected end of input")
+        self.pos += 1
+        return tok
+
+    def read_form(self, *, in_vector: bool = False):
+        tok = self.next()
+        if tok == "(":
+            out = []
+            while self.peek() != ")":
+                if self.peek() is None:
+                    raise SyntaxError("unclosed (")
+                out.append(self.read_form())
+            self.next()
+            return out
+        if tok == "[":
+            out = Vec()
+            while self.peek() != "]":
+                if self.peek() is None:
+                    raise SyntaxError("unclosed [")
+                out.append(self.read_form(in_vector=True))
+            self.next()
+            return out
+        if tok == "{":
+            pairs = DictLit()
+            while self.peek() != "}":
+                key_tok = self.next()
+                if key_tok is None or not key_tok.endswith(":"):
+                    raise SyntaxError(f"dict key expected, got {key_tok!r}")
+                if self.peek() == "}":
+                    raise SyntaxError(f"dict key {key_tok!r} has no value")
+                pairs.append((key_tok[:-1], self.read_form()))
+            self.next()
+            return pairs
+        if tok == "'":
+            nxt = self.read_form()
+            if isinstance(nxt, Sym):
+                return QSym(nxt)
+            return nxt  # 'literal quotes to itself in this subset
+        if tok in (")", "]", "}"):
+            raise SyntaxError(f"unexpected {tok}")
+        if tok.endswith(":") and len(tok) > 1 and not tok[:-1].isdigit():
+            raise SyntaxError(f"keyword {tok!r} outside a dict")
+        v = _atom(tok)
+        # vector literals self-quote bare identifiers: [name dept salary]
+        if in_vector and isinstance(v, Sym):
+            return QSym(v)
+        return v
+
+
+def parse(src: str) -> list:
+    """Read a whole program: returns the list of top-level forms."""
+    r = _Reader(tokenize(src))
+    forms = []
+    while r.peek() is not None:
+        forms.append(r.read_form())
+    return forms

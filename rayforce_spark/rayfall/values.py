@@ -1,0 +1,209 @@
+"""Rayfall value context: driver-side vector verbs for table construction.
+
+The reference builds in-memory tables from literal vectors
+(``(table [cols] (list v1 v2 …))`` — ref core/vary.c table ctor,
+examples/table.rfl, docs queries/select.md). That construction is
+inherently driver-side in any engine; here the vectors feed
+``spark.createDataFrame`` once and everything after is a distributed
+DataFrame. These verbs are NOT the query path — dataset-scale columns come
+from parquet (sources/) and the query verbs (operators/) never call them.
+
+Sizes are literal-vector scale (doc examples: n ≤ 1e5). ``at`` on a
+DataFrame collects one column and is guarded to MAX_COLLECT rows.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from rayforce_spark.rayfall.reader import TimeMs
+
+MAX_COLLECT = 1_000_000
+
+
+class TsNs(int):
+    """Timestamp literal value, ns since epoch (reference TIMESTAMP is
+    i64 ns, SURVEY §1.2)."""
+    __slots__ = ()
+
+
+def _is_vec(x) -> bool:
+    return isinstance(x, list)
+
+
+def _wrap_like(v, a, b):
+    """Preserve temporal tags through arithmetic: TIME ± int stays TIME
+    (ref core/ops.h temporal dispatch)."""
+    for side in (a, b):
+        if isinstance(side, TimeMs):
+            return TimeMs(v)
+        if isinstance(side, TsNs):
+            return TsNs(v)
+    return v
+
+
+def _apply2(op, a, b):
+    if _is_vec(a) and _is_vec(b):
+        if len(a) != len(b):
+            raise ValueError(f"length mismatch: {len(a)} vs {len(b)}")
+        return [_wrap_like(op(x, y), x, y) for x, y in zip(a, b)]
+    if _is_vec(a):
+        return [_wrap_like(op(x, b), x, b) for x in a]
+    if _is_vec(b):
+        return [_wrap_like(op(a, y), a, y) for y in b]
+    return _wrap_like(op(a, b), a, b)
+
+
+def _div_scalar(x, y):
+    # reference `/` on integers is floor division (docs queries/joins.md
+    # asof example: (/ (* (til 10) 3) 10) -> 0 0 0 0 1 1 1 2 2 2);
+    # any float operand promotes to true division.
+    if isinstance(x, float) or isinstance(y, float):
+        return x / y
+    return x // y
+
+
+def add(a, b):
+    return _apply2(lambda x, y: x + y, a, b)
+
+
+def sub(a, b):
+    return _apply2(lambda x, y: x - y, a, b)
+
+
+def mul(a, b):
+    return _apply2(lambda x, y: x * y, a, b)
+
+
+def div(a, b):
+    return _apply2(_div_scalar, a, b)
+
+
+def mod(a, b):
+    return _apply2(lambda x, y: x % y, a, b)
+
+
+def til(n) -> list:
+    return list(range(int(n)))
+
+
+def take(x, n) -> list:
+    """Cyclic take: scalar -> n copies, vector -> cycled to length n
+    (ref core/items.c take; docs joins.md builds symbol columns this way)."""
+    n = int(n)
+    if not _is_vec(x):
+        return [x] * n
+    if not x:
+        raise ValueError("take from empty vector")
+    return [x[i % len(x)] for i in range(n)]
+
+
+def concat(a, b) -> list:
+    av = a if _is_vec(a) else [a]
+    bv = b if _is_vec(b) else [b]
+    return av + bv
+
+
+def reverse_(x) -> list:
+    return list(reversed(x))
+
+
+def distinct_(x) -> list:
+    return list(dict.fromkeys(x))
+
+
+def as_value(type_name: str, x):
+    """Value-context cast ``(as 'TIME i)`` etc. Ints cast to TIME are read
+    as ms-of-day, to TIMESTAMP as ns — the reference's raw reinterpretation
+    (ref core/compose.c:42)."""
+    t = type_name.lower()
+
+    def one(v):
+        if t == "time":
+            return TimeMs(v)
+        if t == "timestamp":
+            return TsNs(v)
+        if t == "f64":
+            return float(v)
+        if t in ("i64", "i32", "i16"):
+            return int(v)
+        if t in ("symbol", "c8", "string"):
+            return str(v)
+        raise ValueError(f"as: unsupported value cast '{type_name}")
+
+    return [one(v) for v in x] if _is_vec(x) else one(x)
+
+
+def map_left(op, left, right) -> list:
+    """(map-left f xs y): apply f(x, y) for each x — a list of results
+    (docs joins.md builds window intervals this way)."""
+    return [op(x, right) for x in (left if _is_vec(left) else [left])]
+
+
+def map_right(op, left, right) -> list:
+    """(map-right f x ys): apply f(x, y) for each y."""
+    return [op(left, y) for y in (right if _is_vec(right) else [right])]
+
+
+def at_collect(df, col: str) -> list:
+    """(at table 'col) in value context: one column to the driver.
+
+    Guarded: this is the doc-example idiom for building interval vectors —
+    never a dataset-scale path (window-join's offset form bypasses it
+    entirely, see evalr._eval_window_join)."""
+    n = df.count()
+    if n > MAX_COLLECT:
+        raise ValueError(
+            f"(at table 'col) collects to the driver; table has {n} rows "
+            f"(max {MAX_COLLECT}). Use the query verbs for dataset-scale work."
+        )
+    return [r[0] for r in df.select(col).collect()]
+
+
+def spark_type_of(values: list):
+    """Infer one Spark DDL type for a literal column."""
+    kinds = {type(v) for v in values if v is not None}
+    if not kinds:
+        return "string"
+    if kinds <= {TimeMs, int} and TimeMs in kinds:
+        return "long"  # ms-of-day (documented TIME carrier, SURVEY §1.2)
+    if kinds <= {TsNs, int} and TsNs in kinds:
+        return "long"  # ns since epoch
+    if kinds <= {bool}:
+        return "boolean"
+    if kinds <= {int, bool}:
+        return "long"
+    if kinds <= {int, float, bool}:
+        return "double"
+    if kinds <= {str}:
+        return "string"
+    if kinds <= {_dt.date}:
+        return "date"
+    raise TypeError(f"cannot infer a column type for {kinds}")
+
+
+def build_table(spark, names: list[str], cols: list[list]):
+    """(table [names] (list col …)) -> DataFrame.
+
+    Scalar columns broadcast to the table length; temporal literals carry
+    as longs (ms-of-day / ns) matching the engine's dtype conventions.
+    """
+    if len(names) != len(cols):
+        raise ValueError(f"table: {len(names)} names vs {len(cols)} columns")
+    vecs = [c if _is_vec(c) else [c] for c in cols]
+    n = max((len(v) for v in vecs), default=0)
+    vecs = [v if len(v) == n else (v * n if len(v) == 1 else v) for v in vecs]
+    for name, v in zip(names, vecs):
+        if len(v) != n:
+            raise ValueError(f"table: column '{name}' length {len(v)} != {n}")
+    ddl = ", ".join(
+        f"`{name}` {spark_type_of(v)}" for name, v in zip(names, vecs)
+    )
+
+    def norm(v):
+        if isinstance(v, (TimeMs, TsNs)):
+            return int(v)
+        return v
+
+    rows = [tuple(norm(v[i]) for v in vecs) for i in range(n)]
+    return spark.createDataFrame(rows, schema=ddl)

@@ -1,0 +1,405 @@
+"""Rayfall front-end tests: reference doc examples and the reference's own
+language tests run VERBATIM through rayforce_spark.rayfall.eval_str.
+
+Sources (expected values copied from the reference, code re-expressed on
+Spark): docs queries/select.md, update.md, insert.md, upsert.md, joins.md;
+tests/lang.c:4289-4335 (window-join family).
+"""
+
+import datetime as dt
+
+import pytest
+
+from rayforce_spark.rayfall import Interp, RayfallError, parse
+from rayforce_spark.rayfall.reader import QSym, Sym, TimeMs, Vec
+
+
+@pytest.fixture()
+def it(spark):
+    return Interp(spark)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def test_reader_literals():
+    (form,) = parse("(f 1 -2 3.5 \"hi\" 'sym bare 2021.01.15 09:30:00.250)")
+    head, a, b, c, d, e, f, g, h = form
+    assert head == Sym("f")
+    assert a == 1 and b == -2 and c == 3.5 and d == "hi"
+    assert isinstance(e, QSym) and e == "sym"
+    assert isinstance(f, Sym) and f == "bare"
+    assert g == dt.date(2021, 1, 15)
+    assert h == TimeMs(((9 * 60 + 30) * 60) * 1000 + 250)
+
+
+def test_reader_vector_self_quotes():
+    (form,) = parse("[name dept 1 'x]")
+    assert isinstance(form, Vec)
+    assert [type(x) for x in form] == [QSym, QSym, int, QSym]
+
+
+def test_reader_dict_and_comments():
+    (form,) = parse("(select {a: (sum x) from: t}) ;; trailing comment")
+    assert form[0] == Sym("select")
+    pairs = form[1]
+    assert [k for k, _ in pairs] == ["a", "from"]
+
+
+# ---------------------------------------------------------------------------
+# select (docs queries/select.md — printed outputs copied as expectations)
+# ---------------------------------------------------------------------------
+
+EMPLOYEES = """
+(set employees (table [name dept salary hire_date]
+  (list
+    (list "Alice" "Bob" "Charlie" "David")
+    ['IT 'HR 'IT 'IT]
+    [75000 65000 85000 72000]
+    [2021.01.15 2020.03.20 2019.11.30 2022.05.10])))
+"""
+
+
+def test_select_grouped_filtered(it):
+    # docs queries/select.md:14 — avg 77333.33, headcount 3, one IT row
+    it.eval_str(EMPLOYEES)
+    rows = it.eval_str(
+        "(select {avg_salary: (avg salary) headcount: (count name)"
+        " from: employees where: (> salary 70000) by: dept})"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.dept == "IT"
+    assert r.avg_salary == pytest.approx(77333.3333333)
+    assert r.headcount == 3
+
+
+def test_select_where_projection(it):
+    # docs queries/select.md:47 — Alice, Charlie, David
+    it.eval_str(EMPLOYEES)
+    rows = it.eval_str(
+        "(select {name: name salary: salary from: employees"
+        " where: (> salary 70000)})"
+    ).orderBy("salary").collect()
+    assert [(r.name, r.salary) for r in rows] == [
+        ("David", 72000), ("Alice", 75000), ("Charlie", 85000)]
+
+
+def test_select_complex_where(it):
+    # docs queries/select.md:65 — IT, 70000 <= salary <= 80000
+    it.eval_str(EMPLOYEES)
+    rows = it.eval_str(
+        "(select {name: name salary: salary from: employees"
+        " where: (and (= dept 'IT) (>= salary 70000) (<= salary 80000))})"
+    ).orderBy("salary").collect()
+    assert [r.name for r in rows] == ["David", "Alice"]
+
+
+def test_select_flat_aggregation(it):
+    # docs queries/select.md:78 — 297000 / 74250.00 / 4
+    it.eval_str(EMPLOYEES)
+    r = it.eval_str(
+        "(select {total_salary: (sum salary) avg_salary: (avg salary)"
+        " headcount: (count name) from: employees})"
+    ).collect()[0]
+    assert (r.total_salary, r.avg_salary, r.headcount) == (297000, 74250.0, 4)
+
+
+def test_select_grouped_min_date(it):
+    # docs queries/select.md:98 — IT 77333.33/3/2019.11.30, HR 65000/1/2020.03.20
+    it.eval_str(EMPLOYEES)
+    rows = it.eval_str(
+        "(select {avg_salary: (avg salary) headcount: (count name)"
+        " earliest_hire: (min hire_date) from: employees by: dept})"
+    ).orderBy("dept").collect()
+    hr, itd = rows
+    assert (hr.dept, hr.avg_salary, hr.headcount, hr.earliest_hire) == (
+        "HR", 65000.0, 1, dt.date(2020, 3, 20))
+    assert (itd.dept, itd.avg_salary, itd.headcount, itd.earliest_hire) == (
+        "IT", pytest.approx(77333.3333333), 3, dt.date(2019, 11, 30))
+
+
+def test_select_by_dict_keys_emitted_once(it):
+    # docs queries/select.md:117 — keys listed as outputs AND in by: come
+    # out exactly once, leading
+    it.eval_str(EMPLOYEES)
+    df = it.eval_str(
+        "(select {dept: dept avg_salary: (avg salary) from: employees"
+        " by: {dept: dept}})"
+    )
+    assert df.columns == ["dept", "avg_salary"]
+
+
+def test_select_at_column_conflict(it):
+    # docs queries/select.md:37 — (at employees 'name) for shadowed names
+    it.eval_str(EMPLOYEES)
+    rows = it.eval_str(
+        "(select {name: (at employees 'name) from: employees})").collect()
+    assert {r.name for r in rows} == {"Alice", "Bob", "Charlie", "David"}
+
+
+def test_select_take(it):
+    it.eval_str(EMPLOYEES)
+    assert it.eval_str("(count (select {name: name from: employees take: 2}))") == 2
+
+
+# ---------------------------------------------------------------------------
+# update (docs queries/update.md)
+# ---------------------------------------------------------------------------
+
+
+def test_update_where(it):
+    # docs queries/update.md:5-24 — Alice 82500, Bob 65000, Charlie 93500
+    it.eval_str("""
+    (set employees (table [name dept salary]
+      (list (list "Alice" "Bob" "Charlie") ['IT 'HR 'IT] [75000 65000 85000])))
+    (set employees (update {salary: (* salary 1.1) from: employees
+                            where: (> salary 70000)}))
+    """)
+    rows = it.eval_str(
+        "(select {name: name salary: salary from: employees})"
+    ).orderBy("name").collect()
+    assert [(r.name, round(r.salary)) for r in rows] == [
+        ("Alice", 82500), ("Bob", 65000), ("Charlie", 93500)]
+
+
+def test_update_grouped_aggregate_broadcast(it):
+    it.eval_str("""
+    (set t (table [name dept salary]
+      (list (list "A" "B" "C" "D") ['IT 'HR 'IT 'HR] [100 200 300 400])))
+    (set t (update {mx: (max salary) from: t by: dept}))
+    """)
+    rows = it.eval_str("(select {name: name mx: mx from: t})").orderBy("name").collect()
+    assert [(r.name, r.mx) for r in rows] == [("A", 300), ("B", 400), ("C", 300), ("D", 400)]
+
+
+# ---------------------------------------------------------------------------
+# insert / upsert (docs queries/insert.md, upsert.md)
+# ---------------------------------------------------------------------------
+
+
+def test_insert_single_and_multi(it):
+    it.eval_str("(set employees (table [name age] (list ['Alice 'Bob] [25 30])))")
+    it.eval_str("(set employees (insert employees (list 'Charlie 35)))")
+    rows = it.eval_str("(select {name: name age: age from: employees})").orderBy("age").collect()
+    assert [(r.name, r.age) for r in rows] == [("Alice", 25), ("Bob", 30), ("Charlie", 35)]
+    it.eval_str("(set employees (insert employees (list ['David 'Eve] [40 25])))")
+    assert it.eval_str("(count employees)") == 5
+
+
+def test_insert_dict_payload(it):
+    it.eval_str("(set t (table [name age] (list ['A 'B] [1 2])))")
+    it.eval_str("(set t (insert t {age: [3 4] name: ['C 'D]}))")
+    assert it.eval_str("(count t)") == 4
+    rows = it.eval_str("(select {name: name age: age from: t where: (> age 2)})").orderBy("age").collect()
+    assert [(r.name, r.age) for r in rows] == [("C", 3), ("D", 4)]
+
+
+def test_upsert(it):
+    # docs queries/upsert.md:5-20
+    it.eval_str("(set employees (table [id name age] (list [1 2] ['Alice 'Bob] [25 30])))")
+    it.eval_str(
+        "(set employees (upsert employees 1"
+        " (list [2 3] ['Bob-updated 'Charlie] [30 35])))")
+    rows = it.eval_str(
+        "(select {id: id name: name age: age from: employees})"
+    ).orderBy("id").collect()
+    assert [(r.id, r.name, r.age) for r in rows] == [
+        (1, "Alice", 25), (2, "Bob-updated", 30), (3, "Charlie", 35)]
+
+
+# ---------------------------------------------------------------------------
+# joins (docs queries/joins.md — printed outputs copied as expectations)
+# ---------------------------------------------------------------------------
+
+TRADES_ORDERS = """
+(set trades (table [symbol order_id price quantity]
+    (list ['AAPL 'MSFT 'GOOG] [1001 1002 1003] [150.25 300.50 125.75] [100 200 150])))
+(set orders (table [order_id client_id timestamp status]
+   (list [1001 1002 1004]
+         ['CLIENT_A 'CLIENT_B 'CLIENT_C]
+         [09:00:00 09:05:00 09:10:00]
+         ['FILLED 'FILLED 'PENDING])))
+"""
+
+
+def test_left_join_doc(it):
+    # docs queries/joins.md:37 — 1003 row null-filled
+    it.eval_str(TRADES_ORDERS)
+    rows = it.eval_str("(left-join [order_id] trades orders)").orderBy("order_id").collect()
+    assert [(r.order_id, r.symbol, r.client_id, r.status) for r in rows] == [
+        (1001, "AAPL", "CLIENT_A", "FILLED"),
+        (1002, "MSFT", "CLIENT_B", "FILLED"),
+        (1003, "GOOG", None, None)]
+
+
+def test_inner_join_doc(it):
+    # docs queries/joins.md:89 — GOOG excluded
+    it.eval_str(TRADES_ORDERS)
+    it.eval_str("""
+    (set settlements (table [order_id settlement_date fee]
+      (list [1001 1002 1004] [2024.01.15 2024.01.15 2024.01.16] [0.50 1.00 0.75])))
+    """)
+    rows = it.eval_str("(inner-join [order_id] trades settlements)").orderBy("order_id").collect()
+    assert [(r.order_id, r.symbol, r.settlement_date, r.fee) for r in rows] == [
+        (1001, "AAPL", dt.date(2024, 1, 15), 0.50),
+        (1002, "MSFT", dt.date(2024, 1, 15), 1.00)]
+
+
+ASOF_SETUP = """
+(set n 10)
+(set tsym (take (concat (take 'AAPL 99) (take 'MSFT 1)) n))
+(set ttime (+ 09:00:00 (as 'TIME (/ (* (til n) 3) 10))))
+(set price (+ 10 (til n)))
+(set bsym (take (concat (concat (take 'AAPL 3) (take 'MSFT 2)) (take 'GOOG 1)) (* 2 n)))
+(set btime (+ 09:00:00 (as 'TIME (/ (* (til (* 2 n)) 2) 10))))
+(set bid (+ 8 (/ (til (* 2 n)) 2)))
+(set ask (+ 12 (/ (til (* 2 n)) 2)))
+(set trades (table [Sym Ts Price] (list tsym ttime price)))
+(set quotes (table [Sym Ts Bid Ask] (list bsym btime bid ask)))
+"""
+
+
+def test_asof_join_doc(it):
+    # docs queries/joins.md:112-141 — Bid/Ask per trade row, verbatim
+    it.eval_str(ASOF_SETUP)
+    rows = it.eval_str("(asof-join [Sym Ts] trades quotes)").orderBy("Price").collect()
+    assert [(r.Price, r.Bid, r.Ask) for r in rows] == [
+        (10, 9, 13), (11, 9, 13), (12, 9, 13), (13, 9, 13),
+        (14, 12, 16), (15, 12, 16), (16, 12, 16),
+        (17, 15, 19), (18, 15, 19), (19, 15, 19)]
+
+
+# ---------------------------------------------------------------------------
+# window joins (the reference's own tests: ref tests/lang.c:4289-4335)
+# ---------------------------------------------------------------------------
+
+WJ_SETUP = """
+(set trades (table [Sym Time Price] (list [a a] [10:00:01.000 10:00:05.000] [100 200])))
+(set quotes (table [Sym Time Bid] (list [a a a] [10:00:00.000 10:00:02.000 10:00:04.000] [99 100 101])))
+(set intervals (map-left + [-2000 2000] (at trades 'Time)))
+"""
+
+
+def test_window_join_prevailing(it):
+    # ref tests/lang.c:4289 — "[99 100]": the second window
+    # [10:00:03, 10:00:07] returns the PREVAILING quote (100), the kdb wj
+    # convention
+    it.eval_str(WJ_SETUP)
+    r = it.eval_str(
+        "(at (window-join [Sym Time] intervals trades quotes"
+        " {minBid: (min Bid)}) 'minBid)")
+    assert sorted(r) == [99, 100]
+
+
+def test_window_join1_closed(it):
+    # ref tests/lang.c:4297 — "[99 101]": in-window rows only, closed bounds
+    it.eval_str(WJ_SETUP)
+    r = it.eval_str(
+        "(at (window-join1 [Sym Time] intervals trades quotes"
+        " {minBid: (min Bid)}) 'minBid)")
+    assert sorted(r) == [99, 101]
+
+
+def test_window_join_raw_column_collects(it):
+    # ref tests/lang.c:4305,4313 — raw column agg is a per-window collect
+    it.eval_str(WJ_SETUP)
+    assert it.eval_str(
+        "(count (at (window-join [Sym Time] intervals trades quotes"
+        " {bids: Bid}) 'bids))") == 2
+    assert it.eval_str(
+        "(count (at (window-join1 [Sym Time] intervals trades quotes"
+        " {bids: Bid}) 'bids))") == 2
+
+
+def test_window_join_enum_symbols(it):
+    # ref tests/lang.c:4321 — "[99 100 149]" (enum interning is a no-op
+    # on Spark: parquet dictionary encoding, COVERAGE.md §2.7)
+    it.eval_str("""
+    (set sym ['a 'b])
+    (set trades (table [s time price]
+      (list (enum 'sym ['a 'a 'b]) [10:00:01.000 10:00:05.000 10:00:03.000] [100 200 150])))
+    (set quotes (table [s time bid]
+      (list (enum 'sym ['a 'a 'a 'b 'b])
+            [10:00:00.000 10:00:02.000 10:00:04.000 10:00:01.000 10:00:04.000]
+            [99 100 101 149 151])))
+    (set intervals (map-left + [-2000 2000] (at trades 'time)))
+    """)
+    r = it.eval_str(
+        "(at (window-join [s time] intervals trades quotes"
+        " {minBid: (min bid)}) 'minBid)")
+    assert sorted(r) == [99, 100, 149]
+
+
+def test_window_join_offset_idiom_no_collect(it):
+    # inline (map-left + [lo hi] (at left 'time)) compiles to constant
+    # offsets — the dataset-scale path (no driver collect of the time col)
+    it.eval_str(WJ_SETUP)
+    r = it.eval_str(
+        "(at (window-join [Sym Time] (map-left + [-2000 2000] (at trades 'Time))"
+        " trades quotes {minBid: (min Bid)}) 'minBid)")
+    assert sorted(r) == [99, 100]
+
+
+def test_window_join_wj_avg_sum_count_merge(it):
+    # merge rules for decomposed verbs: prevailing row folds into
+    # sum/count/avg
+    it.eval_str(WJ_SETUP)
+    rows = it.eval_str(
+        "(window-join [Sym Time] intervals trades quotes"
+        " {s: (sum Bid) c: (count Bid) a: (avg Bid)})"
+    ).orderBy("Price").collect()
+    # window 1 [-1s, +3s]: in-window (lo,hi] = {99,100}, no prevailing
+    # window 2 [+3s, +7s]: in-window = {101}, prevailing = 100
+    assert (rows[0].s, rows[0].c, rows[0].a) == (199, 2, pytest.approx(99.5))
+    assert (rows[1].s, rows[1].c, rows[1].a) == (201, 2, pytest.approx(100.5))
+
+
+# ---------------------------------------------------------------------------
+# value-context verbs
+# ---------------------------------------------------------------------------
+
+
+def test_value_vector_building(it):
+    assert it.eval_str("(til 5)") == [0, 1, 2, 3, 4]
+    assert it.eval_str("(take 'AAPL 3)") == ["AAPL", "AAPL", "AAPL"]
+    assert it.eval_str("(take [1 2] 5)") == [1, 2, 1, 2, 1]
+    assert it.eval_str("(concat [1 2] [3])") == [1, 2, 3]
+    assert it.eval_str("(+ 1 (til 3))") == [1, 2, 3]
+    assert it.eval_str("(/ (* (til 10) 3) 10)") == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert it.eval_str("(% (til 5) 2)") == [0, 1, 0, 1, 0]
+    assert it.eval_str("(reverse (til 3))") == [2, 1, 0]
+    assert it.eval_str("(distinct [1 1 2])") == [1, 2]
+
+
+def test_value_time_arithmetic(it):
+    v = it.eval_str("(+ 09:00:00 (as 'TIME [0 1 2]))")
+    assert [int(x) for x in v] == [32400000, 32400001, 32400002]
+    assert all(isinstance(x, TimeMs) for x in v)
+
+
+def test_unknown_verb_raises(it):
+    with pytest.raises(RayfallError):
+        it.eval_str("(frobnicate 1)")
+    with pytest.raises(RayfallError):
+        it.eval_str("(select {x: y})")  # no from:
+
+
+def test_env_scalar_as_column_literal(it):
+    it.eval_str("(set factor 2)")
+    it.eval_str("(set t (table [v] (list [1 2 3])))")
+    rows = it.eval_str("(select {d: (* v factor) from: t})").orderBy("d").collect()
+    assert [r.d for r in rows] == [2, 4, 6]
+
+
+def test_eval_str_oneshot(spark):
+    from rayforce_spark.rayfall import eval_str
+
+    df = eval_str(
+        "(set t (table [id v] (list [1 1 2] [10 20 30])))"
+        "(select {total: (sum v) from: t by: id})",
+        spark,
+    )
+    assert {(r.id, r.total) for r in df.collect()} == {(1, 30), (2, 30)}
