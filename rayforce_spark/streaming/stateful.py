@@ -9,7 +9,10 @@ timeout-driven finalization replacing the reference's timer sweeps.
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -80,3 +83,162 @@ def sessionize(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "str | list[str]",
+    time_col: str,
+    *,
+    right_cols: "list[str] | None" = None,
+    watermark: str = "10 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Streaming as-of join — the streaming twin of ``joins.asof_join``
+    (ref core/join.c:300: greatest right time <= left time, exact-matching
+    the leading keys, duplicate right timestamps last-wins).
+
+    Event-time-correct under the watermark contract: left rows are
+    buffered in keyed state and emitted once the watermark passes their
+    event time, so any right row with a smaller-or-equal timestamp that
+    arrives out of order (but inside the watermark) is still matched.
+    Duplicate right timestamps resolve by arrival order (the streaming
+    reading of the reference's table-order last-wins).
+
+    State per key is watermark-bounded: pending left rows (those newer
+    than the watermark) plus right rows newer than the emission horizon
+    and ONE prevailing right row at the horizon — exactly the
+    last-known-right-value a late left row can still need. Everything
+    older is pruned each batch.
+
+    Mechanics: both sides are tagged and unioned (the batch asof's union
+    trick, joins.py:80), payload columns ride as JSON through one
+    applyInPandasWithState (Arrow-batched), and are decoded back to typed
+    columns with from_json — the Python hot path touches only longs and
+    strings. Time columns may be Timestamp(NTZ) or i64-ns longs.
+
+    Returns left rows (append mode) with the matched right value columns
+    (null where no right row <= t had arrived inside the watermark).
+    """
+    from pyspark.sql.types import LongType
+
+    from rayforce_spark.functions.kdb import ns_to_timestamp
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != time_col]
+    if isinstance(left.schema[time_col].dataType, LongType):
+        left = left.withColumn(time_col, ns_to_timestamp(time_col))
+    if isinstance(right.schema[time_col].dataType, LongType):
+        right = right.withColumn(time_col, ns_to_timestamp(time_col))
+
+    lpay_cols = [c for c in left.columns if c not in keys and c != time_col]
+    lpay_schema = ", ".join(f"`{c}` {left.schema[c].dataType.simpleString()}" for c in lpay_cols)
+    rpay_schema = ", ".join(f"`{c}` {right.schema[c].dataType.simpleString()}" for c in right_cols)
+
+    l2 = left.select(
+        *keys,
+        F.col(time_col).alias("__rf_t"),
+        F.lit(1).alias("__rf_side"),
+        (F.to_json(F.struct(*lpay_cols)) if lpay_cols else F.lit("{}")).alias("__rf_lpay"),
+        F.lit(None).cast("string").alias("__rf_rpay"),
+    )
+    r2 = right.select(
+        *keys,
+        F.col(time_col).alias("__rf_t"),
+        F.lit(0).alias("__rf_side"),
+        F.lit(None).cast("string").alias("__rf_lpay"),
+        (F.to_json(F.struct(*right_cols)) if right_cols else F.lit("{}")).alias("__rf_rpay"),
+    )
+    u = l2.unionByName(r2).withWatermark("__rf_t", watermark)
+
+    key_ddl = ", ".join(
+        f"`{k}` {left.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = f"{key_ddl}, `__rf_t` timestamp, `__rf_lpay` string, `__rf_rpay` string"
+    state_schema = (
+        "lt array<long>, lp array<string>, "
+        "rt array<long>, rp array<string>, rseq long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            lt, lp, rt, rp, rseq = state.get
+            lt, lp, rt, rp = list(lt), list(lp), list(rt), list(rp)
+        else:
+            lt, lp, rt, rp, rseq = [], [], [], [], 0
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["__rf_t"].astype("int64") // 1000).tolist()
+                sides = pdf["__rf_side"].tolist()
+                lpay = pdf["__rf_lpay"].tolist()
+                rpay = pdf["__rf_rpay"].tolist()
+                for t, s, a, b in zip(ts_us, sides, lpay, rpay):
+                    if s == 1:
+                        lt.append(t)
+                        lp.append(a)
+                    else:
+                        # arrival order breaks duplicate-timestamp ties
+                        # (last arrival wins, like the reference's table
+                        # order); keep (t, seq)-sorted via insertion
+                        i = bisect_right(rt, t)
+                        rt.insert(i, t)
+                        rp.insert(i, b)
+                        rseq += 1
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        emit_rows = []
+        keep_lt, keep_lp = [], []
+        for t, payload in zip(lt, lp):
+            if t <= wm_us:
+                j = bisect_right(rt, t) - 1
+                emit_rows.append(
+                    (*key, pd.Timestamp(t, unit="us"), payload,
+                     rp[j] if j >= 0 else None)
+                )
+            else:
+                keep_lt.append(t)
+                keep_lp.append(payload)
+
+        # prune rights: future left rows are newer than the horizon, so
+        # only the prevailing right row at the horizon plus newer rows
+        # can still match
+        horizon = min([wm_us] + keep_lt)
+        cut = max(bisect_right(rt, horizon) - 1, 0)
+        rt, rp = rt[cut:], rp[cut:]
+
+        if keep_lt or rt:
+            state.update((keep_lt, keep_lp, rt, rp, rseq))
+            if keep_lt:
+                # flush pending lefts when the watermark passes them even
+                # if no further rows arrive for this key
+                state.setTimeoutTimestamp(max(min(keep_lt) // 1000 + 1,
+                                              state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+
+        if emit_rows:
+            yield pd.DataFrame(
+                emit_rows,
+                columns=[*keys, "__rf_t", "__rf_lpay", "__rf_rpay"],
+            )
+
+    staged = u.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    cols = [*keys, F.col("__rf_t").alias(time_col)]
+    if lpay_cols:
+        lstruct = F.from_json("__rf_lpay", lpay_schema)
+        cols += [lstruct[c].alias(c) for c in lpay_cols]
+    if right_cols:
+        rstruct = F.from_json("__rf_rpay", rpay_schema)
+        cols += [rstruct[c].alias(out_names[c]) for c in right_cols]
+    return staged.select(*cols)

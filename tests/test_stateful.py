@@ -42,3 +42,114 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
         assert rows == {(1, 0.0): (2, 3.0)}
     finally:
         q.stop()
+
+
+def test_stream_asof_join_late_data(spark, tmp_path):
+    """Streaming asof (ref core/join.c:300 semantics, streamed): left rows
+    emit once the watermark passes them, matching the greatest right time
+    <= left time — including a right row that arrives LATE (out of order,
+    inside the watermark)."""
+    from rayforce_spark.streaming.stateful import stream_asof_join
+
+    lpath, rpath = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    lschema = "sym string, ts timestamp, price double"
+    rschema = "sym string, ts timestamp, bid double"
+    lj = Journal(lpath, lschema)
+    rj = Journal(rpath, rschema)
+
+    # batch 1: quotes at :00 (bid 1.0, then same-ts bid 1.25 — arrival
+    # last-wins) and :02 (2.0); trades at :01.5, :03, and a B trade with
+    # no B quote ever. Watermark after this batch = :03 - 2s = :01.
+    rj.append([
+        {"sym": "A", "ts": "2024-01-01 10:00:00", "bid": 1.0},
+        {"sym": "A", "ts": "2024-01-01 10:00:00", "bid": 1.25},
+        {"sym": "A", "ts": "2024-01-01 10:00:02", "bid": 2.0},
+    ])
+    lj.append([
+        {"sym": "A", "ts": "2024-01-01 10:00:01.500", "price": 10.0},
+        {"sym": "A", "ts": "2024-01-01 10:00:03", "price": 11.0},
+        {"sym": "B", "ts": "2024-01-01 10:00:01.500", "price": 99.0},
+    ])
+
+    left = read_journal_stream(spark, lpath, lschema)
+    right = read_journal_stream(spark, rpath, rschema)
+    out = stream_asof_join(left, right, "sym", "ts", watermark="2 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("asof_sink").start()
+    )
+    try:
+        def rows():
+            return {
+                (r.sym, r.ts.isoformat(), r.price): r.bid
+                for r in spark.sql("SELECT * FROM asof_sink").collect()
+            }
+
+        def wait_for(n):
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                got = rows()
+                if len(got) >= n:
+                    return got
+                time.sleep(0.5)
+            raise AssertionError(f"sink stuck at {rows()}")
+
+        # batch 2: an OUT-OF-ORDER quote at :01.2 (older than the already
+        # seen :02 quote, but still above the :01 watermark, so it is not
+        # dropped) plus an advancer. No trade is older than the watermark
+        # yet, so nothing emits.
+        time.sleep(2)
+        rj.append([
+            {"sym": "A", "ts": "2024-01-01 10:00:01.200", "bid": 1.5},
+            {"sym": "A", "ts": "2024-01-01 10:00:06", "bid": 9.0},
+        ])
+        # batch 3: advance the watermark past :03. All three trades emit:
+        # the :01.5 trade must match the out-of-order :01.2 quote (1.5),
+        # not the stale :00 one; the B trade (no quotes, flushed by the
+        # event-time timeout) reports null.
+        time.sleep(2)
+        rj.append([{"sym": "A", "ts": "2024-01-01 10:00:20", "bid": 9.9}])
+        got = wait_for(3)
+        assert got[("A", "2024-01-01T10:00:01.500000", 10.0)] == 1.5
+        assert got[("A", "2024-01-01T10:00:03", 11.0)] == 2.0
+        assert got[("B", "2024-01-01T10:00:01.500000", 99.0)] is None
+    finally:
+        q.stop()
+
+
+def test_stream_asof_join_dup_ts_last_arrival_wins(spark, tmp_path):
+    """Duplicate right timestamps: the LAST arrival wins (the streaming
+    form of the reference's table-order last-wins, ref core/index.c:3194)."""
+    from rayforce_spark.streaming.stateful import stream_asof_join
+
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema = "k long, ts timestamp, v double"
+    rschema = "k long, ts timestamp, rv double"
+    lj, rj = Journal(lpath, lschema), Journal(rpath, rschema)
+    rj.append([
+        {"k": 1, "ts": "2024-01-01 00:00:00", "rv": 1.0},
+        {"k": 1, "ts": "2024-01-01 00:00:00", "rv": 2.0},
+    ])
+    lj.append([{"k": 1, "ts": "2024-01-01 00:00:00", "v": 5.0}])
+
+    left = read_journal_stream(spark, lpath, lschema)
+    right = read_journal_stream(spark, rpath, rschema)
+    out = stream_asof_join(left, right, "k", "ts", watermark="1 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("asof_dup_sink").start()
+    )
+    try:
+        time.sleep(2)
+        rj.append([{"k": 1, "ts": "2024-01-01 00:01:00", "rv": 3.0}])
+        deadline = time.time() + 120
+        vals = []
+        while time.time() < deadline:
+            vals = [r.rv for r in spark.sql(
+                "SELECT rv FROM asof_dup_sink").collect()]
+            if vals:
+                break
+            time.sleep(0.5)
+        assert vals == [2.0]
+    finally:
+        q.stop()
