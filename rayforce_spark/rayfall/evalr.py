@@ -227,6 +227,39 @@ class Interp:
             x = self.eval(args[0])
             return I.keys_of(x) if isinstance(x, DataFrame) else list(x.keys())
 
+        # table sorting (docs operations/order.md "Table Sorting Functions")
+        if head in ("xasc", "xdesc"):
+            from rayforce_spark.operators import order as O
+
+            cols = self._key_names(args[0])
+            df = self.eval(args[1])
+            return (O.xasc if head == "xasc" else O.xdesc)(df, cols)
+
+        # vector verbs (docs operations/order.md, iterable.md, math.md) —
+        # driver-side literal scale; dataset-scale forms are the operators
+        if head in ("asc", "desc", "iasc", "idesc", "rank"):
+            return getattr(V, head)(self.eval(args[0]))
+        if head == "xrank":
+            return V.xrank(self.eval(args[0]), int(self.eval(args[1])))
+        if head in ("except", "union", "sect"):
+            return {"except": V.except_, "union": V.union_, "sect": V.sect_}[head](
+                self.eval(args[0]), self.eval(args[1]))
+        if head == "in":
+            return V.in_(self.eval(args[0]), self.eval(args[1]))
+        if head == "find":
+            return V.find_(self.eval(args[0]), self.eval(args[1]))
+        if head == "filter":
+            return V.filter_(self.eval(args[0]), self.eval(args[1]))
+        if head == "within":
+            return V.within_vals(self.eval(args[0]), self.eval(args[1]))
+        if head in ("sum", "avg", "min", "max", "med", "dev", "first", "last"):
+            return V.vagg(head, self.eval(args[0]))
+        if head == "neg":
+            return V.sub(0, self.eval(args[0]))
+        if head == "abs":
+            x = self.eval(args[0])
+            return [abs(v) for v in x] if isinstance(x, list) else abs(x)
+
         raise RayfallError(f"unknown verb: {head}")
 
     # ------------------------------------------------------------------

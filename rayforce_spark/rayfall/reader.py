@@ -128,6 +128,10 @@ def _atom(tok: str):
     """Classify a non-delimiter token."""
     if tok.startswith('"'):
         return tok[1:]
+    if tok == "true":
+        return True
+    if tok == "false":
+        return False
     if _INT_RE.match(tok):
         return int(tok)
     if _FLOAT_RE.match(tok):

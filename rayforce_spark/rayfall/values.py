@@ -207,3 +207,123 @@ def build_table(spark, names: list[str], cols: list[list]):
 
     rows = [tuple(norm(v[i]) for v in vecs) for i in range(n)]
     return spark.createDataFrame(rows, schema=ddl)
+
+
+# ---------------------------------------------------------------------------
+# ordering / ranking (docs operations/order.md; ref core/order.c)
+# ---------------------------------------------------------------------------
+
+
+def asc(x: list) -> list:
+    return sorted(x)
+
+
+def desc(x: list) -> list:
+    return sorted(x, reverse=True)
+
+
+def iasc(x: list) -> list:
+    """Ascending sort permutation (stable: ties keep arrival order)."""
+    return sorted(range(len(x)), key=lambda i: x[i])
+
+
+def idesc(x: list) -> list:
+    # python's reverse=True keeps equal elements in arrival order
+    return sorted(range(len(x)), key=lambda i: x[i], reverse=True)
+
+
+def rank(x: list) -> list:
+    """Position of each element in the stable ascending sort, 0-based
+    (docs operations/order.md: (rank [30 10 20]) -> [2 0 1])."""
+    out = [0] * len(x)
+    for pos, i in enumerate(iasc(x)):
+        out[i] = pos
+    return out
+
+
+def xrank(x: list, n: int) -> list:
+    """n-quantile bucket: rank*n div len (ref core/order.c:589 — matches
+    operators.order.xrank's interleaved formula, not SQL ntile)."""
+    ln = len(x)
+    return [r * n // ln for r in rank(x)]
+
+
+# ---------------------------------------------------------------------------
+# set / membership (docs operations/iterable.md; ref core/compose.c)
+# ---------------------------------------------------------------------------
+
+
+def except_(a, b) -> list:
+    bs = set(b) if _is_vec(b) else {b}
+    return [v for v in a if v not in bs]
+
+
+def union_(a: list, b: list) -> list:
+    return list(dict.fromkeys(list(a) + list(b)))
+
+
+def sect_(a: list, b: list) -> list:
+    bs = set(b)
+    return list(dict.fromkeys(v for v in a if v in bs))
+
+
+def in_(a, b):
+    """(in x coll): scalar -> bool, vector -> bool vector; strings are
+    char collections (docs: (in 'e' \"test\") -> true)."""
+    coll = b if _is_vec(b) or isinstance(b, str) else [b]
+    if _is_vec(a):
+        return [v in coll for v in a]
+    return a in coll
+
+
+def find_(coll, v):
+    """Index of first occurrence, None (kdb null) if absent."""
+    try:
+        return list(coll).index(v)
+    except ValueError:
+        return None
+
+
+def filter_(coll, mask: list):
+    out = [v for v, m in zip(coll, mask) if m]
+    return "".join(out) if isinstance(coll, str) else out
+
+
+def within_vals(x, bounds: list):
+    lo, hi = bounds
+    if _is_vec(x):
+        return [lo <= v <= hi for v in x]
+    return lo <= x <= hi
+
+
+# ---------------------------------------------------------------------------
+# vector aggregates (docs operations/math.md; driver-side literal scale)
+# ---------------------------------------------------------------------------
+
+
+def vagg(name: str, x: list):
+    xs = [v for v in x if v is not None]
+    if name == "count":
+        return len(x)
+    if name == "first":
+        return x[0] if x else None
+    if name == "last":
+        return x[-1] if x else None
+    if name == "sum":
+        return sum(xs) if xs else 0  # kdb sum identity 0
+    if not xs:
+        return None
+    if name == "avg":
+        return sum(xs) / len(xs)
+    if name == "min":
+        return min(xs)
+    if name == "max":
+        return max(xs)
+    if name == "med":
+        s = sorted(xs)
+        m = len(s) // 2
+        return float(s[m]) if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    if name == "dev":
+        mu = sum(xs) / len(xs)
+        return (sum((v - mu) ** 2 for v in xs) / len(xs)) ** 0.5
+    raise ValueError(name)

@@ -403,3 +403,68 @@ def test_eval_str_oneshot(spark):
         spark,
     )
     assert {(r.id, r.total) for r in df.collect()} == {(1, 30), (2, 30)}
+
+
+# ---------------------------------------------------------------------------
+# vector verbs (docs operations/order.md, iterable.md, math.md examples)
+# ---------------------------------------------------------------------------
+
+
+def test_rank_xrank_vectors(it):
+    # docs operations/order.md "Ranking Functions" — expected outputs verbatim
+    assert it.eval_str("(rank [30 10 20])") == [2, 0, 1]
+    assert it.eval_str("(rank [5 3 1 4 2])") == [4, 2, 0, 3, 1]
+    assert it.eval_str("(rank [150.25 300.50 125.75])") == [1, 2, 0]
+    assert it.eval_str("(xrank [30 10 20 40 50 60] 3)") == [1, 0, 0, 1, 2, 2]
+    assert it.eval_str("(xrank [1 2 3 4] 2)") == [0, 0, 1, 1]
+    # the doc page shows [1 2 0 2 1] here, but the engine computes
+    # rank*n/len (ref core/order.c:589 xrank_worker) = [0 2 0 1 1] — the
+    # doc example is stale; follow the code (as operators.order.xrank does)
+    assert it.eval_str("(xrank [150.25 300.50 125.75 200.00 175.50] 3)") == [0, 2, 0, 1, 1]
+
+
+def test_xasc_xdesc_tables(it):
+    # docs operations/order.md "Table Sorting Functions"
+    it.eval_str("""
+    (set trades (table [symbol price quantity]
+      (list ['AAPL 'MSFT 'GOOG] [150.25 300.50 125.75] [100 200 150])))
+    """)
+    rows = it.eval_str("(xasc [price] trades)").collect()
+    assert [r.symbol for r in rows] == ["GOOG", "AAPL", "MSFT"]
+    rows = it.eval_str("(xdesc [price] trades)").collect()
+    assert [r.symbol for r in rows] == ["MSFT", "AAPL", "GOOG"]
+
+
+def test_set_ops_vectors(it):
+    # docs operations/iterable.md "Set Operations" — verbatim
+    assert it.eval_str("(except [1 2 3 4 5] [2 4])") == [1, 3, 5]
+    assert it.eval_str("(except ['AAPL 'MSFT 'GOOG] ['AAPL 'GOOG])") == ["MSFT"]
+    assert it.eval_str("(except [1 2 3 4 5] 3)") == [1, 2, 4, 5]
+    assert it.eval_str("(union [1 2 3] [2 3 4])") == [1, 2, 3, 4]
+    assert it.eval_str("(sect [1 2 3 4 5] [3 4 5 6 7])") == [3, 4, 5]
+    assert it.eval_str("(sect ['AAPL 'MSFT 'GOOG] ['MSFT 'GOOG 'TSLA])") == ["MSFT", "GOOG"]
+
+
+def test_membership_search_vectors(it):
+    # docs operations/iterable.md "Membership and Search" — verbatim
+    assert it.eval_str("(in 2 [1 2 3])") is True
+    assert it.eval_str("(in 5 [1 2 3])") is False
+    assert it.eval_str("(in [1 2] [1 2 3 4 5])") == [True, True]
+    assert it.eval_str("(find [1 2 3 4 5] 3)") == 2
+    assert it.eval_str("(find [1 2 3 4 5] 6)") is None
+    assert it.eval_str("(find ['AAPL 'MSFT 'GOOG] 'MSFT)") == 1
+    assert it.eval_str("(filter [1 2 3 4 5] [true false true false true])") == [1, 3, 5]
+    assert it.eval_str("(within [5 15 25] [10 20])") == [False, True, False]
+    assert it.eval_str("(within [1 2 3] [1 100])") == [True, True, True]
+
+
+def test_vector_aggregates(it):
+    assert it.eval_str("(sum [1 2 3])") == 6
+    assert it.eval_str("(avg [1 2 3 4])") == 2.5
+    assert it.eval_str("(min [3 1 2])") == 1
+    assert it.eval_str("(max [3 1 2])") == 3
+    assert it.eval_str("(med [3 1 2])") == 2.0
+    assert it.eval_str("(first [7 8])") == 7
+    assert it.eval_str("(last [7 8])") == 8
+    assert it.eval_str("(neg [1 -2])") == [-1, 2]
+    assert it.eval_str("(abs [-3 4])") == [3, 4]
