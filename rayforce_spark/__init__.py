@@ -34,6 +34,7 @@ from rayforce_spark.operators.joins import (
     inner_join,
     asof_join,
     window_join,
+    window_join_wj,
     insert,
     upsert,
     salted_join,
@@ -67,6 +68,7 @@ __all__ = [
     "inner_join",
     "asof_join",
     "window_join",
+    "window_join_wj",
     "insert",
     "upsert",
     "salted_join",

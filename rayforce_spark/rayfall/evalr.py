@@ -60,7 +60,9 @@ _AGG_VERBS = {
 
 _CMP_VERBS = {
     "=": lambda a, b: a == b,
+    "==": lambda a, b: a == b,
     "<>": lambda a, b: a != b,
+    "!=": lambda a, b: a != b,
     "<": lambda a, b: a < b,
     ">": lambda a, b: a > b,
     "<=": lambda a, b: a <= b,
@@ -123,13 +125,13 @@ class Interp:
 
     def eval(self, ast):
         if isinstance(ast, QSym):
-            return str(ast)
+            return V.SymVal(ast)
         if isinstance(ast, Sym):
             if str(ast) in self.env:
                 return self.env[str(ast)]
             raise RayfallError(f"unbound name: {ast}")
         if isinstance(ast, Vec):
-            return [str(e) if isinstance(e, QSym) else self.eval(e) if isinstance(e, (list, Sym)) else e for e in ast]
+            return [V.SymVal(e) if isinstance(e, QSym) else self.eval(e) if isinstance(e, (list, Sym)) else e for e in ast]
         if isinstance(ast, DictLit):
             return {k: self.eval(v) for k, v in ast}
         if isinstance(ast, list):
@@ -173,20 +175,30 @@ class Interp:
         if head in ("window-join", "window-join1"):
             return self._eval_window_join(args, wj=(head == "window-join"))
         if head == "insert":
-            target = self.eval(args[0])
-            return J.insert(target, self._rows_df(target, self.eval(args[1])))
+            target, name = self._mut_target(args[0])
+            out = J.insert(target, self._rows_df(target, self.eval(args[1])))
+            if name:
+                self.env[name] = out  # (insert 'name …) mutates in place
+            return out
         if head == "upsert":
-            target = self.eval(args[0])
+            target, name = self._mut_target(args[0])
             n_keys = int(self.eval(args[1]))
-            return J.upsert(target, self._rows_df(target, self.eval(args[2])), n_keys)
+            out = J.upsert(target, self._rows_df(target, self.eval(args[2])), n_keys)
+            if name:
+                self.env[name] = out
+            return out
         if head == "at":
             obj = self.eval(args[0])
-            col = self.eval(args[1])
+            idx = self.eval(args[1])
             if isinstance(obj, DataFrame):
-                return V.at_collect(obj, str(col))
+                return V.at_collect(obj, str(idx))
             if isinstance(obj, dict):
-                return obj[str(col)]
-            raise RayfallError("(at table 'col)")
+                return obj[str(idx)] if not isinstance(idx, int) else obj[idx]
+            if isinstance(obj, (list, str)):
+                if isinstance(idx, list):
+                    return [obj[i] for i in idx]
+                return obj[int(idx)]
+            raise RayfallError("(at table 'col) / (at vec i)")
         if head == "map-left" or head == "map-right":
             fn = _VALUE_FNS.get(str(args[0]))
             if fn is None:
@@ -214,8 +226,9 @@ class Interp:
             return V.distinct_(x)
         if head == "enum":
             # interning is a storage concern Spark's dictionary encoding
-            # subsumes (COVERAGE.md §2.7) — evaluate to the symbol values
-            return self.eval(args[-1])
+            # subsumes (COVERAGE.md §2.7) — evaluate to the symbol values,
+            # tagged so (type …) still reports ENUM
+            return V.EnumVals(self.eval(args[-1]))
         if head == "count":
             x = self.eval(args[0])
             if isinstance(x, DataFrame):
@@ -225,7 +238,11 @@ class Interp:
             return I.meta(self.eval(args[0]))
         if head == "key":
             x = self.eval(args[0])
-            return I.keys_of(x) if isinstance(x, DataFrame) else list(x.keys())
+            if isinstance(x, DataFrame):
+                return I.keys_of(x)
+            if isinstance(x, dict):
+                return list(x.keys())
+            return list(range(len(x)))  # key of a vector = its indices
 
         # table sorting (docs operations/order.md "Table Sorting Functions")
         if head in ("xasc", "xdesc"):
@@ -260,7 +277,216 @@ class Interp:
             x = self.eval(args[0])
             return [abs(v) for v in x] if isinstance(x, list) else abs(x)
 
+        # control / misc (docs data-types/functions.md; host language is
+        # Python — these cover the doc-example shapes, not a VM)
+        if head == "if":
+            if self.eval(args[0]):
+                return self.eval(args[1])
+            return self.eval(args[2]) if len(args) > 2 else None
+        if head == "do":
+            out = None
+            for a in args:
+                out = self.eval(a)
+            return out
+        if head == "println" or head == "print":
+            v = self.eval(args[0]) if args else None
+            print(v)
+            return v
+        if head == "xbar":
+            # reference order is (xbar x n) — ref tests/lang.c:2411
+            return V.xbar_vals(self.eval(args[1]), self.eval(args[0]))
+        if head == "raze":
+            x = self.eval(args[0])
+            out = []
+            for v in x:
+                out.extend(v) if isinstance(v, list) else out.append(v)
+            return out
+        if head == "group":
+            x = self.eval(args[0])
+            out: dict = {}
+            for i, v in enumerate(x):
+                out.setdefault(v, []).append(i)
+            return out
+        if head == "dict":
+            ks, vs = self.eval(args[0]), self.eval(args[1])
+            return dict(zip(ks, vs))
+        if head == "format":
+            fmt = self.eval(args[0])
+            parts = str(fmt).split("%")
+            vals = [self.eval(a) for a in args[1:]]
+            out = parts[0]
+            for i, p in enumerate(parts[1:]):
+                out += (str(vals[i]) if i < len(vals) else "%") + p
+            return out
+        if head in ("=", "<>", "==", "!=", "<", ">", "<=", ">="):
+            op = {"==": "=", "!=": "<>"}.get(head, head)
+            return V.compare(op, self.eval(args[0]), self.eval(args[1]))
+        if head in ("and", "or"):
+            vals = [self.eval(a) for a in args]
+            out = vals[0]
+            for v in vals[1:]:
+                out = V.logic(head, out, v)
+            return out
+        if head == "not":
+            x = self.eval(args[0])
+            return [not v for v in x] if isinstance(x, list) else not x
+
+        if head == "type":
+            return self._type_of(args[0])
+        if head == "nil?":
+            return self.eval(args[0]) is None
+        if head == "resolve":
+            return self.env.get(str(self.eval(args[0])))
+        if head == "value":
+            x = self.eval(args[0])
+            return list(x.values()) if isinstance(x, dict) else x
+        if head in ("floor", "ceil", "round"):
+            import math
+
+            fn = {"floor": math.floor, "ceil": math.ceil, "round": round}[head]
+            x = self.eval(args[0])
+            return [fn(v) for v in x] if isinstance(x, list) else fn(x)
+        if head == "like":
+            import re as _re
+
+            from rayforce_spark.functions.kdb import glob_to_regex
+
+            x = self.eval(args[0])
+            pat = _re.compile(glob_to_regex(str(self.eval(args[1]))))
+            if isinstance(x, list):
+                return [bool(pat.fullmatch(str(v))) for v in x]
+            return bool(pat.fullmatch(str(x)))
+        if head == "map":
+            # (map f x ys): binary verb with bound left arg over the
+            # vector (docs iterable.md: (map + 1 [1 2 3]) -> [2 3 4]);
+            # unary verbs map elementwise. Lambdas are out of scope —
+            # Python is the host language (SURVEY §2.9).
+            if len(args) == 3:
+                fn = _VALUE_FNS.get(str(args[0]))
+                if fn is None:
+                    raise RayfallError(f"map: unsupported verb {args[0]}")
+                return V.map_right(fn, self.eval(args[1]), self.eval(args[2]))
+            if str(args[0]) in ("neg", "abs", "floor", "ceil", "round", "reverse"):
+                return self._eval_call([args[0], args[1]])
+            raise RayfallError(f"map: unsupported verb {args[0]}")
+        if head == "fold":
+            fname = str(args[0])
+            x = self.eval(args[1])
+            if fname in ("+", "*"):
+                fn = _VALUE_FNS[fname]
+                out = x[0]
+                for v in x[1:]:
+                    out = fn(out, v)
+                return out
+            if fname in ("min", "max"):
+                return V.vagg(fname, x)
+            raise RayfallError(f"fold: unsupported verb {fname}")
+        if head == "alter":
+            return self._eval_alter(args)
+
+        # storage verbs (docs symbols-and-enums.md; sympath args are
+        # subsumed by parquet dictionary encoding — COVERAGE.md §2.1)
+        if head == "set-splayed":
+            from rayforce_spark.sources.splayed import set_splayed
+
+            path = self.eval(args[0])
+            df = self.eval(args[1])
+            set_splayed(df, str(path))
+            return df
+        if head == "get-splayed":
+            from rayforce_spark.sources.splayed import get_splayed
+
+            return get_splayed(self.spark, str(self.eval(args[0])))
+        if head == "set-parted":
+            from rayforce_spark.sources.parted import set_parted
+
+            root = str(self.eval(args[0]))
+            df = self.eval(args[1])
+            import datetime as dt
+
+            date_cols = [c for c, t in df.dtypes if t in ("date", "timestamp", "timestamp_ntz")]
+            if not date_cols:
+                raise RayfallError("set-parted: table needs a date/timestamp column")
+            set_parted(df, root, part_col=date_cols[0])
+            return df
+        if head == "get-parted":
+            import os as _os
+
+            from rayforce_spark.sources.parted import get_parted
+
+            root = str(self.eval(args[0]))
+            name = str(self.eval(args[1])) if len(args) > 1 else ""
+            return get_parted(self.spark, _os.path.join(root, name) if name else root)
+        if head == "read-csv":
+            sep = str(self.eval(args[2])) if len(args) > 2 else ","
+            return self._read_csv(self.eval(args[0]), str(self.eval(args[1])), sep)
+        if head == "write-csv":
+            from rayforce_spark.sources.csv import write_csv
+
+            df = self.eval(args[0])
+            write_csv(df, str(self.eval(args[1])))
+            return df
+        if head == "show":
+            v = self.eval(args[0])
+            if isinstance(v, DataFrame):
+                v.show()
+            else:
+                print(v)
+            return v
+        if head == "apply":
+            # (apply f xs ys …): f over corresponding elements
+            # (docs iterable.md: (apply + [1 2 3] [4 5 6]) -> [5 7 9])
+            fn = _VALUE_FNS.get(str(args[0]))
+            if fn is None:
+                raise RayfallError(f"apply: unsupported verb {args[0]}")
+            vals = [self.eval(a) for a in args[1:]]
+            out = vals[0]
+            for v in vals[1:]:
+                out = fn(out, v)
+            return out
+        if head == "rand":
+            # (rand n max) — random, so seeded per-interpreter for
+            # reproducible scripts (the reference draws a true RNG)
+            n, hi = int(self.eval(args[0])), int(self.eval(args[1]))
+            return [self._rng.randrange(hi) for _ in range(n)]
+        if head == "guid":
+            import uuid
+
+            n = int(self.eval(args[0])) if args else 1
+            return [str(uuid.UUID(int=self._rng.getrandbits(128), version=4))
+                    for _ in range(n)]
+        if head in ("date", "time", "timestamp"):
+            import datetime as dt
+
+            now = dt.datetime.now(dt.timezone.utc if args and str(self.eval(args[0])) == "global" else None)
+            if head == "date":
+                return now.date()
+            if head == "time":
+                ms = ((now.hour * 60 + now.minute) * 60 + now.second) * 1000
+                return TimeMs(ms + now.microsecond // 1000)
+            epoch = now.timestamp()
+            from rayforce_spark.rayfall.reader import TsNs
+
+            return TsNs(int(epoch * 1e9))
+
         raise RayfallError(f"unknown verb: {head}")
+
+    @property
+    def _rng(self):
+        import random
+
+        if not hasattr(self, "_rng_inst"):
+            self._rng_inst = random.Random(42)
+        return self._rng_inst
+
+    def _read_csv(self, types: list, path: str, sep: str):
+        """(read-csv [I64 SYMBOL F64] path [sep]) — names come from the
+        header row (ref core/io.c csv loader), types from the vector."""
+        from rayforce_spark.sources.csv import read_csv
+
+        header = self.spark.read.option("sep", sep).option("header", True).csv(path)
+        return read_csv(self.spark, path, names=header.columns,
+                        types=[str(t) for t in types], sep=sep)
 
     # ------------------------------------------------------------------
     # query forms
@@ -274,7 +500,13 @@ class Interp:
         out_names = [k for k, _ in args[0] if k not in _QUERY_RESERVED]
         if "from" not in clauses:
             raise RayfallError(f"{verb}: from: is required")
-        df = self.eval(clauses["from"])
+        mut_name = None
+        if isinstance(clauses["from"], QSym):
+            # quoted-name from: reads the binding; update rebinds it
+            # in place (docs queries/update.md "Modifies table directly")
+            df, mut_name = self._mut_target(clauses["from"])
+        else:
+            df = self.eval(clauses["from"])
         if not isinstance(df, DataFrame):
             raise RayfallError(f"{verb}: from: must be a table")
         where = None
@@ -308,7 +540,10 @@ class Interp:
         if update:
             if "take" in clauses:
                 raise RayfallError("update has no take:")
-            return Q.update(df, cols, where=where, by=by)
+            out = Q.update(df, cols, where=where, by=by)
+            if mut_name:
+                self.env[mut_name] = out
+            return out
         take = self.eval(clauses["take"]) if "take" in clauses else None
         return Q.select(df, cols or None, where=where, by=by, take=take)
 
@@ -322,6 +557,18 @@ class Interp:
         if isinstance(ast, DictLit):
             return {k: self.compile_col(v, df) for k, v in ast}
         raise RayfallError(f"unsupported by: {ast!r}")
+
+    def _mut_target(self, ast):
+        """Mutation target: a table expression, or a quoted name
+        ``(insert 'employees …)`` that rebinds in place
+        (docs queries/insert.md "In-Place Modification")."""
+        if isinstance(ast, QSym):
+            name = str(ast)
+            obj = self.env.get(name)
+            if not isinstance(obj, DataFrame):
+                raise RayfallError(f"{name} is not a bound table")
+            return obj, name
+        return self.eval(ast), None
 
     def _key_names(self, ast) -> list[str]:
         if not isinstance(ast, Vec):
@@ -402,6 +649,101 @@ class Interp:
             F.col("__rf_wlo"), F.col("__rf_whi"), aggs,
         )
         return out.drop("__rf_wlo", "__rf_whi")
+
+    def _type_of(self, ast) -> str:
+        """(type x): the reference's type-name verb — scalar names
+        lowercase, vector names uppercase (docs data-types/*.md:
+        (type true) -> b8, (type [true]) -> B8). Literal ASTs dispatch
+        statically; everything else evaluates and inspects."""
+        from rayforce_spark.rayfall.reader import TsNs
+
+        def scalar_name(v) -> str:
+            if isinstance(v, bool):
+                return "b8"
+            if isinstance(v, TimeMs):
+                return "time"
+            if isinstance(v, TsNs):
+                return "timestamp"
+            if isinstance(v, V.I32):
+                return "i32"
+            if isinstance(v, V.I16):
+                return "i16"
+            if isinstance(v, V.U8):
+                return "u8"
+            if isinstance(v, int):
+                return "i64"
+            if isinstance(v, float):
+                return "f64"
+            if isinstance(v, _dt.date):
+                return "date"
+            return "symbol"
+
+        if isinstance(ast, QSym):
+            return "symbol"
+        if isinstance(ast, str) and not isinstance(ast, (Sym, QSym)):
+            return "C8"  # strings are char vectors
+        if isinstance(ast, Vec):
+            vals = [str(e) if isinstance(e, QSym) else e for e in ast]
+            return scalar_name(vals[0]).upper() if vals else "LIST"
+        if isinstance(ast, (bool, int, float, _dt.date)):
+            return scalar_name(ast)
+        v = self.eval(ast)
+        if isinstance(v, DataFrame):
+            return "table"
+        if isinstance(v, dict):
+            return "dict"
+        if isinstance(v, V.EnumVals):
+            return "ENUM"
+        if isinstance(v, list):
+            return scalar_name(v[0]).upper() if v else "LIST"
+        if isinstance(v, str):
+            return "C8"
+        return scalar_name(v)
+
+    def _eval_alter(self, args):
+        """(alter obj fn [idx-or-col] val) — docs queries/alter.md: apply
+        a binary verb at an index (vectors), to a column (tables), or to
+        every element; (alter 'name …) mutates the binding in place."""
+        in_place = False
+        target_name = None
+        a0 = args[0]
+        if isinstance(a0, QSym):
+            target_name = str(a0)
+            obj = self.env.get(target_name)
+            if obj is None:
+                raise RayfallError(f"alter: unbound name {target_name}")
+            in_place = True
+        else:
+            obj = self.eval(a0)
+        fname = str(args[1])
+        fn = _VALUE_FNS.get(fname)
+        if fn is None:
+            raise RayfallError(f"alter: unsupported verb {fname}")
+        rest = [self.eval(a) for a in args[2:]]
+
+        if isinstance(obj, DataFrame):
+            if len(rest) != 2:
+                raise RayfallError("(alter table fn 'col val)")
+            col, val = str(rest[0]), rest[1]
+            ops = {"+": lambda c: c + val, "-": lambda c: c - val,
+                   "*": lambda c: c * val, "/": lambda c: c / val}
+            if fname not in ops:
+                raise RayfallError(f"alter: unsupported verb {fname} on tables")
+            out = obj.withColumn(col, ops[fname](F.col(col)))
+        elif isinstance(obj, list):
+            if len(rest) == 2:
+                idx, val = int(rest[0]), rest[1]
+                out = list(obj)
+                out[idx] = fn(out[idx], val)
+            elif len(rest) == 1:
+                out = fn(obj, rest[0])
+            else:
+                raise RayfallError("(alter vec fn [idx] val)")
+        else:
+            raise RayfallError("alter expects a vector or table")
+        if in_place:
+            self.env[target_name] = out
+        return out
 
     # ------------------------------------------------------------------
     # column context
@@ -487,8 +829,9 @@ class Interp:
             # by verbs (docs queries/select.md "Column Name Conflicts")
             return F.col(str(self.eval(args[1])))
         if head == "xbar":
-            n = self.eval(args[0])
-            return K.xbar(n, self._plain(self.compile_col(args[1], df)))
+            # reference order is (xbar x n) — ref tests/lang.c:2411
+            n = self.eval(args[1])
+            return K.xbar(n, self._plain(self.compile_col(args[0], df)))
         if head == "like":
             return K.like(self._plain(self.compile_col(args[0], df)), self.eval(args[1]))
         if head == "within":

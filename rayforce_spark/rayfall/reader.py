@@ -66,9 +66,39 @@ class TimeMs(int):
         return f"TimeMs({int(self)})"
 
 
+class TsNs(int):
+    """Timestamp literal (``2025.12.10D15:10:24.058948000``), ns since
+    epoch (reference TIMESTAMP is i64 ns, SURVEY §1.2)."""
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover
+        return f"TsNs({int(self)})"
+
+
+class I32(int):
+    """Width-tagged int: ``3i`` literal / ``(as 'I32 x)`` (reference i32)."""
+    __slots__ = ()
+
+
+class I16(int):
+    """Width-tagged int: ``3h`` literal / ``(as 'I16 x)`` (reference i16)."""
+    __slots__ = ()
+
+
+class U8(int):
+    """Width-tagged int: ``0x05`` literal / ``(as 'U8 x)`` (reference u8)."""
+    __slots__ = ()
+
+
 _DATE_RE = re.compile(r"^(\d{4})\.(\d{2})\.(\d{2})$")
+_TS_RE = re.compile(
+    r"^(\d{4})\.(\d{2})\.(\d{2})D(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?$"
+)
 _TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,3}))?)?$")
 _INT_RE = re.compile(r"^-?\d+$")
+_I32_RE = re.compile(r"^-?\d+i$")
+_I16_RE = re.compile(r"^-?\d+h$")
+_U8_RE = re.compile(r"^0x[0-9a-fA-F]+$")
 _FLOAT_RE = re.compile(r"^-?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?$|^-?\d+[eE][+-]?\d+$")
 
 _DELIMS = "()[]{}"
@@ -89,8 +119,14 @@ def tokenize(src: str) -> list[str]:
             toks.append(c)
             i += 1
         elif c == "'":
-            toks.append(c)
-            i += 1
+            # char literal 'x' (docs iterable.md: (take 'a' 2) -> "aa");
+            # otherwise the symbol-quote operator
+            if i + 2 < n and src[i + 2] == "'" and src[i + 1] not in _DELIMS + _WS:
+                toks.append('"' + src[i + 1])
+                i += 3
+            else:
+                toks.append(c)
+                i += 1
         elif c == '"':
             j = i + 1
             buf = []
@@ -134,8 +170,21 @@ def _atom(tok: str):
         return False
     if _INT_RE.match(tok):
         return int(tok)
+    if _I32_RE.match(tok):
+        return I32(tok[:-1])
+    if _I16_RE.match(tok):
+        return I16(tok[:-1])
+    if _U8_RE.match(tok):
+        return U8(int(tok, 16))
     if _FLOAT_RE.match(tok):
         return float(tok)
+    m = _TS_RE.match(tok)
+    if m:
+        d = _dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        days = (d - _dt.date(1970, 1, 1)).days
+        secs = int(m.group(4)) * 3600 + int(m.group(5)) * 60 + int(m.group(6))
+        frac_ns = int((m.group(7) or "0").ljust(9, "0"))
+        return TsNs((days * 86400 + secs) * 1_000_000_000 + frac_ns)
     m = _DATE_RE.match(tok)
     if m:
         return _dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))

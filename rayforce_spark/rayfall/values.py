@@ -16,14 +16,23 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from rayforce_spark.rayfall.reader import TimeMs
+from rayforce_spark.rayfall.reader import I16, I32, U8, TimeMs, TsNs
 
 MAX_COLLECT = 1_000_000
 
 
-class TsNs(int):
-    """Timestamp literal value, ns since epoch (reference TIMESTAMP is
-    i64 ns, SURVEY §1.2)."""
+class SymVal(str):
+    """A symbol VALUE (from a quoted symbol / symbol vector). Distinct
+    from plain str because the reference distinguishes symbol scalars
+    from char vectors: ``(take 'AAPL 3)`` replicates the symbol,
+    ``(take "hello" 3)`` slices characters."""
+    __slots__ = ()
+
+
+class EnumVals(list):
+    """Marker for ``(enum 'sym xs)`` results: evaluates to the symbol
+    values (interning is parquet dictionary encoding on Spark,
+    COVERAGE.md §2.7) but keeps the ENUM type tag for ``(type …)``."""
     __slots__ = ()
 
 
@@ -63,12 +72,28 @@ def _div_scalar(x, y):
     return x // y
 
 
+def _add_scalar(x, y):
+    # date +/- int is day arithmetic (docs operations/math.md:
+    # (+ 2024.03.20 5) -> 2024.03.25)
+    if isinstance(x, _dt.date) and isinstance(y, int):
+        return x + _dt.timedelta(days=int(y))
+    if isinstance(y, _dt.date) and isinstance(x, int):
+        return y + _dt.timedelta(days=int(x))
+    return x + y
+
+
+def _sub_scalar(x, y):
+    if isinstance(x, _dt.date) and isinstance(y, int) and not isinstance(y, bool):
+        return x - _dt.timedelta(days=int(y))
+    return x - y
+
+
 def add(a, b):
-    return _apply2(lambda x, y: x + y, a, b)
+    return _apply2(_add_scalar, a, b)
 
 
 def sub(a, b):
-    return _apply2(lambda x, y: x - y, a, b)
+    return _apply2(_sub_scalar, a, b)
 
 
 def mul(a, b):
@@ -87,15 +112,31 @@ def til(n) -> list:
     return list(range(int(n)))
 
 
-def take(x, n) -> list:
-    """Cyclic take: scalar -> n copies, vector -> cycled to length n
-    (ref core/items.c take; docs joins.md builds symbol columns this way)."""
+def take(x, n):
+    """Take (ref core/items.c, docs operations/iterable.md):
+    scalar -> n copies; vector and positive n -> first n, cycling past
+    the end (docs joins.md builds symbol columns this way); negative n ->
+    last |n|; ``[start amount]`` -> slice (negative start from the end).
+    Strings are char vectors; symbol scalars replicate whole."""
+    if _is_vec(n):
+        start, amount = int(n[0]), int(n[1])
+        seq = x if _is_vec(x) or isinstance(x, str) else [x]
+        if start < 0:
+            start += len(seq)
+        return seq[start:start + amount]
     n = int(n)
-    if not _is_vec(x):
-        return [x] * n
-    if not x:
-        raise ValueError("take from empty vector")
-    return [x[i % len(x)] for i in range(n)]
+    is_chars = isinstance(x, str) and not isinstance(x, SymVal)
+    if not _is_vec(x) and not is_chars:
+        return [x] * abs(n)
+    seq = list(x) if is_chars else x
+    if not seq:
+        return "" if is_chars else []
+    if n >= 0:
+        out = [seq[i % len(seq)] for i in range(n)]
+    else:
+        m = -n
+        out = seq[-m:] if m <= len(seq) else [seq[i % len(seq)] for i in range(m)]
+    return "".join(out) if is_chars else out
 
 
 def concat(a, b) -> list:
@@ -125,9 +166,19 @@ def as_value(type_name: str, x):
             return TsNs(v)
         if t == "f64":
             return float(v)
-        if t in ("i64", "i32", "i16"):
+        if t == "i32":
+            return I32(v)
+        if t == "i16":
+            return I16(v)
+        if t == "i64":
             return int(v)
-        if t in ("symbol", "c8", "string"):
+        if t == "u8":
+            return U8(int(v) & 0xFF)
+        if t == "b8":
+            return bool(v)
+        if t == "symbol":
+            return SymVal(v)
+        if t in ("c8", "string", "guid"):
             return str(v)
         raise ValueError(f"as: unsupported value cast '{type_name}")
 
@@ -169,6 +220,14 @@ def spark_type_of(values: list):
         return "long"  # ms-of-day (documented TIME carrier, SURVEY §1.2)
     if kinds <= {TsNs, int} and TsNs in kinds:
         return "long"  # ns since epoch
+    if kinds <= {I32, int} and I32 in kinds:
+        return "int"
+    if kinds <= {I16, int} and I16 in kinds:
+        return "smallint"
+    if kinds <= {U8, int} and U8 in kinds:
+        return "smallint"
+    # symbol values are strings on Spark
+    kinds = {str if issubclass(k, str) else k for k in kinds}
     if kinds <= {bool}:
         return "boolean"
     if kinds <= {int, bool}:
@@ -201,8 +260,10 @@ def build_table(spark, names: list[str], cols: list[list]):
     )
 
     def norm(v):
-        if isinstance(v, (TimeMs, TsNs)):
+        if isinstance(v, (TimeMs, TsNs, I32, I16, U8)):
             return int(v)
+        if isinstance(v, SymVal):
+            return str(v)
         return v
 
     rows = [tuple(norm(v[i]) for v in vecs) for i in range(n)]
@@ -327,3 +388,43 @@ def vagg(name: str, x: list):
         mu = sum(xs) / len(xs)
         return (sum((v - mu) ** 2 for v in xs) / len(xs)) ** 0.5
     raise ValueError(name)
+
+
+def xbar_vals(n, x):
+    """(xbar n x): n * floor(x/n) (ref core/math.c xbar; kdb bucketing)."""
+    import math
+
+    def one(v):
+        if isinstance(v, float) or isinstance(n, float):
+            return n * math.floor(v / n)
+        return n * (v // n)
+
+    return [_wrap_like(one(v), v, v) for v in x] if _is_vec(x) else one(x)
+
+
+_CMPS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def compare(op: str, a, b):
+    """Elementwise comparisons (docs operations/logic.md)."""
+    f = _CMPS[op]
+    if _is_vec(a) or _is_vec(b):
+        return _apply2(lambda x, y: bool(f(x, y)), a, b)
+    return bool(f(a, b))
+
+
+def logic(op: str, a, b):
+    """Elementwise and/or (docs operations/logic.md: vector AND vector,
+    vector AND scalar broadcast)."""
+    f = (lambda x, y: bool(x) and bool(y)) if op == "and" else (
+        lambda x, y: bool(x) or bool(y))
+    if _is_vec(a) or _is_vec(b):
+        return _apply2(f, a, b)
+    return f(a, b)

@@ -1,0 +1,235 @@
+"""Sweep the reference's documentation code blocks through the Rayfall
+front-end and report executability coverage.
+
+The reference ships ~190 ```clj blocks across its docs (its own harness,
+docs/tests/test_docs.py, runs them against the C REPL with a ↪ input
+convention). This sweep extracts each block's expressions (a line opening
+with ``(`` starts an expression; it continues until parentheses balance;
+box-drawing/result lines are display output and are skipped), evaluates
+them in one Interp per page, and tallies per page:
+
+  ok           — evaluated without error
+  unsupported  — RayfallError (verb/form outside the front-end's scope)
+  error        — anything else (a bug worth looking at)
+  skipped      — dataset-scale literals (>= 1e6 rows driver-side) or
+                 known non-goals (IPC handles, file paths)
+
+Output parity is NOT checked here — tests/test_rayfall.py pins exact
+values for the main examples; this measures breadth. Writes
+RAYFALL_PARITY.md. Usage: python scripts/rayfall_docs_sweep.py [page.md]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOCS = "/root/reference/docs/docs/content"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "RAYFALL_PARITY.md")
+
+# non-goals: process/IPC/env pages whose snippets drive the C runtime
+SKIP_PAGES = {"IPC.md", "REPL.md", "environment.md", "serialization.md"}
+SKIP_PAT = re.compile(r"hopen|loadfn|\(system|\(timer|\(memstat|\(gc\)|\(env\)"
+                      r"|\(sysinfo|\(internals|\(exit|\(load "
+                      r"|\"/(tmp|path|data)/")  # filesystem-dependent paths
+BIG_LIT = re.compile(r"\b\d{7,}\b")
+NONDET = re.compile(r"\((rand|guid|date|time|timestamp) ")
+
+
+def _balanced(s: str) -> bool:
+    depth, in_str = 0, False
+    for i, c in enumerate(s):
+        if in_str:
+            if c == '"' and (i == 0 or s[i - 1] != "\\"):
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+    return depth <= 0
+
+
+def extract_exprs(block: str) -> list[tuple[str, str | None]]:
+    """(expression, expected_output_line) pairs from one code block.
+
+    Two conventions appear in the reference docs: plain blocks
+    (expressions open with ``(``, display output in between is dropped)
+    and the ↪ input-prefix convention of the reference's own docs harness
+    (docs/tests/test_docs.py: ↪ starts an input, following lines are its
+    expected output). Expected output is kept only when it is a single
+    simple-literal line — box-drawing tables are display-only.
+    """
+    arrow = "↪" in block
+    out: list[tuple[str, str | None]] = []
+    cur, expected = None, []
+
+    def flush():
+        nonlocal cur, expected
+        if cur is not None:
+            exp = expected[0].strip() if len(expected) == 1 else None
+            out.append((cur, exp))
+        cur, expected = None, []
+
+    for raw in block.split("\n"):
+        line = raw.strip()
+        if not line or line.startswith(";"):
+            continue
+        if arrow:
+            if line.startswith("↪"):
+                flush()
+                cur = line[1:].strip()
+            elif cur is not None and not _balanced(cur):
+                cur += "\n" + raw
+            elif cur is not None:
+                expected.append(line)
+            continue
+        if cur is None:
+            if line.startswith("("):
+                cur = line
+        else:
+            cur += "\n" + raw
+        if cur is not None and _balanced(cur):
+            out.append((cur, None))
+            cur = None
+    if arrow:
+        flush()
+    return out
+
+
+_SIMPLE_OUT = re.compile(r"^[\[\]0-9a-zA-Z ._\"'+-]+$")
+
+
+def _match(value, expected: str) -> bool | None:
+    """Compare an evaluated value against a simple expected-output line;
+    None = not comparable (tables, errors, fuzzy formats)."""
+    if not _SIMPLE_OUT.match(expected) or expected.startswith("••"):
+        return None
+    from rayforce_spark.rayfall.reader import QSym, parse
+
+    try:
+        (exp,) = parse(expected if expected.startswith("[") else f"[{expected}]")
+    except Exception:
+        return None
+
+    def norm(v):
+        if isinstance(v, QSym):
+            return str(v)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return v
+        return float(v)
+
+    exp = [norm(v) for v in exp]
+    got = value if isinstance(value, list) else [value]
+    try:
+        got = [norm(v) for v in got]
+        if len(exp) != len(got):
+            return False
+        for a, b in zip(got, exp):
+            if isinstance(a, float) and isinstance(b, float):
+                if abs(a - b) > 1e-6 * max(1.0, abs(b)):
+                    return False
+            elif a != b:
+                return False
+        return True
+    except Exception:
+        return None
+
+
+def sweep(pages: list[str]):
+    from rayforce_spark.rayfall import Interp, RayfallError
+    from rayforce_spark.session import get_spark
+
+    spark = get_spark("rayfall_sweep")
+    report = []
+    gaps: dict[str, int] = {}
+    for page in pages:
+        rel = page.split("content/")[-1]
+        if os.path.basename(page) in SKIP_PAGES:
+            continue
+        blocks = re.findall(r"```clj\n(.*?)```", open(page).read(), re.S)
+        if not blocks:
+            continue
+        ok = val = mismatch = unsup = err = skip = 0
+        it = Interp(spark)
+        for b in blocks:
+            for expr, expected in extract_exprs(b):
+                if SKIP_PAT.search(expr) or BIG_LIT.search(expr):
+                    skip += 1
+                    continue
+                try:
+                    from rayforce_spark.rayfall.reader import parse as _p
+
+                    v = it.eval(_p(expr)[0])
+                    # force lazy plans so analysis errors count here
+                    if hasattr(v, "take"):
+                        v.take(1)
+                    ok += 1
+                    if expected is not None and not NONDET.search(expr):
+                        m = _match(v, expected)
+                        if m is True:
+                            val += 1
+                        elif m is False:
+                            mismatch += 1
+                            print(f"[mismatch] {rel}: {expr} -> {v!r} "
+                                  f"(doc: {expected})", file=sys.stderr)
+                except RayfallError as e:
+                    unsup += 1
+                    verb = str(e).split(":")[-1].strip()
+                    gaps[verb] = gaps.get(verb, 0) + 1
+                except Exception as e:
+                    err += 1
+                    if os.environ.get("SWEEP_DEBUG"):
+                        print(f"[error] {rel}: {expr[:90]} -> "
+                              f"{type(e).__name__}: {str(e)[:120]}",
+                              file=sys.stderr)
+        report.append((rel, ok, val, mismatch, unsup, err, skip))
+    return report, gaps
+
+
+def main():
+    if len(sys.argv) > 1:
+        pages = sys.argv[1:]
+    else:
+        pages = sorted(glob.glob(f"{DOCS}/**/*.md", recursive=True))
+    report, gaps = sweep(pages)
+    t_ok, t_val, t_mis, t_un, t_er, t_sk = (
+        sum(r[i] for r in report) for i in range(1, 7)
+    )
+    lines = [
+        "# RAYFALL_PARITY — reference doc snippets through the front-end",
+        "",
+        "Generated by `scripts/rayfall_docs_sweep.py` (methodology in its",
+        "docstring). `ok` = expression executes; `value-match` = the doc",
+        "shows a simple literal result and ours equals it (box-drawing",
+        "tables are display-only and not compared — exact-value parity for",
+        "the key worked examples lives in `tests/test_rayfall.py`).",
+        "IPC/REPL/environment pages are out of scope (the host language is",
+        "Python, SURVEY §2.9).",
+        "",
+        f"**Totals: {t_ok} ok ({t_val} value-matched, {t_mis} mismatched) /"
+        f" {t_un} unsupported / {t_er} error / {t_sk} skipped** "
+        f"({100 * t_ok // max(t_ok + t_un + t_er, 1)}% of in-scope "
+        "expressions execute).",
+        "",
+        "| page | ok | value-match | mismatch | unsupported | error | skipped |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for rel, ok, va, mi, un, er, sk in report:
+        lines.append(f"| {rel} | {ok} | {va} | {mi} | {un} | {er} | {sk} |")
+    if gaps:
+        lines += ["", "Top unsupported forms:", ""]
+        for verb, n in sorted(gaps.items(), key=lambda kv: -kv[1])[:15]:
+            lines.append(f"- `{verb}` ({n})")
+    open(OUT, "w").write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

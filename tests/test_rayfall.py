@@ -468,3 +468,94 @@ def test_vector_aggregates(it):
     assert it.eval_str("(last [7 8])") == 8
     assert it.eval_str("(neg [1 -2])") == [-1, 2]
     assert it.eval_str("(abs [-3 4])") == [3, 4]
+
+
+# ---------------------------------------------------------------------------
+# round-5 second pass: lang.c-pinned semantics and misc verbs
+# ---------------------------------------------------------------------------
+
+
+def test_take_forms(it):
+    # docs operations/iterable.md "Take" — verbatim
+    assert it.eval_str("(take [1 2 3 4 5] 3)") == [1, 2, 3]
+    assert it.eval_str("(take [1 2 3 4 5] -3)") == [3, 4, 5]
+    assert it.eval_str("(take [1 2 3 4 5] [1 2])") == [2, 3]
+    assert it.eval_str("(take [1 2 3 4 5] [-2 2])") == [4, 5]
+    assert it.eval_str("(take \"hello\" [1 3])") == "ell"
+    assert it.eval_str("(take 'a' 2)") == "aa"
+    # symbol scalars replicate whole (docs joins.md builds columns so)
+    assert it.eval_str("(take 'AAPL 3)") == ["AAPL", "AAPL", "AAPL"]
+
+
+def test_xbar_value_order(it):
+    # reference arg order is (xbar x n) — ref tests/lang.c:2411-2413
+    assert it.eval_str("(xbar 17 5)") == 15
+    assert it.eval_str("(xbar (- (til 10) 5) 3)") == [-6, -6, -3, -3, -3, 0, 0, 0, 3, 3]
+    assert it.eval_str("(xbar [10 11 12 13 14] 3)") == [9, 9, 12, 12, 12]
+
+
+def test_type_names(it):
+    # docs data-types/*.md: scalar lowercase, vector uppercase
+    assert it.eval_str("(type true)") == "b8"
+    assert it.eval_str("(type [true true])") == "B8"
+    assert it.eval_str("(type 1)") == "i64"
+    assert it.eval_str("(type [1 2])") == "I64"
+    assert it.eval_str("(type 1.5)") == "f64"
+    assert it.eval_str("(type 'sym)") == "symbol"
+    assert it.eval_str("(type ['a 'b])") == "SYMBOL"
+    assert it.eval_str("(type \"chars\")") == "C8"
+    assert it.eval_str("(type 2025.01.02)") == "date"
+    assert it.eval_str("(type 20:00:00)") == "time"
+    assert it.eval_str("(type (as 'i32 1))") == "i32"
+    assert it.eval_str("(type (til 3))") == "I64"
+
+
+def test_date_arithmetic(it):
+    import datetime as dt
+
+    assert it.eval_str("(+ 2024.03.20 5)") == dt.date(2024, 3, 25)
+    assert it.eval_str("(- 2024.03.20 5)") == dt.date(2024, 3, 15)
+
+
+def test_map_fold_apply(it):
+    # docs operations/iterable.md — verbatim
+    assert it.eval_str("(map + 1 [1 2 3])") == [2, 3, 4]
+    assert it.eval_str("(map * 2 [1 2 3])") == [2, 4, 6]
+    assert it.eval_str("(fold max [150.25 300.50 125.75])") == 300.50
+    assert it.eval_str("(fold + [1 2 3])") == 6
+    assert it.eval_str("(apply + [1 2 3] [4 5 6])") == [5, 7, 9]
+
+
+def test_eq_ne_aliases(it):
+    # docs operations/logic.md — ==/!= verbatim
+    assert it.eval_str("(== 1 1)") is True
+    assert it.eval_str("(== [1 2 3] 1)") == [True, False, False]
+    assert it.eval_str("(!= [1 2 3] [1 2 4])") == [False, False, True]
+    assert it.eval_str("(== \"hello\" \"hello\")") is True
+
+
+def test_in_place_mutation(it):
+    # docs queries/insert.md / update.md "In-Place Modification"
+    it.eval_str("(set t (table [name age] (list ['A 'B] [1 2])))")
+    it.eval_str("(insert 't (list 'C 3))")
+    assert it.eval_str("(count t)") == 3
+    it.eval_str("(update {age: (* age 10) from: 't})")
+    assert sorted(r.age for r in it.eval_str("(select {age: age from: t})").collect()) == [10, 20, 30]
+    # alter: vector at-index, whole-vector, and quoted in-place forms
+    assert it.eval_str("(alter [100 200 300] + 1 10)") == [100, 210, 300]
+    it.eval_str("(set prices [100 200 300])")
+    it.eval_str("(alter 'prices + 10)")
+    assert it.eval_str("prices") == [110, 210, 310]
+
+
+def test_misc_verbs(it):
+    assert it.eval_str("(raze (list [1 2] [3]))") == [1, 2, 3]
+    assert it.eval_str("(group ['a 'b 'a])") == {"a": [0, 2], "b": [1]}
+    assert it.eval_str("(value (dict ['x 'y] [1 2]))") == [1, 2]
+    assert it.eval_str("(key [7 8 9])") == [0, 1, 2]
+    assert it.eval_str("(nil? (find [1 2] 5))") is True
+    assert it.eval_str("(like \"spark\" \"sp*\")") is True
+    assert it.eval_str("(format \"x=% y=%\" 1 2)") == "x=1 y=2"
+    assert len(it.eval_str("(rand 5 10)")) == 5
+    assert len(it.eval_str("(guid 3)")) == 3
+    assert it.eval_str("(if (> 2 1) 'yes 'no)") == "yes"
