@@ -42,6 +42,15 @@ class RayfallError(Exception):
     pass
 
 
+class _AsyncHandle:
+    """``(neg h)`` on an IPC handle: fire-and-forget sends (docs IPC.md)."""
+
+    __slots__ = ("handle",)
+
+    def __init__(self, handle):
+        self.handle = handle
+
+
 _QUERY_RESERVED = {"from", "where", "by", "take"}
 
 _AGG_VERBS = {
@@ -272,7 +281,12 @@ class Interp:
         if head in ("sum", "avg", "min", "max", "med", "dev", "first", "last"):
             return V.vagg(head, self.eval(args[0]))
         if head == "neg":
-            return V.sub(0, self.eval(args[0]))
+            x = self.eval(args[0])
+            from rayforce_spark import ipc as _ipc
+
+            if isinstance(x, _ipc.Handle):
+                return _AsyncHandle(x)  # (write (neg h) …) = async send
+            return V.sub(0, x)
         if head == "abs":
             x = self.eval(args[0])
             return [abs(v) for v in x] if isinstance(x, list) else abs(x)
@@ -383,6 +397,38 @@ class Interp:
             raise RayfallError(f"fold: unsupported verb {fname}")
         if head == "alter":
             return self._eval_alter(args)
+
+        # IPC verbs (docs documentation/IPC.md; server in rayforce_spark.ipc)
+        if head == "hopen":
+            from rayforce_spark import ipc as _ipc
+
+            addr = str(self.eval(args[0]))
+            timeout = int(self.eval(args[1])) if len(args) > 1 else None
+            return _ipc.hopen(addr, timeout)
+        if head == "hclose":
+            self.eval(args[0]).close()
+            return None
+        if head == "write":
+            from rayforce_spark import ipc as _ipc
+            from rayforce_spark.rayfall.reader import unparse
+
+            h = self.eval(args[0])
+            # string messages ship as-is; other forms ship UNEVALUATED.
+            # A quoted symbol's quote is consumed client-side — the bare
+            # name ships and resolves server-side (docs IPC.md
+            # "Accessing Server Variables")
+            if isinstance(args[1], QSym):
+                msg = str(args[1])
+            elif isinstance(args[1], str) and not isinstance(args[1], Sym):
+                msg = args[1]
+            else:
+                msg = unparse(args[1])
+            if isinstance(h, _AsyncHandle):
+                h.handle.write_async(msg)
+                return None
+            if isinstance(h, _ipc.Handle):
+                return h.write(msg)
+            raise RayfallError("write: first argument must be a handle")
 
         # storage verbs (docs symbols-and-enums.md; sympath args are
         # subsumed by parquet dictionary encoding — COVERAGE.md §2.1)

@@ -264,3 +264,42 @@ def parse(src: str) -> list:
     while r.peek() is not None:
         forms.append(r.read_form())
     return forms
+
+
+def unparse(ast) -> str:
+    """AST -> Rayfall source (inverse of :func:`parse` for this subset);
+    used to ship unevaluated expressions over IPC (docs IPC.md list
+    messages)."""
+    import datetime as _d
+
+    if isinstance(ast, QSym):
+        return f"'{ast}"
+    if isinstance(ast, Sym):
+        return str(ast)
+    if isinstance(ast, bool):
+        return "true" if ast else "false"
+    if isinstance(ast, TimeMs):
+        ms = int(ast)
+        h, rem = divmod(ms, 3600000)
+        m, rem = divmod(rem, 60000)
+        s, ms = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+    if isinstance(ast, (I32,)):
+        return f"{int(ast)}i"
+    if isinstance(ast, (I16,)):
+        return f"{int(ast)}h"
+    if isinstance(ast, (int, float)):
+        return repr(ast)
+    if isinstance(ast, str):
+        return '"' + ast.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(ast, _d.date):
+        return f"{ast.year:04d}.{ast.month:02d}.{ast.day:02d}"
+    if isinstance(ast, Vec):
+        return "[" + " ".join(
+            unparse(Sym(e)) if isinstance(e, QSym) else unparse(e) for e in ast
+        ) + "]"
+    if isinstance(ast, DictLit):
+        return "{" + " ".join(f"{k}: {unparse(v)}" for k, v in ast) + "}"
+    if isinstance(ast, list):
+        return "(" + " ".join(unparse(e) for e in ast) + ")"
+    raise ValueError(f"cannot unparse {ast!r}")

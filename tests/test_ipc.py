@@ -1,0 +1,84 @@
+"""IPC: RayfallServer eval port + hopen client (docs documentation/IPC.md,
+ref core/ipc.c:166,372). Examples from the doc page run verbatim through
+the Rayfall front-end on both sides."""
+
+import time
+
+import pytest
+
+from rayforce_spark.ipc import RayfallServer, hopen
+
+
+@pytest.fixture()
+def server(spark):
+    srv = RayfallServer(spark).start()
+    yield srv
+    srv.stop()
+
+
+def test_sync_eval_doc_examples(server):
+    h = hopen(server.address)
+    try:
+        # docs IPC.md:42,84 — verbatim
+        assert h.write("(+ 1 2)") == 3
+        assert h.write("(sum [1 2 3 4 5])") == 15
+    finally:
+        h.close()
+
+
+def test_server_side_variables_and_tables(server):
+    h = hopen(server.address, timeout_ms=30000)
+    try:
+        h.write("(set employees (table [name age] (list ['Alice 'Bob] [25 30])))")
+        # quoted symbol resolves server-side (docs IPC.md "Accessing
+        # Server Variables")
+        out = h.write("(select {n: (count name) from: employees})")
+        assert out["table"]["columns"] == ["n"]
+        assert out["table"]["rows"] == [[2]]
+        assert h.write("(count employees)") == 2
+    finally:
+        h.close()
+
+
+def test_async_write_and_error_reply(server):
+    h = hopen(server.address)
+    try:
+        h.write_async("(set x 41)")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if h.write("x") == 41:
+                    break
+            except RuntimeError:
+                pass
+            time.sleep(0.1)
+        assert h.write("(+ x 1)") == 42
+        with pytest.raises(RuntimeError, match="remote error"):
+            h.write("(frobnicate)")
+        # the connection survives an error reply
+        assert h.write("(+ 1 1)") == 2
+    finally:
+        h.close()
+
+
+def test_rayfall_ipc_verbs(spark, server):
+    # the client side itself driven through Rayfall: hopen/write/neg/hclose
+    from rayforce_spark.rayfall import Interp
+
+    it = Interp(spark)
+    it.env["addr"] = server.address
+    assert it.eval_str('(set h (hopen addr)) (write h "(+ 1 2)")') == 3
+    # unevaluated list message, evaluated remotely
+    assert it.eval_str("(write h (+ 20 22))") == 42
+    # async via negated handle
+    it.eval_str('(write (neg h) "(set y 7)")')
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if it.eval_str("(write h 'y)") == 7:
+                break
+        except RuntimeError:
+            pass
+        time.sleep(0.1)
+    assert it.eval_str("(write h 'y)") == 7
+    it.eval_str("(hclose h)")
