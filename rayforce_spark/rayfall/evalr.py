@@ -51,6 +51,53 @@ class _AsyncHandle:
         self.handle = handle
 
 
+class RayfallRaise(RayfallError):
+    """``(raise v)`` — caught by ``try`` (ref core/eval.c:909,1007)."""
+
+    def __init__(self, value):
+        super().__init__(str(value))
+        self.value = value
+
+
+class Closure:
+    """``(fn [params] body…)`` — a VALUE-context lambda over literal
+    vectors/scalars (docs data-types/functions.md, examples/fib.rfl).
+
+    Scoping: parameters overlay the defining interpreter's LIVE
+    environment for the duration of the call (so ``(set fib (fn [n] …
+    (fib …)))`` recursion resolves), then restore — locals don't leak.
+    Deliberately NOT the query path: lambdas never compile to Spark plans;
+    per-row/per-group logic on tables goes through the operators'
+    applyInPandas surface (operators/iterate.py)."""
+
+    __slots__ = ("params", "body", "interp")
+
+    def __init__(self, params, body, interp):
+        self.params = params
+        self.body = body
+        self.interp = interp
+
+    def __call__(self, *args):
+        if len(args) != len(self.params):
+            raise RayfallError(
+                f"lambda expects {len(self.params)} args, got {len(args)}")
+        env = self.interp.env
+        missing = object()
+        saved = {p: env.get(p, missing) for p in self.params}
+        env.update(zip(self.params, args))
+        try:
+            out = None
+            for form in self.body:
+                out = self.interp.eval(form)
+            return out
+        finally:
+            for p, old in saved.items():
+                if old is missing:
+                    env.pop(p, None)
+                else:
+                    env[p] = old
+
+
 _QUERY_RESERVED = {"from", "where", "by", "take"}
 
 _AGG_VERBS = {
@@ -148,9 +195,39 @@ class Interp:
         return ast  # int/float/str/date/TimeMs literal
 
     def _eval_call(self, ast: list):
-        if not ast or not isinstance(ast[0], Sym):
+        if not ast:
+            raise RayfallError("cannot call ()")
+        if isinstance(ast[0], list):
+            # ((fn [x] …) arg…): direct lambda application
+            fn = self.eval(ast[0])
+            if not callable(fn):
+                raise RayfallError(f"cannot call {ast[0]!r}")
+            return fn(*[self.eval(a) for a in ast[1:]])
+        if not isinstance(ast[0], Sym):
             raise RayfallError(f"cannot call {ast!r}")
         head, args = str(ast[0]), ast[1:]
+
+        # lambda / error handling (docs data-types/functions.md) ----------
+        if head == "fn":
+            if not args or not isinstance(args[0], Vec):
+                raise RayfallError("(fn [params] body...)")
+            params = [str(p) for p in args[0]]
+            return Closure(params, args[1:], self)
+        if head == "raise":
+            raise RayfallRaise(self.eval(args[0]) if args else None)
+        if head == "try":
+            try:
+                return self.eval(args[0])
+            except Exception as e:  # noqa: BLE001 - (try expr handler)
+                if len(args) < 2:
+                    return None
+                handler = self.eval(args[1])
+                msg = e.value if isinstance(e, RayfallRaise) else str(e)
+                return handler(msg) if callable(handler) else handler
+
+        # a name bound to a lambda calls it
+        if head in self.env and isinstance(self.env[head], Closure):
+            return self.env[head](*[self.eval(a) for a in args])
 
         # special forms ---------------------------------------------------
         if head == "set":
@@ -242,7 +319,9 @@ class Interp:
             x = self.eval(args[0])
             if isinstance(x, DataFrame):
                 return x.count()
-            return len(x) if isinstance(x, (list, dict)) else 1
+            if isinstance(x, V.SymVal):
+                return 1  # a symbol is a scalar, not a char vector
+            return len(x) if isinstance(x, (list, dict, str)) else 1
         if head == "meta":
             return I.meta(self.eval(args[0]))
         if head == "key":
@@ -303,9 +382,9 @@ class Interp:
                 out = self.eval(a)
             return out
         if head == "println" or head == "print":
-            v = self.eval(args[0]) if args else None
-            print(v)
-            return v
+            vals = [self.eval(a) for a in args]
+            print(*vals)
+            return vals[-1] if vals else None
         if head == "xbar":
             # reference order is (xbar x n) — ref tests/lang.c:2411
             return V.xbar_vals(self.eval(args[1]), self.eval(args[0]))
@@ -371,27 +450,33 @@ class Interp:
                 return [bool(pat.fullmatch(str(v))) for v in x]
             return bool(pat.fullmatch(str(x)))
         if head == "map":
-            # (map f x ys): binary verb with bound left arg over the
-            # vector (docs iterable.md: (map + 1 [1 2 3]) -> [2 3 4]);
-            # unary verbs map elementwise. Lambdas are out of scope —
-            # Python is the host language (SURVEY §2.9).
+            # (map f xs): lambda or unary verb elementwise; (map f x ys):
+            # binary verb with bound left arg (docs iterable.md:
+            # (map + 1 [1 2 3]) -> [2 3 4])
+            fn = self._fn_arg(args[0])
+            if isinstance(fn, Closure):
+                return [fn(v) for v in self.eval(args[1])]
             if len(args) == 3:
-                fn = _VALUE_FNS.get(str(args[0]))
                 if fn is None:
                     raise RayfallError(f"map: unsupported verb {args[0]}")
                 return V.map_right(fn, self.eval(args[1]), self.eval(args[2]))
             if str(args[0]) in ("neg", "abs", "floor", "ceil", "round", "reverse"):
                 return self._eval_call([args[0], args[1]])
             raise RayfallError(f"map: unsupported verb {args[0]}")
+        if head == "pmap":
+            # pmap parallelizes the reference's interpreter (ref
+            # core/iter.c); every Spark operator is already parallel, and
+            # the value context is literal-scale — same semantics as map
+            return self._eval_call([Sym("map"), *args])
         if head == "fold":
-            fname = str(args[0])
+            fn = self._fn_arg(args[0])
             x = self.eval(args[1])
-            if fname in ("+", "*"):
-                fn = _VALUE_FNS[fname]
+            if fn is not None:
                 out = x[0]
                 for v in x[1:]:
                     out = fn(out, v)
                 return out
+            fname = str(args[0])
             if fname in ("min", "max"):
                 return V.vagg(fname, x)
             raise RayfallError(f"fold: unsupported verb {fname}")
@@ -482,10 +567,12 @@ class Interp:
         if head == "apply":
             # (apply f xs ys …): f over corresponding elements
             # (docs iterable.md: (apply + [1 2 3] [4 5 6]) -> [5 7 9])
-            fn = _VALUE_FNS.get(str(args[0]))
+            fn = self._fn_arg(args[0])
+            vals = [self.eval(a) for a in args[1:]]
+            if isinstance(fn, Closure):
+                return [fn(*row) for row in zip(*vals)]
             if fn is None:
                 raise RayfallError(f"apply: unsupported verb {args[0]}")
-            vals = [self.eval(a) for a in args[1:]]
             out = vals[0]
             for v in vals[1:]:
                 out = fn(out, v)
@@ -603,6 +690,19 @@ class Interp:
         if isinstance(ast, DictLit):
             return {k: self.compile_col(v, df) for k, v in ast}
         raise RayfallError(f"unsupported by: {ast!r}")
+
+    def _fn_arg(self, ast):
+        """Function argument of map/fold/apply: a ``(fn …)`` form, a name
+        bound to a lambda, or a _VALUE_FNS verb name; None if neither."""
+        if isinstance(ast, list):
+            v = self.eval(ast)
+            return v if isinstance(v, Closure) else None
+        if isinstance(ast, Sym):
+            bound = self.env.get(str(ast))
+            if isinstance(bound, Closure):
+                return bound
+            return _VALUE_FNS.get(str(ast))
+        return None
 
     def _mut_target(self, ast):
         """Mutation target: a table expression, or a quoted name

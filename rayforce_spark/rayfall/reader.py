@@ -234,7 +234,8 @@ class _Reader:
             pairs = DictLit()
             while self.peek() != "}":
                 key_tok = self.next()
-                if key_tok is None or not key_tok.endswith(":"):
+                if (key_tok is None or not key_tok.endswith(":")
+                        or key_tok.startswith('"')):
                     raise SyntaxError(f"dict key expected, got {key_tok!r}")
                 if self.peek() == "}":
                     raise SyntaxError(f"dict key {key_tok!r} has no value")
@@ -248,7 +249,8 @@ class _Reader:
             return nxt  # 'literal quotes to itself in this subset
         if tok in (")", "]", "}"):
             raise SyntaxError(f"unexpected {tok}")
-        if tok.endswith(":") and len(tok) > 1 and not tok[:-1].isdigit():
+        if (tok.endswith(":") and len(tok) > 1 and not tok.startswith('"')
+                and not tok[:-1].isdigit()):
             raise SyntaxError(f"keyword {tok!r} outside a dict")
         v = _atom(tok)
         # vector literals self-quote bare identifiers: [name dept salary]

@@ -559,3 +559,29 @@ def test_misc_verbs(it):
     assert len(it.eval_str("(rand 5 10)")) == 5
     assert len(it.eval_str("(guid 3)")) == 3
     assert it.eval_str("(if (> 2 1) 'yes 'no)") == "yes"
+
+
+def test_lambda_fib_recursion(it):
+    # examples/fib.rfl shape: recursion through the live environment
+    assert it.eval_str(
+        "(set fib (fn [n] (if (< n 2) n (+ (fib (- n 1)) (fib (- n 2))))))"
+        "(fib 10)") == 55
+
+
+def test_lambda_map_apply_fold(it):
+    # examples/table.rfl idiom + docs data-types/functions.md
+    assert it.eval_str("(map (fn [x] (as 'C8 x)) (til 3))") == ["0", "1", "2"]
+    assert it.eval_str("((fn [x y] (* x y)) 6 7)") == 42
+    assert it.eval_str("(apply (fn [a b] (+ a b)) [1 2] [10 20])") == [11, 22]
+    assert it.eval_str("(fold (fn [a b] (+ a b)) [1 2 3 4])") == 10
+    assert it.eval_str("(pmap (fn [x] (* x x)) (til 4))") == [0, 1, 4, 9]
+
+
+def test_try_raise(it):
+    # docs data-types/functions.md error handling — handler receives the
+    # raised value; locals don't leak
+    assert it.eval_str('(try (raise "boom") (fn [e] 0))') == 0
+    assert it.eval_str("(try (+ 1 2) (fn [e] 0))") == 3
+    it.eval_str("(set g (fn [x] (* x 2))) (g 5)")
+    with pytest.raises(RayfallError):
+        it.eval_str("x")  # the lambda's param did not leak
