@@ -147,6 +147,27 @@ def main():
     if n_wx != 2:
         failures.append("window_join_fixed.two_shuffles")
 
+    # 7c. kdb-convention window join (wj: prevailing row + (lo,hi]):
+    # the composed plan must never enumerate pairs via a cartesian, and
+    # its exchange budget is the sum of its parts (in-window generic
+    # join + asof + merge join-back), not a blow-up
+    from rayforce_spark.operators.joins import window_join_wj
+
+    wjw = window_join_wj(
+        l, r, on="user_id", time_col="ts",
+        lo=-300_000_000_000, hi=300_000_000_000,
+        aggs={"n_cv": AGG.count("cv"), "max_cv": AGG.max_("cv")},
+        row_id_col="event_id",
+    )
+    pwjw = plan_of(wjw)
+    check("window_join_wj.no_cartesian", pwjw, "CartesianProduct", want=False)
+    n_wjx = pwjw.count("Exchange hashpartitioning")
+    ok_wjx = n_wjx <= 6
+    print(f"[{'ok' if ok_wjx else 'VIOLATION'}] window_join_wj.bounded_shuffles: "
+          f"{n_wjx} hash exchange(s) (budget 6)")
+    if not ok_wjx:
+        failures.append("window_join_wj.bounded_shuffles")
+
     # 8. no driver-gated query plans a GLOBAL window (empty partition
     # spec = Exchange SinglePartition + full sort — a scale-killer).
     # Walk the optimized logical plan and check Window.partitionSpec
