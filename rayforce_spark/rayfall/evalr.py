@@ -51,6 +51,33 @@ class _AsyncHandle:
         self.handle = handle
 
 
+class _FileJournal:
+    """``(hopen "/path")`` — an append-only EXPRESSION journal
+    (ref examples/journal.rfl, core/io.c write/read): ``write`` appends
+    one expression per line, ``read`` replays by re-evaluating each.
+    Data-scale journaling is streaming/journal.py (row batches +
+    Structured Streaming replay); this is the reference's code-journal
+    workflow."""
+
+    __slots__ = ("path", "_f")
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "a")
+
+    def append(self, line: str) -> None:
+        self._f.write(line.rstrip("\n") + "\n")
+        self._f.flush()
+
+    def read_lines(self) -> list[str]:
+        self._f.flush()
+        with open(self.path) as f:
+            return [ln for ln in f.read().splitlines() if ln.strip()]
+
+    def close(self) -> None:
+        self._f.close()
+
+
 class RayfallRaise(RayfallError):
     """``(raise v)`` — caught by ``try`` (ref core/eval.c:909,1007)."""
 
@@ -383,7 +410,12 @@ class Interp:
             return out
         if head == "println" or head == "print":
             vals = [self.eval(a) for a in args]
-            print(*vals)
+            # a leading format string substitutes bare % placeholders
+            # (ref examples/journal.rfl: (println "RES: %" (+ x y)))
+            if vals and isinstance(vals[0], str) and "%" in vals[0]:
+                print(self._format(vals[0], vals[1:]))
+            else:
+                print(*vals)
             return vals[-1] if vals else None
         if head == "xbar":
             # reference order is (xbar x n) — ref tests/lang.c:2411
@@ -404,13 +436,9 @@ class Interp:
             ks, vs = self.eval(args[0]), self.eval(args[1])
             return dict(zip(ks, vs))
         if head == "format":
-            fmt = self.eval(args[0])
-            parts = str(fmt).split("%")
-            vals = [self.eval(a) for a in args[1:]]
-            out = parts[0]
-            for i, p in enumerate(parts[1:]):
-                out += (str(vals[i]) if i < len(vals) else "%") + p
-            return out
+            return self._format(
+                str(self.eval(args[0])), [self.eval(a) for a in args[1:]]
+            )
         if head in ("=", "<>", "==", "!=", "<", ">", "<=", ">="):
             op = {"==": "=", "!=": "<>"}.get(head, head)
             return V.compare(op, self.eval(args[0]), self.eval(args[1]))
@@ -483,16 +511,30 @@ class Interp:
         if head == "alter":
             return self._eval_alter(args)
 
-        # IPC verbs (docs documentation/IPC.md; server in rayforce_spark.ipc)
+        # IPC / file-journal verbs (docs documentation/IPC.md; server in
+        # rayforce_spark.ipc; expression journal = examples/journal.rfl)
         if head == "hopen":
-            from rayforce_spark import ipc as _ipc
-
             addr = str(self.eval(args[0]))
-            timeout = int(self.eval(args[1])) if len(args) > 1 else None
-            return _ipc.hopen(addr, timeout)
+            if ":" in addr and not addr.startswith(("/", ".")):
+                from rayforce_spark import ipc as _ipc
+
+                timeout = int(self.eval(args[1])) if len(args) > 1 else None
+                return _ipc.hopen(addr, timeout)
+            return _FileJournal(addr)
         if head == "hclose":
             self.eval(args[0]).close()
             return None
+        if head == "read":
+            h = self.eval(args[0])
+            if not isinstance(h, _FileJournal):
+                raise RayfallError("read expects a file handle")
+            out = None
+            for line in h.read_lines():
+                out = self.eval_str(line)
+            return out
+        if head == "exit":
+            # process lifecycle belongs to the host (SURVEY §2.9) — no-op
+            return self.eval(args[0]) if args else 0
         if head == "write":
             from rayforce_spark import ipc as _ipc
             from rayforce_spark.rayfall.reader import unparse
@@ -500,16 +542,25 @@ class Interp:
             h = self.eval(args[0])
             # string messages ship as-is; other forms ship UNEVALUATED.
             # A quoted symbol's quote is consumed client-side — the bare
-            # name ships and resolves server-side (docs IPC.md
-            # "Accessing Server Variables")
-            if isinstance(args[1], QSym):
-                msg = str(args[1])
-            elif isinstance(args[1], str) and not isinstance(args[1], Sym):
-                msg = args[1]
+            # name ships and resolves remotely (docs IPC.md "Accessing
+            # Server Variables"). A (list 'f args…) payload journals/
+            # ships as the call (f args…) — the reference's replayable
+            # message form (examples/journal.rfl).
+            a = args[1]
+            if (isinstance(a, list) and a and a[0] == "list"
+                    and len(a) > 1 and isinstance(a[1], QSym)):
+                a = [Sym(a[1]), *a[2:]]
+            if isinstance(a, QSym):
+                msg = str(a)
+            elif isinstance(a, str) and not isinstance(a, Sym):
+                msg = a
             else:
-                msg = unparse(args[1])
+                msg = unparse(a)
             if isinstance(h, _AsyncHandle):
                 h.handle.write_async(msg)
+                return None
+            if isinstance(h, _FileJournal):
+                h.append(msg)
                 return None
             if isinstance(h, _ipc.Handle):
                 return h.write(msg)
@@ -690,6 +741,16 @@ class Interp:
         if isinstance(ast, DictLit):
             return {k: self.compile_col(v, df) for k, v in ast}
         raise RayfallError(f"unsupported by: {ast!r}")
+
+    @staticmethod
+    def _format(fmt: str, vals: list) -> str:
+        """Bare-% substitution (ref core/format.c; kdb.format_ is the
+        column twin)."""
+        parts = fmt.split("%")
+        out = parts[0]
+        for i, p in enumerate(parts[1:]):
+            out += (str(vals[i]) if i < len(vals) else "%") + p
+        return out
 
     def _fn_arg(self, ast):
         """Function argument of map/fold/apply: a ``(fn …)`` form, a name

@@ -585,3 +585,29 @@ def test_try_raise(it):
     it.eval_str("(set g (fn [x] (* x 2))) (g 5)")
     with pytest.raises(RayfallError):
         it.eval_str("x")  # the lambda's param did not leak
+
+
+def test_journal_rfl_verbatim(it, tmp_path, capsys):
+    # examples/journal.rfl — write an expression journal, replay it
+    it.env["jpath"] = str(tmp_path / "jou.log")
+    it.eval_str("""
+    (set f (fn [x y] (println "RES: %" (+ x y))))
+    (set h (hopen jpath))
+    (write h (list 'f 1 2))
+    (write h (list 'f 2 3))
+    (write h (list 'f 3 4))
+    (hclose h)
+    (set h (hopen jpath))
+    (read h)
+    (hclose h)
+    (exit 0)
+    """)
+    assert capsys.readouterr().out.splitlines() == ["RES: 3", "RES: 5", "RES: 7"]
+    # the journal holds replayable call forms
+    assert open(it.env["jpath"]).read().splitlines() == [
+        "(f 1 2)", "(f 2 3)", "(f 3 4)"]
+
+
+def test_format_placeholders(it):
+    assert it.eval_str('(format "x=% y=%" 1 2)') == "x=1 y=2"
+    assert it.eval_str('(format "no args %")') == "no args %"
