@@ -77,6 +77,13 @@ def main():
         F.col("ts") - 300_000_000_000, F.col("ts"),
         {"n_clicks": A.count("cv"), "sum_cv": A.sum_("cv")},
     ))
+    from rayforce_spark import window_join_wj
+
+    run("window_join_wj_10x", window_join_wj(
+        purchases, clicks, "user_id", "ts",
+        -300_000_000_000, 300_000_000_000,
+        {"n_clicks": A.count("cv"), "mx_cv": A.max_("cv")},
+    ))
 
     docs = inflate(t["documents"], max(2, FACTOR // 2), ["doc_id"])
     from rayforce_spark.datapipe import minhash_lsh_pairs
