@@ -695,12 +695,15 @@ def q_dedup_minhash_bench(spark, sf):
     # The oracle-gated q_dedup_minhash runs bands=num_perm for exact
     # recall, which inflates the candidate set ~20x — correct for the
     # gate, wrong for the bench (r2 regression: 2.7s -> 15.1s).
+    # sig_impl="numpy": the Arrow-vectorized signature (3x faster stage,
+    # dedup.minhash_signature_numpy docstring has the numbers); the gated
+    # config keeps the pure-JVM expression fold.
     from rayforce_spark.datapipe import minhash_lsh_pairs
 
     (d,) = _t(spark, sf, "documents")
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
-        threshold=0.5,
+        threshold=0.5, sig_impl="numpy",
     )
 
 

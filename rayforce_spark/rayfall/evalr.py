@@ -17,8 +17,11 @@ operators — it does NOT re-implement evaluation. Two contexts:
   reference's FN_AGGR path (ref core/query.c:406).
 
 Scope (deliberate): literals, symbols, vectors, dicts, nested calls, the
-query/join/mutation verbs. No lambdas, no bytecode VM, no control flow —
-that is Python's job in this engine (SURVEY §2.9).
+query/join/mutation/storage/IPC verbs, plus value-context control
+(if/do/try/raise) and lambdas (:class:`Closure`) for the reference's
+script idioms. There is NO bytecode VM and lambdas never compile to Spark
+plans — per-row/per-group logic on tables is the operators'
+applyInPandas surface; Python remains the host language (SURVEY §2.9).
 """
 
 from __future__ import annotations

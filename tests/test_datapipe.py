@@ -83,6 +83,21 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in got)
 
 
+def test_minhash_numpy_signature_same_pairs(spark, tables):
+    # the Arrow-vectorized signature family is interchangeable with the
+    # expression fold: at bands=num_perm both have exact recall, so the
+    # verified output is the same exact-Jaccard pair set
+    d = tables["documents"].limit(300)
+    kw = dict(num_perm=32, bands=32, shingle_k=3, threshold=0.5)
+    expr_pairs = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                  minhash_lsh_pairs(d, "text", "doc_id", sig_impl="expr",
+                                    **kw).collect()}
+    np_pairs = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                minhash_lsh_pairs(d, "text", "doc_id", sig_impl="numpy",
+                                  **kw).collect()}
+    assert expr_pairs == np_pairs
+
+
 def test_simhash_dup_pairs(spark):
     base = " ".join(f"w{i}" for i in range(60))
     df = spark.createDataFrame(
