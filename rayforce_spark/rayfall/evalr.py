@@ -113,8 +113,11 @@ class Closure:
                 f"lambda expects {len(self.params)} args, got {len(args)}")
         env = self.interp.env
         missing = object()
-        saved = {p: env.get(p, missing) for p in self.params}
+        # `self` names the executing lambda (ref examples/fib.rfl
+        # anonymous recursion)
+        saved = {p: env.get(p, missing) for p in (*self.params, "self")}
         env.update(zip(self.params, args))
+        env["self"] = self
         try:
             out = None
             for form in self.body:
@@ -260,12 +263,26 @@ class Interp:
             return self.env[head](*[self.eval(a) for a in args])
 
         # special forms ---------------------------------------------------
-        if head == "set":
+        if head == "set" or head == "let":
+            # `let` is the reference's lambda-local binding
+            # (examples/parted.rfl); locals live in the same env here —
+            # Closure restores its overlay, and script-level lets are sets
             if len(args) != 2 or not isinstance(args[0], Sym):
-                raise RayfallError("(set name value)")
+                raise RayfallError(f"({head} name value)")
             val = self.eval(args[1])
             self.env[str(args[0])] = val
             return val
+        if head == "timeit":
+            # (timeit expr) -> elapsed ms; DataFrame results materialize
+            # through a count so the clock covers execution, not just
+            # plan construction (ref core/chrono.c:147)
+            import time as _time
+
+            t0 = _time.perf_counter()
+            v = self.eval(args[0])
+            if isinstance(v, DataFrame):
+                v.count()
+            return round((_time.perf_counter() - t0) * 1000, 3)
         if head == "select":
             return self._eval_query(args, update=False)
         if head == "update":
@@ -316,7 +333,7 @@ class Interp:
                 return obj[int(idx)]
             raise RayfallError("(at table 'col) / (at vec i)")
         if head == "map-left" or head == "map-right":
-            fn = _VALUE_FNS.get(str(args[0]))
+            fn = self._fn_arg(args[0])
             if fn is None:
                 raise RayfallError(f"{head}: unsupported verb {args[0]}")
             a, b = self.eval(args[1]), self.eval(args[2])
@@ -485,12 +502,17 @@ class Interp:
             # binary verb with bound left arg (docs iterable.md:
             # (map + 1 [1 2 3]) -> [2 3 4])
             fn = self._fn_arg(args[0])
-            if isinstance(fn, Closure):
-                return [fn(v) for v in self.eval(args[1])]
+            if isinstance(fn, Closure) and len(args) == 2:
+                x = self.eval(args[1])
+                return [fn(v) for v in (list(x) if isinstance(x, str) else x)]
             if len(args) == 3:
+                a, b = self.eval(args[1]), self.eval(args[2])
+                if isinstance(fn, Closure):
+                    aa, bb = V.broadcast2(a, b)
+                    return [fn(x, y) for x, y in zip(aa, bb)]
                 if fn is None:
                     raise RayfallError(f"map: unsupported verb {args[0]}")
-                return V.map_right(fn, self.eval(args[1]), self.eval(args[2]))
+                return V.map_right(fn, a, b)
             if str(args[0]) in ("neg", "abs", "floor", "ceil", "round", "reverse"):
                 return self._eval_call([args[0], args[1]])
             raise RayfallError(f"map: unsupported verb {args[0]}")
@@ -624,7 +646,13 @@ class Interp:
             fn = self._fn_arg(args[0])
             vals = [self.eval(a) for a in args[1:]]
             if isinstance(fn, Closure):
-                return [fn(*row) for row in zip(*vals)]
+                elems = [V._elems(v) for v in vals]
+                n = max((len(e) for e in elems if e is not None), default=1)
+                return [
+                    fn(*[(e[i] if e is not None else v)
+                         for e, v in zip(elems, vals)])
+                    for i in range(n)
+                ]
             if fn is None:
                 raise RayfallError(f"apply: unsupported verb {args[0]}")
             out = vals[0]
@@ -789,10 +817,18 @@ class Interp:
         """insert/upsert payload -> DataFrame in the target's schema
         (docs queries/insert.md: list / dict / table payloads)."""
         if isinstance(data, DataFrame):
-            return data
+            # align by name; absent columns insert null (ref
+            # examples/update.rfl upserts a 3-column table into 4)
+            return data.select(*[
+                (F.col(c) if c in data.columns else F.lit(None))
+                .cast(target.schema[c].dataType).alias(c)
+                for c in target.columns
+            ])
         names = list(target.columns)
         if isinstance(data, dict):
-            cols = [data[n] for n in names]
+            # dict payloads match by NAME in any order; absent columns
+            # insert null (ref examples/insert.rfl tests 6-10)
+            cols = [data.get(n) for n in names]
         elif isinstance(data, list):
             if all(isinstance(c, list) for c in data):
                 cols = data  # list of column vectors
@@ -927,8 +963,6 @@ class Interp:
             obj = self.eval(a0)
         fname = str(args[1])
         fn = _VALUE_FNS.get(fname)
-        if fn is None:
-            raise RayfallError(f"alter: unsupported verb {fname}")
         rest = [self.eval(a) for a in args[2:]]
 
         if isinstance(obj, DataFrame):
@@ -941,14 +975,29 @@ class Interp:
                 raise RayfallError(f"alter: unsupported verb {fname} on tables")
             out = obj.withColumn(col, ops[fname](F.col(col)))
         elif isinstance(obj, list):
-            if len(rest) == 2:
+            out = list(obj)
+            if fname == "set":
+                # replace at index/indices (ref examples/update.rfl)
+                idx, val = rest
+                if isinstance(idx, list):
+                    vals = val if isinstance(val, list) else [val] * len(idx)
+                    for i, v in zip(idx, vals):
+                        out[int(i)] = v
+                else:
+                    out[int(idx)] = val
+            elif fname == "concat":
+                out = V.concat(out, rest[0])
+            elif fname == "remove":
+                idx = rest[0]
+                drop = {int(i) for i in (idx if isinstance(idx, list) else [idx])}
+                out = [v for i, v in enumerate(out) if i not in drop]
+            elif fn is not None and len(rest) == 2:
                 idx, val = int(rest[0]), rest[1]
-                out = list(obj)
                 out[idx] = fn(out[idx], val)
-            elif len(rest) == 1:
-                out = fn(obj, rest[0])
+            elif fn is not None and len(rest) == 1:
+                out = fn(out, rest[0])
             else:
-                raise RayfallError("(alter vec fn [idx] val)")
+                raise RayfallError(f"alter: unsupported verb {fname}")
         else:
             raise RayfallError("alter expects a vector or table")
         if in_place:
@@ -971,6 +1020,8 @@ class Interp:
                 return F.col(name)
             if name in self.env:
                 v = self.env[name]
+                if isinstance(v, Column):
+                    return v  # a column-lambda parameter binding
                 if isinstance(v, (DataFrame, list, dict)):
                     raise RayfallError(f"{name} is not a column or scalar")
                 return _lit(v)
@@ -984,6 +1035,32 @@ class Interp:
         raise RayfallError(f"cannot compile {ast!r} to a column")
 
     def _compile_call(self, ast: list, df: DataFrame):
+        if ast and isinstance(ast[0], list) and ast[0] and ast[0][0] == "fn":
+            # ((fn [x] body) col…) in column context: pure expression
+            # SUBSTITUTION — params bind to the compiled argument Columns
+            # and the body compiles under them (ref examples/update.rfl:
+            # (update {price: ((fn [x] (+ x 11)) price) …})). No UDF:
+            # the lambda inlines into the Catalyst expression.
+            params = [str(p) for p in ast[0][1]]
+            body = ast[0][2:]
+            cols = [self.compile_col(a, df) for a in ast[1:]]
+            if len(cols) != len(params):
+                raise RayfallError(
+                    f"lambda expects {len(params)} args, got {len(cols)}")
+            missing = object()
+            saved = {p: self.env.get(p, missing) for p in params}
+            self.env.update(zip(params, cols))
+            try:
+                out = None
+                for form in body:
+                    out = self.compile_col(form, df)
+                return out
+            finally:
+                for p, old in saved.items():
+                    if old is missing:
+                        self.env.pop(p, None)
+                    else:
+                        self.env[p] = old
         head, args = str(ast[0]), ast[1:]
 
         if head in _AGG_VERBS:

@@ -187,13 +187,16 @@ def as_value(type_name: str, x):
 
 def map_left(op, left, right) -> list:
     """(map-left f xs y): apply f(x, y) for each x — a list of results
-    (docs joins.md builds window intervals this way)."""
-    return [op(x, right) for x in (left if _is_vec(left) else [left])]
+    (docs joins.md builds window intervals this way). Plain strings
+    iterate as char vectors (examples/iter.rfl)."""
+    e = _elems(left)
+    return [op(x, right) for x in (e if e is not None else [left])]
 
 
 def map_right(op, left, right) -> list:
     """(map-right f x ys): apply f(x, y) for each y."""
-    return [op(left, y) for y in (right if _is_vec(right) else [right])]
+    e = _elems(right)
+    return [op(left, y) for y in (e if e is not None else [right])]
 
 
 def at_collect(df, col: str) -> list:
@@ -428,3 +431,27 @@ def logic(op: str, a, b):
     if _is_vec(a) or _is_vec(b):
         return _apply2(f, a, b)
     return f(a, b)
+
+
+def _elems(x):
+    """Element view: plain strings are char vectors (symbols are scalars);
+    None marks a scalar."""
+    if isinstance(x, str) and not isinstance(x, SymVal):
+        return list(x)
+    return x if _is_vec(x) else None
+
+
+def broadcast2(a, b) -> tuple[list, list]:
+    """Align two operands elementwise with scalar broadcast — the shape
+    rule of the reference's map/apply over mixed scalar/vector args
+    (examples/iter.rfl, apply.rfl)."""
+    ea, eb = _elems(a), _elems(b)
+    if ea is None and eb is None:
+        return [a], [b]
+    if ea is None:
+        ea = [a] * len(eb)
+    if eb is None:
+        eb = [b] * len(ea)
+    if len(ea) != len(eb):
+        raise ValueError(f"length mismatch: {len(ea)} vs {len(eb)}")
+    return ea, eb
