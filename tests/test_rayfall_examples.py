@@ -90,3 +90,14 @@ def test_update_rfl(spark):
     assert tab[("goog", "C")] == (0, 901)
     assert tab[("mod", "G")] == (0, 79)
     assert tab[("aapl", "D")] == (102, 11)
+
+
+def test_table_rfl_small_n(spark):
+    # table.rfl guards with (if (nil? (resolve 'n)) ...) — preset n=10;
+    # exercises guid, lambda map to C8, cyclic takes, TIMESTAMP cast
+    it, _ = _run(spark, "table.rfl", env={"n": 10})
+    t = it.env["t"]
+    assert t.columns == ["OrderId", "Symbol", "Price", "Size", "Tape", "Timestamp"]
+    assert t.count() == 10
+    r = t.orderBy("Timestamp").collect()[0]
+    assert r.Symbol == "AAPL" and r.Size == 1 and len(r.OrderId) == 36
