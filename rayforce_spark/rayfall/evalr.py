@@ -182,6 +182,7 @@ _VALUE_FNS = {
     "-": V.sub,
     "*": V.mul,
     "/": V.div,
+    "div": V.fdiv,
     "%": V.mod,
     "as": V.as_value,
     "concat": V.concat,
@@ -484,7 +485,12 @@ class Interp:
         if head in ("floor", "ceil", "round"):
             import math
 
-            fn = {"floor": math.floor, "ceil": math.ceil, "round": round}[head]
+            def _round_half_away(v):
+                # (round -0.5) -> -1.0 (ref tests/lang.c) — not banker's
+                return float(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+
+            fn = {"floor": math.floor, "ceil": math.ceil,
+                  "round": _round_half_away}[head]
             x = self.eval(args[0])
             return [fn(v) for v in x] if isinstance(x, list) else fn(x)
         if head == "like":
@@ -942,6 +948,8 @@ class Interp:
             return "ENUM"
         if isinstance(v, list):
             return scalar_name(v[0]).upper() if v else "LIST"
+        if isinstance(v, V.SymVal):
+            return "symbol"
         if isinstance(v, str):
             return "C8"
         return scalar_name(v)
@@ -1082,15 +1090,25 @@ class Interp:
                 out = self._arith(op, out, self.compile_col(a, df))
             return out
         if head == "/":
+            # reference `/` always floors; the result carries the left
+            # operand's type (ref tests/lang.c math, docs operations/
+            # math.md: "integer division"). `div` is true division.
             out = self.compile_col(args[0], df)
-            inty = self._is_inty(args[0], df)
+            left_inty = self._is_inty(args[0], df)
             for a in args[1:]:
                 rhs = self.compile_col(a, df)
-                if inty and self._is_inty(a, df):
+                if left_inty and self._is_inty(a, df):
                     out = self._arith(K.ediv, out, rhs)
                 else:
-                    out = self._arith(lambda x, y: x / y, out, rhs)
-                    inty = False
+                    cast = "long" if left_inty else "double"
+                    out = self._arith(
+                        lambda x, y: F.floor(x / y).cast(cast), out, rhs)
+            return out
+        if head == "div":
+            out = self.compile_col(args[0], df)
+            for a in args[1:]:
+                out = self._arith(lambda x, y: x / y, out,
+                                  self.compile_col(a, df))
             return out
         if head == "%":
             return self._arith(

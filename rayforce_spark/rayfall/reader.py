@@ -94,7 +94,8 @@ _DATE_RE = re.compile(r"^(\d{4})\.(\d{2})\.(\d{2})$")
 _TS_RE = re.compile(
     r"^(\d{4})\.(\d{2})\.(\d{2})D(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?$"
 )
-_TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,3}))?)?$")
+_TIME_RE = re.compile(r"^(-?)(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,3}))?)?$")
+_NULL_RE = re.compile(r"^0N[a-z]?$|^0n$")  # kdb typed nulls (0Nl 0Ni 0n …)
 _INT_RE = re.compile(r"^-?\d+$")
 _I32_RE = re.compile(r"^-?\d+i$")
 _I16_RE = re.compile(r"^-?\d+h$")
@@ -168,6 +169,8 @@ def _atom(tok: str):
         return True
     if tok == "false":
         return False
+    if _NULL_RE.match(tok):
+        return None  # kdb null (ref core/ops.h null sentinels)
     if _INT_RE.match(tok):
         return int(tok)
     if _I32_RE.match(tok):
@@ -190,10 +193,11 @@ def _atom(tok: str):
         return _dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
     m = _TIME_RE.match(tok)
     if m:
-        h, mi = int(m.group(1)), int(m.group(2))
-        s = int(m.group(3) or 0)
-        ms = int((m.group(4) or "0").ljust(3, "0"))
-        return TimeMs(((h * 60 + mi) * 60 + s) * 1000 + ms)
+        h, mi = int(m.group(2)), int(m.group(3))
+        s = int(m.group(4) or 0)
+        ms = int(m.group(5) or "0")  # .1 == 1 ms (right-aligned, lang.c)
+        v = ((h * 60 + mi) * 60 + s) * 1000 + ms
+        return TimeMs(-v if m.group(1) else v)
     return Sym(tok)
 
 
@@ -246,7 +250,12 @@ class _Reader:
             nxt = self.read_form()
             if isinstance(nxt, Sym):
                 return QSym(nxt)
-            return nxt  # 'literal quotes to itself in this subset
+            if isinstance(nxt, (bool, int, float)) and not isinstance(
+                    nxt, (TimeMs, TsNs)):
+                # numeric symbols ('42, the display form of
+                # (as 'symbol 42)) — quote makes them symbol literals
+                return QSym(int(nxt) if isinstance(nxt, bool) else nxt)
+            return nxt  # other 'literals quote to themselves
         if tok in (")", "]", "}"):
             raise SyntaxError(f"unexpected {tok}")
         if (tok.endswith(":") and len(tok) > 1 and not tok.startswith('"')

@@ -42,7 +42,10 @@ def _is_vec(x) -> bool:
 
 def _wrap_like(v, a, b):
     """Preserve temporal tags through arithmetic: TIME ± int stays TIME
-    (ref core/ops.h temporal dispatch)."""
+    (ref core/ops.h temporal dispatch). Already-typed results (temporal
+    promotions, nulls, dates) pass through untouched."""
+    if v is None or isinstance(v, (TimeMs, TsNs, _dt.date)):
+        return v
     for side in (a, b):
         if isinstance(side, TimeMs):
             return TimeMs(v)
@@ -52,38 +55,78 @@ def _wrap_like(v, a, b):
 
 
 def _apply2(op, a, b):
+    def one(x, y):
+        # kdb nulls propagate through scalar arithmetic
+        # (ref tests/lang.c: (+ 1 0Nl) -> 0Nl)
+        if x is None or y is None:
+            return None
+        return _wrap_like(op(x, y), x, y)
+
     if _is_vec(a) and _is_vec(b):
         if len(a) != len(b):
             raise ValueError(f"length mismatch: {len(a)} vs {len(b)}")
-        return [_wrap_like(op(x, y), x, y) for x, y in zip(a, b)]
+        return [one(x, y) for x, y in zip(a, b)]
     if _is_vec(a):
-        return [_wrap_like(op(x, b), x, b) for x in a]
+        return [one(x, b) for x in a]
     if _is_vec(b):
-        return [_wrap_like(op(a, y), a, y) for y in b]
-    return _wrap_like(op(a, b), a, b)
+        return [one(a, y) for y in b]
+    return one(a, b)
 
 
 def _div_scalar(x, y):
-    # reference `/` on integers is floor division (docs queries/joins.md
-    # asof example: (/ (* (til 10) 3) 10) -> 0 0 0 0 1 1 1 2 2 2);
-    # any float operand promotes to true division.
-    if isinstance(x, float) or isinstance(y, float):
-        return x / y
-    return x // y
+    # the reference's `/` ALWAYS floors, for every numeric dtype mix,
+    # and the result carries the LEFT operand's type (ref tests/lang.c:
+    # (/ -5 0.60) -> -9, (/ -2.00 6) -> -1.00, (/ -5 -2.00) -> 2).
+    # Division by zero is NULL ((/ -5 0) -> 0Nl) — the value-context
+    # twin of functions.kdb.ediv.
+    if y == 0:
+        return U8(0) if isinstance(x, U8) else None
+    q = x // y if not (isinstance(x, float) or isinstance(y, float)) else (
+        __import__("math").floor(x / y)
+    )
+    return float(q) if isinstance(x, float) else int(q)
+
+
+def _mod_scalar(x, y):
+    if y == 0:
+        # (% 10i 0i) -> 0Ni; u8 has no null sentinel -> 0x00
+        return U8(0) if isinstance(x, U8) else None
+    return x % y
+
+
+def _time_ns(t: TimeMs) -> int:
+    return int(t) * 1_000_000
+
+
+def _date_ns(d: _dt.date) -> int:
+    return (d - _dt.date(1970, 1, 1)).days * 86_400_000_000_000
 
 
 def _add_scalar(x, y):
-    # date +/- int is day arithmetic (docs operations/math.md:
-    # (+ 2024.03.20 5) -> 2024.03.25)
-    if isinstance(x, _dt.date) and isinstance(y, int):
-        return x + _dt.timedelta(days=int(y))
-    if isinstance(y, _dt.date) and isinstance(x, int):
-        return y + _dt.timedelta(days=int(x))
+    # temporal promotions (ref tests/lang.c math section):
+    #   date + int        -> date (day arithmetic)
+    #   date + TIME       -> TIMESTAMP at that time of day
+    #   TIMESTAMP + TIME  -> TIMESTAMP (TIME is ms -> ns)
+    for a, b in ((x, y), (y, x)):
+        if isinstance(a, _dt.date) and isinstance(b, TimeMs):
+            return TsNs(_date_ns(a) + _time_ns(b))
+        if isinstance(a, TsNs) and isinstance(b, TimeMs):
+            return TsNs(int(a) + _time_ns(b))
+        if (isinstance(a, _dt.date) and isinstance(b, int)
+                and not isinstance(b, (bool, TimeMs, TsNs))):
+            return a + _dt.timedelta(days=int(b))
     return x + y
 
 
 def _sub_scalar(x, y):
-    if isinstance(x, _dt.date) and isinstance(y, int) and not isinstance(y, bool):
+    if isinstance(x, _dt.date) and isinstance(y, _dt.date):
+        return (x - y).days  # date difference is a day count (lang.c: 407i)
+    if isinstance(x, TsNs) and isinstance(y, TimeMs):
+        return TsNs(int(x) - _time_ns(y))
+    if isinstance(x, _dt.date) and isinstance(y, TimeMs):
+        return TsNs(_date_ns(x) - _time_ns(y))
+    if (isinstance(x, _dt.date) and isinstance(y, int)
+            and not isinstance(y, (bool, TimeMs, TsNs))):
         return x - _dt.timedelta(days=int(y))
     return x - y
 
@@ -105,7 +148,13 @@ def div(a, b):
 
 
 def mod(a, b):
-    return _apply2(lambda x, y: x % y, a, b)
+    return _apply2(_mod_scalar, a, b)
+
+
+def fdiv(a, b):
+    """(div x y) — true (floating) division; `/` floors
+    (docs operations/math.md "Division by Zero" note)."""
+    return _apply2(lambda x, y: None if y == 0 else x / y, a, b)
 
 
 def til(n) -> list:
@@ -135,11 +184,21 @@ def take(x, n):
         out = [seq[i % len(seq)] for i in range(n)]
     else:
         m = -n
-        out = seq[-m:] if m <= len(seq) else [seq[i % len(seq)] for i in range(m)]
+        # wraps BACKWARD from the end when |n| > len
+        # (ref tests/lang.c: (take [0 1 2 3] -5) -> [3 0 1 2 3])
+        out = (seq[-m:] if m <= len(seq)
+               else [seq[(len(seq) - m + i) % len(seq)] for i in range(m)])
     return "".join(out) if is_chars else out
 
 
-def concat(a, b) -> list:
+def concat(a, b):
+    """Concat; two char vectors (plain strings) join into one string
+    (ref tests/lang.c: (concat "te" "st") -> "test")."""
+    def chars(v):
+        return isinstance(v, str) and not isinstance(v, SymVal)
+
+    if chars(a) and chars(b):
+        return a + b
     av = a if _is_vec(a) else [a]
     bv = b if _is_vec(b) else [b]
     return av + bv
@@ -149,8 +208,46 @@ def reverse_(x) -> list:
     return list(reversed(x))
 
 
-def distinct_(x) -> list:
-    return list(dict.fromkeys(x))
+def distinct_(x):
+    """Distinct (ref tests/lang.c): nulls drop; u8/char values come back
+    in ascending bucket order (the reference's 256-entry table), wider
+    types keep first-occurrence order."""
+    if isinstance(x, str) and not isinstance(x, SymVal):
+        return "".join(sorted(dict.fromkeys(x)))
+    vals = [v for v in x if v is not None]
+    if vals and all(isinstance(v, U8) for v in vals):
+        return sorted(dict.fromkeys(vals))
+    seen = {}
+    for v in vals:
+        k = tuple(v) if isinstance(v, list) else v
+        if k not in seen:
+            seen[k] = v
+    return list(seen.values())
+
+
+NS_2000 = 946_684_800 * 1_000_000_000  # the reference's epoch (2000.01.01)
+
+
+def _parse_ts(v: str) -> TsNs:
+    """Timestamp string -> ns, EXACT to the nanosecond (a float epoch
+    would round 087221025 ns): whole seconds through datetime, the
+    fractional digits appended as integer ns."""
+    s = v.strip().replace("T", " ")
+    frac_ns = 0
+    if "." in s:
+        head, frac = s.split(".", 1)
+        tail = ""
+        for i, c in enumerate(frac):
+            if not c.isdigit():
+                tail = frac[i:]
+                break
+        digits = frac[: len(frac) - len(tail)] if tail else frac
+        frac_ns = int(digits.ljust(9, "0")[:9])
+        s = head + tail
+    dt = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return TsNs(int(dt.timestamp()) * 1_000_000_000 + frac_ns)
 
 
 def as_value(type_name: str, x):
@@ -160,10 +257,23 @@ def as_value(type_name: str, x):
     t = type_name.lower()
 
     def one(v):
+        if v is None:
+            return None
         if t == "time":
             return TimeMs(v)
         if t == "timestamp":
-            return TsNs(v)
+            if isinstance(v, str):
+                return _parse_ts(v)
+            # raw int: ns since the reference's 2000.01.01 epoch
+            # (ref tests/lang.c: (as 'timestamp 0) -> 2000.01.01D00:00)
+            return TsNs(int(v) + NS_2000)
+        if t == "date":
+            if isinstance(v, _dt.date):
+                return v
+            if isinstance(v, str):
+                return _dt.date.fromisoformat(v)
+            # raw int: days since 2000.01.01 ((as 'date 0) -> 2000.01.01)
+            return _dt.date(2000, 1, 1) + _dt.timedelta(days=int(v))
         if t == "f64":
             return float(v)
         if t == "i32":
@@ -171,12 +281,30 @@ def as_value(type_name: str, x):
         if t == "i16":
             return I16(v)
         if t == "i64":
+            if isinstance(v, TsNs):
+                return int(v) - NS_2000
+            if isinstance(v, _dt.date):
+                return (v - _dt.date(2000, 1, 1)).days
             return int(v)
         if t == "u8":
             return U8(int(v) & 0xFF)
         if t == "b8":
+            if isinstance(v, TsNs):
+                return int(v) != NS_2000
+            if isinstance(v, _dt.date):
+                return v != _dt.date(2000, 1, 1)
             return bool(v)
         if t == "symbol":
+            # symbols render the reference's literal forms:
+            # (as 'symbol true) -> '1, (as 'symbol 42i) -> '42
+            if isinstance(v, bool):
+                return SymVal(int(v))
+            if isinstance(v, (TimeMs, TsNs, _dt.date)):
+                from rayforce_spark.rayfall.reader import unparse
+
+                return SymVal(unparse(v))
+            if isinstance(v, int):
+                return SymVal(int(v))
             return SymVal(v)
         if t in ("c8", "string", "guid"):
             return str(v)
@@ -188,15 +316,23 @@ def as_value(type_name: str, x):
 def map_left(op, left, right) -> list:
     """(map-left f xs y): apply f(x, y) for each x — a list of results
     (docs joins.md builds window intervals this way). Plain strings
-    iterate as char vectors (examples/iter.rfl)."""
+    iterate as char vectors (examples/iter.rfl); a SCALAR left
+    degenerates to plain elementwise application
+    (ref tests/lang.c: (map-left - 10 [1 2 3]) -> [9 8 7])."""
     e = _elems(left)
-    return [op(x, right) for x in (e if e is not None else [left])]
+    if e is None:
+        out = op(left, right)
+        return out if _is_vec(out) else [out]
+    return [op(x, right) for x in e]
 
 
 def map_right(op, left, right) -> list:
     """(map-right f x ys): apply f(x, y) for each y."""
     e = _elems(right)
-    return [op(left, y) for y in (e if e is not None else [right])]
+    if e is None:
+        out = op(left, right)
+        return out if _is_vec(out) else [out]
+    return [op(left, y) for y in e]
 
 
 def at_collect(df, col: str) -> list:
@@ -335,17 +471,26 @@ def in_(a, b):
     """(in x coll): scalar -> bool, vector -> bool vector; strings are
     char collections (docs: (in 'e' \"test\") -> true)."""
     coll = b if _is_vec(b) or isinstance(b, str) else [b]
+    if isinstance(a, str) and not isinstance(a, SymVal):
+        return [c in coll for c in a]  # char-vector membership
     if _is_vec(a):
         return [v in coll for v in a]
     return a in coll
 
 
 def find_(coll, v):
-    """Index of first occurrence, None (kdb null) if absent."""
-    try:
-        return list(coll).index(v)
-    except ValueError:
-        return None
+    """Index of first occurrence, None (kdb null) if absent; a vector of
+    needles finds each (ref tests/lang.c: (find [10 20 30 40] [20 40])
+    -> [1 3])."""
+    def one(needle):
+        try:
+            return list(coll).index(needle)
+        except ValueError:
+            return None
+
+    if _is_vec(v):
+        return [one(n) for n in v]
+    return one(v)
 
 
 def filter_(coll, mask: list):
@@ -365,7 +510,11 @@ def within_vals(x, bounds: list):
 # ---------------------------------------------------------------------------
 
 
-def vagg(name: str, x: list):
+def vagg(name: str, x):
+    if isinstance(x, str) and not isinstance(x, SymVal):
+        x = list(x)  # char vector ((first "hello") -> 'h')
+    if not _is_vec(x):
+        x = [x]  # aggregates of atoms are the atom (ref: (sum -24) -> -24)
     xs = [v for v in x if v is not None]
     if name == "count":
         return len(x)
@@ -416,8 +565,23 @@ _CMPS = {
 
 
 def compare(op: str, a, b):
-    """Elementwise comparisons (docs operations/logic.md)."""
+    """Elementwise comparisons (docs operations/logic.md). Equality
+    treats null as a VALUE ((== 0Ni 0Ni) -> true, ref tests/lang.c);
+    ordered comparisons propagate null like arithmetic."""
     f = _CMPS[op]
+    if op in ("=", "<>"):
+        # bypass _apply2's null propagation: None compares as a value.
+        # Strings compare WHOLE ((== "ab" "ac") -> false, scalar) — only
+        # true vectors compare elementwise.
+        ea = a if _is_vec(a) else None
+        eb = b if _is_vec(b) else None
+        if ea is None and eb is None:
+            return bool(f(a, b))
+        if ea is None:
+            ea = [a] * len(eb)
+        if eb is None:
+            eb = [b] * len(ea)
+        return [bool(f(x, y)) for x, y in zip(ea, eb)]
     if _is_vec(a) or _is_vec(b):
         return _apply2(lambda x, y: bool(f(x, y)), a, b)
     return bool(f(a, b))
