@@ -305,7 +305,10 @@ class Interp:
                 return J.inner_join(left, right, keys)
             if len(keys) < 2:
                 raise RayfallError("asof-join needs at least [key time] columns")
-            return J.asof_join(left, right, keys[:-1], keys[-1])
+            # keep the left table's row order (see _eval_window_join)
+            lt = left.withColumn("__rf_ord", F.monotonically_increasing_id())
+            out = J.asof_join(lt, right, keys[:-1], keys[-1])
+            return out.orderBy("__rf_ord").drop("__rf_ord")
         if head in ("window-join", "window-join1"):
             return self._eval_window_join(args, wj=(head == "window-join"))
         if head == "insert":
@@ -325,13 +328,31 @@ class Interp:
             obj = self.eval(args[0])
             idx = self.eval(args[1])
             if isinstance(obj, DataFrame):
+                if isinstance(idx, int) and not isinstance(idx, bool):
+                    # (at table i) -> row i as a dict (ref tests/lang.c:
+                    # (at (table …) 0) -> {a:1 b:4}); doc-scale head
+                    rows = obj.limit(int(idx) + 1).collect()
+                    return dict(rows[int(idx)].asDict()) if len(rows) > idx \
+                        else None
                 return V.at_collect(obj, str(idx))
             if isinstance(obj, dict):
-                return obj[str(idx)] if not isinstance(idx, int) else obj[idx]
+                # missing key -> null (ref tests/lang.c: (at d 'd) -> 0Nl)
+                if not isinstance(idx, int) or isinstance(idx, bool):
+                    return obj.get(str(idx))
+                return obj.get(idx)
             if isinstance(obj, (list, str)):
+                def one(i):
+                    i = int(i)
+                    # out-of-range -> null ((at [] 0) -> 0Nl)
+                    return obj[i] if -len(obj) <= i < len(obj) else None
                 if isinstance(idx, list):
-                    return [obj[i] for i in idx]
-                return obj[int(idx)]
+                    out = [one(i) for i in idx]
+                    # a string gathers back to a string ((at "hello"
+                    # [0 4]) -> "ho")
+                    if isinstance(obj, str) and not isinstance(obj, V.SymVal):
+                        return "".join(v for v in out if v is not None)
+                    return out
+                return one(idx)
             raise RayfallError("(at table 'col) / (at vec i)")
         if head == "map-left" or head == "map-right":
             fn = self._fn_arg(args[0])
@@ -348,7 +369,23 @@ class Interp:
                 out = _VALUE_FNS[head](out, v)
             return out
         if head == "as":
-            return V.as_value(str(self.eval(args[0])), self.eval(args[1]))
+            tname = str(self.eval(args[0]))
+            val = self.eval(args[1])
+            # container casts (ref tests/lang.c: (as 'TABLE {…}) -> table,
+            # (as 'DICT table) -> column dict)
+            if tname.upper() == "TABLE" and isinstance(val, dict):
+                return V.build_table(
+                    self.spark, [str(k) for k in val.keys()],
+                    list(val.values()))
+            if tname.upper() == "DICT" and isinstance(val, DataFrame):
+                n = val.count()
+                if n > V.MAX_COLLECT:
+                    raise RayfallError(
+                        f"(as 'DICT table) collects to the driver; table "
+                        f"has {n} rows (max {V.MAX_COLLECT})")
+                rows = val.collect()
+                return {c: [r[c] for r in rows] for c in val.columns}
+            return V.as_value(tname, val)
         if head == "til":
             return V.til(self.eval(args[0]))
         if head == "reverse":
@@ -402,11 +439,35 @@ class Interp:
         if head == "find":
             return V.find_(self.eval(args[0]), self.eval(args[1]))
         if head == "filter":
-            return V.filter_(self.eval(args[0]), self.eval(args[1]))
+            coll = self.eval(args[0])
+            mask = self.eval(args[1])
+            if isinstance(coll, DataFrame):
+                # boolean-mask filter on a table keeps the flagged rows in
+                # order (ref tests/lang.c filter section) — positional, so
+                # doc-scale only; dataset-scale filtering is (select
+                # {… where: …})
+                from pyspark.sql.window import Window as _W
+
+                keep = [i for i, m in enumerate(mask) if m]
+                w = _W.orderBy(F.monotonically_increasing_id())
+                return (coll.withColumn("__rn", F.row_number().over(w) - 1)
+                        .filter(F.col("__rn").isin(keep)).drop("__rn"))
+            return V.filter_(coll, mask)
         if head == "within":
             return V.within_vals(self.eval(args[0]), self.eval(args[1]))
+        if head == "split":
+            return V.split_vals(self.eval(args[0]), self.eval(args[1]))
+        if head in ("bin", "binr"):
+            return V.bin_vals(self.eval(args[0]), self.eval(args[1]),
+                              right=(head == "binr"))
         if head in ("sum", "avg", "min", "max", "med", "dev", "first", "last"):
-            return V.vagg(head, self.eval(args[0]))
+            x = self.eval(args[0])
+            if isinstance(x, DataFrame) and head in ("first", "last"):
+                # (first table) -> the first row as a dict (ref
+                # tests/lang.c: (at (first (table …)) 'a) -> scalar)
+                rows = x.head(1) if head == "first" else x.tail(1)
+                return dict(rows[0].asDict()) if rows else None
+            return V.vagg(head, x)
         if head == "neg":
             x = self.eval(args[0])
             from rayforce_spark import ipc as _ipc
@@ -441,8 +502,19 @@ class Interp:
         if head == "xbar":
             # reference order is (xbar x n) — ref tests/lang.c:2411
             return V.xbar_vals(self.eval(args[1]), self.eval(args[0]))
+        if head == "enlist":
+            # (enlist x …) wraps the args in a vector (ref tests/lang.c:
+            # (enlist 1 2 3) -> [1 2 3])
+            return [self.eval(a) for a in args]
+        if head == "where":
+            # boolean mask -> indices of the true slots (ref tests/lang.c:
+            # (where [true false true]) -> [0 2])
+            mask = self.eval(args[0])
+            return [i for i, m in enumerate(mask) if m]
         if head == "raze":
             x = self.eval(args[0])
+            if not isinstance(x, list):
+                return x  # razing an atom is the atom ((raze 42) -> 42)
             out = []
             for v in x:
                 out.extend(v) if isinstance(v, list) else out.append(v)
@@ -481,6 +553,16 @@ class Interp:
             return self.env.get(str(self.eval(args[0])))
         if head == "value":
             x = self.eval(args[0])
+            if isinstance(x, DataFrame):
+                # (value table) -> the column vectors (ref tests/lang.c:
+                # (value (table …)) -> (list cols…)); driver-side, guarded
+                n = x.count()
+                if n > V.MAX_COLLECT:
+                    raise RayfallError(
+                        f"(value table) collects to the driver; table has "
+                        f"{n} rows (max {V.MAX_COLLECT})")
+                rows = x.collect()
+                return [[r[c] for r in rows] for c in x.columns]
             return list(x.values()) if isinstance(x, dict) else x
         if head in ("floor", "ceil", "round"):
             import math
@@ -489,8 +571,12 @@ class Interp:
                 # (round -0.5) -> -1.0 (ref tests/lang.c) — not banker's
                 return float(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
 
-            fn = {"floor": math.floor, "ceil": math.ceil,
+            f0 = {"floor": math.floor, "ceil": math.ceil,
                   "round": _round_half_away}[head]
+
+            def fn(v):  # nulls pass through ((round 0Nf) -> 0Nf)
+                return None if v is None else f0(v)
+
             x = self.eval(args[0])
             return [fn(v) for v in x] if isinstance(x, list) else fn(x)
         if head == "like":
@@ -519,8 +605,11 @@ class Interp:
                 if fn is None:
                     raise RayfallError(f"map: unsupported verb {args[0]}")
                 return V.map_right(fn, a, b)
-            if str(args[0]) in ("neg", "abs", "floor", "ceil", "round", "reverse"):
-                return self._eval_call([args[0], args[1]])
+            if str(args[0]) in ("neg", "abs", "floor", "ceil", "round",
+                                "reverse", "count", "first", "last", "sum",
+                                "distinct", "raze", "enlist", "where"):
+                x = self.eval(args[1])
+                return [self._apply_unary(str(args[0]), v) for v in x]
             raise RayfallError(f"map: unsupported verb {args[0]}")
         if head == "pmap":
             # pmap parallelizes the reference's interpreter (ref
@@ -674,7 +763,8 @@ class Interp:
             import uuid
 
             n = int(self.eval(args[0])) if args else 1
-            return [str(uuid.UUID(int=self._rng.getrandbits(128), version=4))
+            return [V.GuidVal(str(uuid.UUID(int=self._rng.getrandbits(128),
+                                            version=4)))
                     for _ in range(n)]
         if head in ("date", "time", "timestamp"):
             import datetime as dt
@@ -761,6 +851,16 @@ class Interp:
         if update:
             if "take" in clauses:
                 raise RayfallError("update has no take:")
+            # a WHERE-update writes into the existing typed column, so the
+            # result casts back to the column's dtype; an unconditional
+            # update REPLACES the column, promoting its type (ref
+            # tests/lang.c update section: (* val 1.5) where… -> i64,
+            # (* val 1.5) without where -> f64)
+            if where is not None and by is None:
+                orig = dict(df.dtypes)
+                cols = {n: (c.cast(orig[n])
+                            if n in orig and isinstance(c, Column) else c)
+                        for n, c in cols.items()}
             out = Q.update(df, cols, where=where, by=by)
             if mut_name:
                 self.env[mut_name] = out
@@ -887,7 +987,14 @@ class Interp:
             and self.eval(iv[3][1]) is left
         ):
             lo, hi = int(iv[2][0]), int(iv[2][1])
-            return join(left, right, keys[:-1], keys[-1], lo, hi, aggs)
+            # the reference's result keeps the LEFT table's row order
+            # (tests/lang.c window-join: minBid comes back per trade row);
+            # the front-end honors it with an order column + sort — a
+            # doc-scale cost; dataset-scale callers use operators.joins
+            # directly and order explicitly
+            lt = left.withColumn("__rf_ord", F.monotonically_increasing_id())
+            out = join(lt, right, keys[:-1], keys[-1], lo, hi, aggs)
+            return out.orderBy("__rf_ord").drop("__rf_ord")
 
         # general form: per-row interval vectors, pasted positionally
         # (doc-scale; the offset idiom above is the dataset-scale path)
@@ -895,43 +1002,41 @@ class Interp:
         if not (isinstance(bounds, list) and len(bounds) == 2):
             raise RayfallError("intervals must be (list lo-vec hi-vec)")
         bt = V.build_table(self.spark, ["__rf_wlo", "__rf_whi"], bounds)
-        lt = I.hconcat(left, bt)
+        lt = I.hconcat(left, bt).withColumn(
+            "__rf_ord", F.monotonically_increasing_id())
         out = join(
             lt, right, keys[:-1], keys[-1],
             F.col("__rf_wlo"), F.col("__rf_whi"), aggs,
         )
-        return out.drop("__rf_wlo", "__rf_whi")
+        return out.orderBy("__rf_ord").drop("__rf_wlo", "__rf_whi", "__rf_ord")
+
+    def _apply_unary(self, name: str, v):
+        """Apply a unary VERB to an already-evaluated value (map over
+        verbs: (map count (list …)) counts each element)."""
+        missing = object()
+        old = self.env.get("__mapv", missing)
+        self.env["__mapv"] = v
+        try:
+            return self._eval_call([Sym(name), Sym("__mapv")])
+        finally:
+            if old is missing:
+                self.env.pop("__mapv", None)
+            else:
+                self.env["__mapv"] = old
 
     def _type_of(self, ast) -> str:
         """(type x): the reference's type-name verb — scalar names
         lowercase, vector names uppercase (docs data-types/*.md:
         (type true) -> b8, (type [true]) -> B8). Literal ASTs dispatch
         statically; everything else evaluates and inspects."""
-        from rayforce_spark.rayfall.reader import TsNs
+        from rayforce_spark.rayfall.reader import Char as _Char
 
-        def scalar_name(v) -> str:
-            if isinstance(v, bool):
-                return "b8"
-            if isinstance(v, TimeMs):
-                return "time"
-            if isinstance(v, TsNs):
-                return "timestamp"
-            if isinstance(v, V.I32):
-                return "i32"
-            if isinstance(v, V.I16):
-                return "i16"
-            if isinstance(v, V.U8):
-                return "u8"
-            if isinstance(v, int):
-                return "i64"
-            if isinstance(v, float):
-                return "f64"
-            if isinstance(v, _dt.date):
-                return "date"
-            return "symbol"
+        scalar_name = V.scalar_type_name
 
         if isinstance(ast, QSym):
             return "symbol"
+        if isinstance(ast, _Char):
+            return "c8"
         if isinstance(ast, str) and not isinstance(ast, (Sym, QSym)):
             return "C8"  # strings are char vectors
         if isinstance(ast, Vec):
@@ -941,15 +1046,18 @@ class Interp:
             return scalar_name(ast)
         v = self.eval(ast)
         if isinstance(v, DataFrame):
-            return "table"
+            return "TABLE"  # containers are uppercase (ref tests/lang.c)
         if isinstance(v, dict):
-            return "dict"
+            return "DICT"
         if isinstance(v, V.EnumVals):
             return "ENUM"
         if isinstance(v, list):
+            el = getattr(v, "eltype", None)
+            if el:
+                return el
             return scalar_name(v[0]).upper() if v else "LIST"
-        if isinstance(v, V.SymVal):
-            return "symbol"
+        if isinstance(v, (V.SymVal, V.GuidVal, _Char)):
+            return scalar_name(v)
         if isinstance(v, str):
             return "C8"
         return scalar_name(v)

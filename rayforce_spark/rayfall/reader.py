@@ -38,6 +38,16 @@ class Sym(str):
         return f"Sym({str.__repr__(self)})"
 
 
+class Char(str):
+    """Char ATOM ``'x'`` — distinct from a 1-char string: the reference's
+    c8 scalar (ref core/parse.c char literals; tests/lang.c literals
+    section). Escapes ``'\\n'`` and octal ``'\\001'`` are supported."""
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover
+        return f"Char({str.__repr__(self)})"
+
+
 class QSym(str):
     """Quoted symbol literal ``'IT`` — a kdb symbol, i.e. a string value."""
     __slots__ = ()
@@ -76,13 +86,23 @@ class TsNs(int):
 
 
 class I32(int):
-    """Width-tagged int: ``3i`` literal / ``(as 'I32 x)`` (reference i32)."""
+    """Width-tagged int: ``3i`` literal / ``(as 'I32 x)`` (reference i32).
+    Construction WRAPS to signed 32 bits — the reference's fixed-width
+    arithmetic (tests/lang.c: (sum (as 'I32 (til 100000))) -> 704982704i)."""
     __slots__ = ()
+
+    def __new__(cls, v):
+        return super().__new__(cls, ((int(v) + 0x8000_0000) & 0xFFFF_FFFF)
+                               - 0x8000_0000)
 
 
 class I16(int):
-    """Width-tagged int: ``3h`` literal / ``(as 'I16 x)`` (reference i16)."""
+    """Width-tagged int: ``3h`` literal / ``(as 'I16 x)`` (reference i16).
+    Construction wraps to signed 16 bits (see I32)."""
     __slots__ = ()
+
+    def __new__(cls, v):
+        return super().__new__(cls, ((int(v) + 0x8000) & 0xFFFF) - 0x8000)
 
 
 class U8(int):
@@ -120,10 +140,31 @@ def tokenize(src: str) -> list[str]:
             toks.append(c)
             i += 1
         elif c == "'":
-            # char literal 'x' (docs iterable.md: (take 'a' 2) -> "aa");
-            # otherwise the symbol-quote operator
-            if i + 2 < n and src[i + 2] == "'" and src[i + 1] not in _DELIMS + _WS:
-                toks.append('"' + src[i + 1])
+            # char literal 'x' / '\n' / '\001' (docs iterable.md:
+            # (take 'a' 2) -> "aa"); otherwise the symbol-quote operator.
+            # Char tokens carry a \x01 prefix so _atom can tell a char
+            # ATOM from a 1-char string.
+            if i + 1 < n and src[i + 1] == "\\":
+                j = i + 2
+                if j < n and src[j].isdigit():
+                    k = j
+                    while k < n and k - j < 3 and src[k].isdigit():
+                        k += 1
+                    ch = chr(int(src[j:k], 8))
+                    j = k
+                elif j < n:
+                    ch = {"n": "\n", "t": "\t", "r": "\r", "0": "\x00",
+                          "\\": "\\", "'": "'"}.get(src[j], src[j])
+                    j += 1
+                else:
+                    raise SyntaxError("unterminated char literal")
+                if j < n and src[j] == "'":
+                    toks.append("\x01" + ch)
+                    i = j + 1
+                else:
+                    raise SyntaxError("unterminated char literal")
+            elif i + 2 < n and src[i + 2] == "'" and src[i + 1] not in _DELIMS + _WS:
+                toks.append("\x01" + src[i + 1])
                 i += 3
             else:
                 toks.append(c)
@@ -152,9 +193,16 @@ def tokenize(src: str) -> list[str]:
                 d = src[j]
                 if d in _WS or d in _DELIMS or d == ";" or d == '"':
                     break
-                if d == ":" and not (j + 1 < n and src[j + 1].isdigit()):
-                    j += 1  # include the colon: keyword token
-                    break
+                if d == ":":
+                    # ``:`` ends a keyword token unless this could be a
+                    # time literal (digits so far — 09:00:00, -09:30:00);
+                    # a dict key like ``a:1`` terminates even before a digit
+                    timeish = (src[i].isdigit()
+                               or (src[i] == "-" and i + 1 < n
+                                   and src[i + 1].isdigit()))
+                    if not timeish or not (j + 1 < n and src[j + 1].isdigit()):
+                        j += 1  # include the colon: keyword token
+                        break
                 j += 1
             toks.append(src[i:j])
             i = j
@@ -165,10 +213,14 @@ def _atom(tok: str):
     """Classify a non-delimiter token."""
     if tok.startswith('"'):
         return tok[1:]
+    if tok.startswith("\x01"):
+        return Char(tok[1:])
     if tok == "true":
         return True
     if tok == "false":
         return False
+    if tok == "null":
+        return None  # the untyped null literal (ref tests/lang.c:39)
     if _NULL_RE.match(tok):
         return None  # kdb null (ref core/ops.h null sentinels)
     if _INT_RE.match(tok):
@@ -238,15 +290,25 @@ class _Reader:
             pairs = DictLit()
             while self.peek() != "}":
                 key_tok = self.next()
-                if (key_tok is None or not key_tok.endswith(":")
-                        or key_tok.startswith('"')):
+                if key_tok is not None and key_tok.startswith('"') \
+                        and self.peek() == ":":
+                    self.next()  # string key: "apple": value
+                    key = key_tok[1:]
+                elif key_tok is not None and key_tok.endswith(":") \
+                        and not key_tok.startswith('"'):
+                    key = key_tok[:-1]
+                else:
                     raise SyntaxError(f"dict key expected, got {key_tok!r}")
                 if self.peek() == "}":
                     raise SyntaxError(f"dict key {key_tok!r} has no value")
-                pairs.append((key_tok[:-1], self.read_form()))
+                pairs.append((key, self.read_form()))
             self.next()
             return pairs
         if tok == "'":
+            # bare quote (end of input / before a closing delimiter) is
+            # the NULL symbol 0Ns (ref tests/lang.c: "'" -> 0Ns)
+            if self.peek() is None or self.peek() in (")", "]", "}"):
+                return None
             nxt = self.read_form()
             if isinstance(nxt, Sym):
                 return QSym(nxt)
@@ -285,6 +347,10 @@ def unparse(ast) -> str:
 
     if isinstance(ast, QSym):
         return f"'{ast}"
+    if isinstance(ast, Char):
+        c = str(ast)
+        esc = {"\n": r"\n", "\t": r"\t", "\r": r"\r", "\\": "\\\\", "'": r"\'"}
+        return f"'{esc.get(c, c)}'"
     if isinstance(ast, Sym):
         return str(ast)
     if isinstance(ast, bool):

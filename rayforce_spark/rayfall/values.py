@@ -15,8 +15,9 @@ DataFrame collects one column and is guarded to MAX_COLLECT rows.
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 
-from rayforce_spark.rayfall.reader import I16, I32, U8, TimeMs, TsNs
+from rayforce_spark.rayfall.reader import I16, I32, U8, Char, TimeMs, TsNs
 
 MAX_COLLECT = 1_000_000
 
@@ -36,8 +37,61 @@ class EnumVals(list):
     __slots__ = ()
 
 
+class GuidVal(str):
+    """A guid ATOM (``(as 'guid "…")`` / an element of ``(guid n)``).
+    Distinct from str so guid atoms never char-vectorize; ordering is the
+    reference's byte order = lexicographic on the canonical hex form
+    (ref tests/lang.c guid comparison section)."""
+    __slots__ = ()
+
+
+class TypedList(list):
+    """A vector that remembers its element type even when EMPTY — the
+    reference's vectors are always width-tagged, so ``(take 1i 0i)`` is
+    an empty I32 vector, not a generic LIST (ref tests/lang.c take/cast
+    empty-vector sections)."""
+    __slots__ = ("eltype",)
+
+    def __init__(self, it=(), eltype: str | None = None):
+        super().__init__(it)
+        self.eltype = eltype
+
+
+def scalar_type_name(v) -> str:
+    """The reference's scalar type names (lowercase; vector names are the
+    uppercase forms — docs data-types/*.md)."""
+    if isinstance(v, bool):
+        return "b8"
+    if isinstance(v, TimeMs):
+        return "time"
+    if isinstance(v, TsNs):
+        return "timestamp"
+    if isinstance(v, I32):
+        return "i32"
+    if isinstance(v, I16):
+        return "i16"
+    if isinstance(v, U8):
+        return "u8"
+    if isinstance(v, int):
+        return "i64"
+    if isinstance(v, float):
+        return "f64"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, GuidVal):
+        return "guid"
+    if isinstance(v, Char):
+        return "c8"
+    return "symbol"
+
+
 def _is_vec(x) -> bool:
     return isinstance(x, list)
+
+
+def _is_chars(x) -> bool:
+    """True for char-vector strings; symbol/guid atoms are scalars."""
+    return isinstance(x, str) and not isinstance(x, (SymVal, GuidVal))
 
 
 def _wrap_like(v, a, b):
@@ -167,6 +221,43 @@ def take(x, n):
     the end (docs joins.md builds symbol columns this way); negative n ->
     last |n|; ``[start amount]`` -> slice (negative start from the end).
     Strings are char vectors; symbol scalars replicate whole."""
+    if hasattr(x, "sparkSession"):  # DataFrame: (take t n) = head/tail
+        from rayforce_spark.operators.query import _take as df_take
+
+        if _is_vec(n):
+            return df_take(x, tuple(int(v) for v in n))
+        nn = int(n)
+        cnt = x.count()
+        if abs(nn) <= cnt:
+            return df_take(x, nn)
+        # past-the-end takes CYCLE rows like vectors (ref tests/lang.c:
+        # (take (table …4 rows…) 5) repeats row 0) — literal-table scale
+        if cnt > MAX_COLLECT:
+            raise ValueError(
+                f"(take table n) with n > len cycles via the driver; "
+                f"table has {cnt} rows (max {MAX_COLLECT})")
+        rows = x.collect()
+        if not rows:
+            return x
+        if nn >= 0:
+            out = [rows[i % cnt] for i in range(nn)]
+        else:
+            m = -nn
+            out = [rows[(cnt - m + i) % cnt] for i in range(m)]
+        return x.sparkSession.createDataFrame(out, schema=x.schema)
+    if isinstance(x, dict):
+        # (take dict n): first n / last -n entries; [start amount]
+        # slices; 0 keeps the DICT tag (ref tests/lang.c take section)
+        items = list(x.items())
+        if _is_vec(n):
+            start, amount = int(n[0]), int(n[1])
+            if start < 0:
+                start += len(items)
+            return dict(items[start:start + amount])
+        nn = int(n)
+        if nn == 0:
+            return {}
+        return dict(items[:nn] if nn >= 0 else items[nn:])
     if _is_vec(n):
         start, amount = int(n[0]), int(n[1])
         seq = x if _is_vec(x) or isinstance(x, str) else [x]
@@ -174,12 +265,23 @@ def take(x, n):
             start += len(seq)
         return seq[start:start + amount]
     n = int(n)
-    is_chars = isinstance(x, str) and not isinstance(x, SymVal)
+    is_chars = _is_chars(x)
     if not _is_vec(x) and not is_chars:
+        if n == 0:
+            return TypedList(eltype=scalar_type_name(x).upper())
         return [x] * abs(n)
     seq = list(x) if is_chars else x
+    if n == 0 and not is_chars:
+        el = "ENUM" if isinstance(x, EnumVals) else getattr(x, "eltype", None)
+        if el is None and seq:
+            names = {scalar_type_name(v) for v in seq
+                     if v is not None and not isinstance(v, list)}
+            homogeneous = (len(names) == 1
+                           and not any(isinstance(v, list) for v in seq))
+            el = names.pop().upper() if homogeneous else "LIST"
+        return TypedList(eltype=el)
     if not seq:
-        return "" if is_chars else []
+        return "" if is_chars else TypedList(eltype=getattr(x, "eltype", None))
     if n >= 0:
         out = [seq[i % len(seq)] for i in range(n)]
     else:
@@ -194,11 +296,23 @@ def take(x, n):
 def concat(a, b):
     """Concat; two char vectors (plain strings) join into one string
     (ref tests/lang.c: (concat "te" "st") -> "test")."""
-    def chars(v):
-        return isinstance(v, str) and not isinstance(v, SymVal)
+    if hasattr(a, "sparkSession") and hasattr(b, "sparkSession"):
+        # table concat appends BY NAME into the left schema; right-only
+        # columns drop, right-missing columns fill null (ref tests/lang.c
+        # concat table section: [A C] , [C B A] -> [A C])
+        from pyspark.sql import functions as F
 
-    if chars(a) and chars(b):
+        rb = b
+        for c in a.columns:
+            if c not in b.columns:
+                rb = rb.withColumn(c, F.lit(None).cast(dict(a.dtypes)[c]))
+        return a.unionByName(rb.select(*a.columns))
+    if _is_chars(a) and _is_chars(b):
         return a + b
+    if isinstance(a, dict) and isinstance(b, dict):
+        # dict concat merges, right wins on shared keys (ref tests/lang.c
+        # concat dict section — kdb ,: semantics)
+        return {**a, **b}
     av = a if _is_vec(a) else [a]
     bv = b if _is_vec(b) else [b]
     return av + bv
@@ -222,7 +336,13 @@ def distinct_(x):
         k = tuple(v) if isinstance(v, list) else v
         if k not in seen:
             seen[k] = v
-    return list(seen.values())
+    out = list(seen.values())
+    if any(isinstance(v, list) for v in out):
+        # mixed LIST distinct: the reference emits atoms before vectors
+        # (tests/lang.c: (distinct (list [3i 3i] 2i …)) -> (list 2i [3i 3i]))
+        out = ([v for v in out if not isinstance(v, list)]
+               + [v for v in out if isinstance(v, list)])
+    return out
 
 
 NS_2000 = 946_684_800 * 1_000_000_000  # the reference's epoch (2000.01.01)
@@ -233,6 +353,9 @@ def _parse_ts(v: str) -> TsNs:
     would round 087221025 ns): whole seconds through datetime, the
     fractional digits appended as integer ns."""
     s = v.strip().replace("T", " ")
+    m = _DOTTED_DATE.match(s)
+    if m:  # the reference's own literal form 2004.10.21D12:00:00.000000000
+        s = f"{m.group(1)}-{m.group(2)}-{m.group(3)} {m.group(4) or '00:00:00'}"
     frac_ns = 0
     if "." in s:
         head, frac = s.split(".", 1)
@@ -250,20 +373,99 @@ def _parse_ts(v: str) -> TsNs:
     return TsNs(int(dt.timestamp()) * 1_000_000_000 + frac_ns)
 
 
+def _c8_str(v) -> str:
+    """The reference's display form for C8 casts (ref tests/lang.c:
+    (as 'C8 true) -> "true", (as 'C8 2024.03.20) -> "2024.03.20")."""
+    from rayforce_spark.rayfall.reader import unparse
+
+    if v is None:
+        return ""  # null -> empty char vector ((as 'C8 ') -> "")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (TimeMs, _dt.date)):
+        return unparse(v)
+    if isinstance(v, TsNs):
+        return _fmt_ts(v)
+    if isinstance(v, int):
+        return str(int(v))
+    return str(v)
+
+
+def _fmt_ts(v: TsNs) -> str:
+    ns = int(v)
+    days, rem = divmod(ns, 86_400_000_000_000)
+    d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+    secs, frac = divmod(rem, 1_000_000_000)
+    h, r = divmod(secs, 3600)
+    mi, s = divmod(r, 60)
+    return (f"{d.year:04d}.{d.month:02d}.{d.day:02d}D"
+            f"{h:02d}:{mi:02d}:{s:02d}.{frac:09d}")
+
+
+_DOTTED_DATE = _re.compile(r"^(\d{4})\.(\d{2})\.(\d{2})(?:D(.*))?$")
+
+
+def _parse_time_str(s: str) -> TimeMs:
+    """"12:30:45.123" / "20:00:00" / "20:00:00.0" -> ms-of-day
+    (fraction is ms, right-padded — ref core/parse.c time literals)."""
+    parts = s.strip().split(":")
+    h, mi = int(parts[0]), int(parts[1])
+    sec, ms = 0, 0
+    if len(parts) > 2:
+        sp = parts[2].split(".")
+        sec = int(sp[0])
+        if len(sp) > 1 and sp[1]:
+            ms = int(sp[1][:3].ljust(3, "0"))
+    return TimeMs(((h * 60 + mi) * 60 + sec) * 1000 + ms)
+
+
+def _num_2000(v):
+    """Temporal -> the reference's raw numeric form (days / ms / ns
+    relative to the 2000.01.01 epoch where applicable)."""
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(2000, 1, 1)).days
+    if isinstance(v, TsNs):
+        return int(v) - NS_2000
+    if isinstance(v, TimeMs):
+        return int(v)
+    return v
+
+
 def as_value(type_name: str, x):
     """Value-context cast ``(as 'TIME i)`` etc. Ints cast to TIME are read
     as ms-of-day, to TIMESTAMP as ns — the reference's raw reinterpretation
-    (ref core/compose.c:42)."""
+    (ref core/compose.c:42). Lowercase 'c8 makes a char ATOM (first char);
+    uppercase 'C8 the display string; empty vectors keep the target tag
+    ((as 'B8 []) has type 'B8)."""
     t = type_name.lower()
 
     def one(v):
+        if t == "c8":
+            if type_name[0].isupper():
+                return _c8_str(v)
+            s = _c8_str(v)
+            from rayforce_spark.rayfall.reader import Char as _Char
+
+            return _Char(s[0]) if s else _Char("")
         if v is None:
             return None
+        if t == "guid":
+            return GuidVal(str(v))
         if t == "time":
+            if isinstance(v, str):
+                return _parse_time_str(v)
+            if isinstance(v, _dt.date):
+                return TimeMs(0)
+            if isinstance(v, TsNs):
+                return TimeMs((int(v) % 86_400_000_000_000) // 1_000_000)
             return TimeMs(v)
         if t == "timestamp":
             if isinstance(v, str):
                 return _parse_ts(v)
+            if isinstance(v, TsNs):
+                return v
+            if isinstance(v, _dt.date):
+                return TsNs(_date_ns(v))
             # raw int: ns since the reference's 2000.01.01 epoch
             # (ref tests/lang.c: (as 'timestamp 0) -> 2000.01.01D00:00)
             return TsNs(int(v) + NS_2000)
@@ -271,23 +473,26 @@ def as_value(type_name: str, x):
             if isinstance(v, _dt.date):
                 return v
             if isinstance(v, str):
+                m = _DOTTED_DATE.match(v.strip())
+                if m:
+                    return _dt.date(int(m.group(1)), int(m.group(2)),
+                                    int(m.group(3)))
                 return _dt.date.fromisoformat(v)
+            if isinstance(v, TsNs):
+                return (_dt.date(1970, 1, 1)
+                        + _dt.timedelta(days=int(v) // 86_400_000_000_000))
             # raw int: days since 2000.01.01 ((as 'date 0) -> 2000.01.01)
             return _dt.date(2000, 1, 1) + _dt.timedelta(days=int(v))
         if t == "f64":
-            return float(v)
+            return float(_num_2000(v))
         if t == "i32":
-            return I32(v)
+            return I32(_num_2000(v))
         if t == "i16":
-            return I16(v)
+            return I16(_num_2000(v))
         if t == "i64":
-            if isinstance(v, TsNs):
-                return int(v) - NS_2000
-            if isinstance(v, _dt.date):
-                return (v - _dt.date(2000, 1, 1)).days
-            return int(v)
+            return int(_num_2000(v))
         if t == "u8":
-            return U8(int(v) & 0xFF)
+            return U8(int(_num_2000(v)) & 0xFF)
         if t == "b8":
             if isinstance(v, TsNs):
                 return int(v) != NS_2000
@@ -303,14 +508,22 @@ def as_value(type_name: str, x):
                 from rayforce_spark.rayfall.reader import unparse
 
                 return SymVal(unparse(v))
-            if isinstance(v, int):
+            if isinstance(v, int) and not type_name[0].isupper():
                 return SymVal(int(v))
-            return SymVal(v)
-        if t in ("c8", "string", "guid"):
+            return v if isinstance(v, int) else SymVal(v)
+        if t == "string":
             return str(v)
         raise ValueError(f"as: unsupported value cast '{type_name}")
 
-    return [one(v) for v in x] if _is_vec(x) else one(x)
+    if _is_vec(x):
+        out = [one(v) for v in x]
+        # the vector tag survives even when empty (or, for SYMBOL-from-
+        # int, when elements stay numeric — ref tests/lang.c:
+        # (type (as 'SYMBOL (til 5))) -> 'SYMBOL, values unchanged)
+        if not out or (t == "symbol" and any(isinstance(v, int) for v in out)):
+            return TypedList(out, eltype=type_name.upper())
+        return out
+    return one(x)
 
 
 def map_left(op, left, right) -> list:
@@ -468,13 +681,16 @@ def sect_(a: list, b: list) -> list:
 
 
 def in_(a, b):
-    """(in x coll): scalar -> bool, vector -> bool vector; strings are
-    char collections (docs: (in 'e' \"test\") -> true)."""
-    coll = b if _is_vec(b) or isinstance(b, str) else [b]
-    if isinstance(a, str) and not isinstance(a, SymVal):
+    """(in x coll): scalar -> bool, vector -> elementwise bool per
+    element (recursing into nested strings/vectors); a plain string left
+    is a CHAR VECTOR, while char/symbol/guid atoms are scalars
+    (ref tests/lang.c: (in 'e' "test") -> true,
+    (in (list "asd" "iu") "asd") -> (list [true true true] [false false]))."""
+    coll = b if _is_vec(b) or _is_chars(b) else [b]
+    if _is_chars(a) and not isinstance(a, Char):
         return [c in coll for c in a]  # char-vector membership
     if _is_vec(a):
-        return [v in coll for v in a]
+        return [in_(v, b) for v in a]
     return a in coll
 
 
@@ -489,13 +705,44 @@ def find_(coll, v):
             return None
 
     if _is_vec(v):
-        return [one(n) for n in v]
+        # empty source short-circuits to [] (ref tests/lang.c:
+        # (find [] [1 2 3]) -> [])
+        return [] if not coll else [one(n) for n in v]
     return one(v)
 
 
 def filter_(coll, mask: list):
     out = [v for v, m in zip(coll, mask) if m]
     return "".join(out) if isinstance(coll, str) else out
+
+
+def split_vals(x, d):
+    """(split x d): delimiter split for char vectors/symbols; for a
+    vector x with a sorted index vector d, cut into segments starting at
+    each index (ref tests/lang.c split section: (split [1 2 3 4 5]
+    [0 2 4]) -> (list [1 2] [3 4] [5]))."""
+    if isinstance(x, (SymVal, GuidVal)) or (_is_chars(x) and not _is_vec(d)):
+        return str(x).split(str(d))
+    idx = [int(i) for i in (d if _is_vec(d) else [d])]
+    if not idx:
+        return None  # (split xs []) -> null (ref tests/lang.c:2849)
+    ends = idx[1:] + [len(x)]
+    return [x[i:j] for i, j in zip(idx, ends)]
+
+
+def bin_vals(xs: list, y, *, right: bool = False):
+    """(bin xs y): index of the last element <= y (-1 below the first);
+    (binr xs y): index of the FIRST element >= y — kdb bin/binr over a
+    sorted vector (ref tests/lang.c bin section; docs operations/order.md).
+    Vector needles map elementwise."""
+    import bisect
+
+    def one(v):
+        if right:
+            return bisect.bisect_left(xs, v)
+        return bisect.bisect_right(xs, v) - 1
+
+    return [one(v) for v in y] if _is_vec(y) else one(y)
 
 
 def within_vals(x, bounds: list):
@@ -511,8 +758,8 @@ def within_vals(x, bounds: list):
 
 
 def vagg(name: str, x):
-    if isinstance(x, str) and not isinstance(x, SymVal):
-        x = list(x)  # char vector ((first "hello") -> 'h')
+    if _is_chars(x) and not isinstance(x, Char):
+        x = [Char(c) for c in x]  # char vector ((first "hello") -> 'h')
     if not _is_vec(x):
         x = [x]  # aggregates of atoms are the atom (ref: (sum -24) -> -24)
     xs = [v for v in x if v is not None]
@@ -523,7 +770,15 @@ def vagg(name: str, x):
     if name == "last":
         return x[-1] if x else None
     if name == "sum":
-        return sum(xs) if xs else 0  # kdb sum identity 0
+        if not xs:
+            return 0  # kdb sum identity 0
+        s = sum(xs)
+        # i32 vectors sum IN their width, wrapping (ref tests/lang.c:
+        # (sum (as 'I32 (til 100000))) -> 704982704i); i16 sums WIDEN
+        # ((sum (take 10h 100000)) -> 1000000)
+        if all(isinstance(v, I32) for v in xs):
+            return I32(s)
+        return s
     if not xs:
         return None
     if name == "avg":
@@ -543,15 +798,46 @@ def vagg(name: str, x):
 
 
 def xbar_vals(n, x):
-    """(xbar n x): n * floor(x/n) (ref core/math.c xbar; kdb bucketing)."""
+    """(xbar x n) bucketing: n * floor(x/n) (ref core/math.c xbar).
+
+    Mixed LIST args pair elementwise with per-pair atom/vector broadcast
+    (ref tests/lang.c:2415). The numeric result carries the BUCKET
+    operand's type ((xbar 10i 4) -> 8, (xbar 11i 4.0) -> 8.00,
+    (xbar [15i] 4i) -> [12i]); temporals stay temporal, with dates
+    bucketing in days since the 2000.01.01 epoch
+    ((xbar 2020.01.01 2i) -> 2019.12.31)."""
     import math
 
-    def one(v):
-        if isinstance(v, float) or isinstance(n, float):
-            return n * math.floor(v / n)
-        return n * (v // n)
+    def one(v, nn):
+        if v is None or nn is None:
+            return None
+        if isinstance(v, _dt.date):
+            d2k = (v - _dt.date(2000, 1, 1)).days
+            return _dt.date(2000, 1, 1) + _dt.timedelta(
+                days=(d2k // int(nn)) * int(nn))
+        if isinstance(v, TimeMs):
+            return TimeMs((int(v) // int(nn)) * int(nn))
+        if isinstance(v, TsNs):
+            step = int(nn) * (1_000_000 if isinstance(nn, TimeMs) else 1)
+            return TsNs((int(v) // step) * step)
+        if isinstance(nn, float):
+            return float(nn * math.floor(v / nn))
+        q = int(nn) * (int(v) // int(nn))
+        if isinstance(nn, I32):
+            return I32(q)
+        if isinstance(nn, I16):
+            return I16(q)
+        return q
 
-    return [_wrap_like(one(v), v, v) for v in x] if _is_vec(x) else one(x)
+    if _is_vec(x) and _is_vec(n):
+        if len(x) != len(n):
+            raise ValueError(f"length mismatch: {len(x)} vs {len(n)}")
+        return [xbar_vals(nn, v) for v, nn in zip(x, n)]
+    if _is_vec(x):
+        return [xbar_vals(n, v) for v in x]
+    if _is_vec(n):
+        return [xbar_vals(nn, x) for nn in n]
+    return one(x, n)
 
 
 _CMPS = {
@@ -564,15 +850,35 @@ _CMPS = {
 }
 
 
+def _ord_one(op: str, x, y) -> bool:
+    """One ordered comparison with the reference's null/temporal rules:
+    null orders below every value and ties with null (ref tests/lang.c
+    cmp matrix over [… 0Ni … 0Nl … 0Nf …]); a date compared to a
+    TIMESTAMP promotes to midnight (ref tests/lang.c:
+    (< 2024.01.01 2024.01.01D10:00:00.000000000) -> true)."""
+    if x is None or y is None:
+        if op == "<":
+            return x is None and y is not None
+        if op == ">":
+            return y is None and x is not None
+        if op == "<=":
+            return x is None
+        return y is None  # >=
+    if isinstance(x, _dt.date) and isinstance(y, TsNs):
+        x = TsNs(_date_ns(x))
+    elif isinstance(y, _dt.date) and isinstance(x, TsNs):
+        y = TsNs(_date_ns(y))
+    return bool(_CMPS[op](x, y))
+
+
 def compare(op: str, a, b):
     """Elementwise comparisons (docs operations/logic.md). Equality
     treats null as a VALUE ((== 0Ni 0Ni) -> true, ref tests/lang.c);
-    ordered comparisons propagate null like arithmetic."""
+    ordered comparisons rank null below everything (see _ord_one)."""
     f = _CMPS[op]
     if op in ("=", "<>"):
-        # bypass _apply2's null propagation: None compares as a value.
         # Strings compare WHOLE ((== "ab" "ac") -> false, scalar) — only
-        # true vectors compare elementwise.
+        # true vectors compare elementwise; None compares as a value.
         ea = a if _is_vec(a) else None
         eb = b if _is_vec(b) else None
         if ea is None and eb is None:
@@ -582,9 +888,17 @@ def compare(op: str, a, b):
         if eb is None:
             eb = [b] * len(ea)
         return [bool(f(x, y)) for x, y in zip(ea, eb)]
-    if _is_vec(a) or _is_vec(b):
-        return _apply2(lambda x, y: bool(f(x, y)), a, b)
-    return bool(f(a, b))
+    ea = a if _is_vec(a) else None
+    eb = b if _is_vec(b) else None
+    if ea is None and eb is None:
+        return _ord_one(op, a, b)
+    if ea is None:
+        ea = [a] * len(eb)
+    if eb is None:
+        eb = [b] * len(ea)
+    if len(ea) != len(eb):
+        raise ValueError(f"length mismatch: {len(ea)} vs {len(eb)}")
+    return [_ord_one(op, x, y) for x, y in zip(ea, eb)]
 
 
 def logic(op: str, a, b):

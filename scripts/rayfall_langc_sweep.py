@@ -2,11 +2,14 @@
 TEST_ASSERT_EQ cases) through the Rayfall front-end.
 
 Each assertion is a (program, expected-output) pair of C string literals;
-the program runs verbatim through ``eval_str`` in a FRESH interpreter
-(assertions are self-contained — setup ``set``s concatenate into the same
-program string), and the result compares against the expected literal
-parsed with the same reader (numbers approx, vectors elementwise, kdb
-nulls like ``0Nl``/``0n`` -> None). Buckets:
+the program runs verbatim through ``eval_str`` in an interpreter SHARED
+per test function (the reference's harness carries state across a
+function's assertions: ``(set t …)`` in one case, ``(at t 'sym)`` later).
+The result compares against the expected literal parsed with the same
+reader (numbers approx, vectors elementwise, kdb nulls like
+``0Nl``/``0n`` -> None); a non-literal expected form is EVALUATED in the
+same interpreter and compared by value — exactly what the reference's
+TEST_ASSERT_EQ does. Buckets:
 
   pass         — executed and value-matched
   mismatch     — executed, value differs (REAL divergence — investigate)
@@ -52,7 +55,10 @@ def _unescape(concat: str) -> str:
         body = p[1:-1]
         body = (body.replace(r"\"", '"').replace(r"\n", "\n")
                 .replace(r"\t", "\t").replace("\\\\", "\\"))
-        body = body.split("\\000")[0] if "\\000" in body else body
+        # \000 inside a rayfall STRING literal is a C-string terminator:
+        # the string value truncates there (drop through the literal's
+        # closing quote, not the rest of the program)
+        body = re.sub(r"\\000[^\"]*", "", body)
         out.append(body)
     return "".join(out)
 
@@ -94,7 +100,12 @@ def _norm(v):
     if isinstance(v, DictLit):
         return {k: _norm(x) for k, x in v}
     if isinstance(v, dict):
-        return {str(k): _norm(x) for k, x in v.items()}
+        # bool keys display as true/false (group over booleans)
+        def key(k):
+            if isinstance(k, bool):
+                return "true" if k else "false"
+            return str(k)
+        return {key(k): _norm(x) for k, x in v.items()}
     if isinstance(v, list):
         if v and v[0] == Sym("list"):
             v = v[1:]  # a printed (list …) is data, recursively
@@ -118,9 +129,27 @@ def parse_expected(s: str):
         return ("INCOMPARABLE",)  # refers to runtime state, not data
     if isinstance(f, list) and f and f[0] == Sym("list"):
         f = list(f[1:])
+        if any(isinstance(e, list) and e and isinstance(e[0], Sym)
+               for e in f):
+            return ("INCOMPARABLE",)  # (list (as …) …): elements are
+            # expressions — evaluate instead of literal-compare
     elif isinstance(f, list) and f and isinstance(f[0], Sym):
         return ("INCOMPARABLE",)  # an expression, not a literal
     return ("OK", _norm(f))
+
+
+def _df_like(v) -> bool:
+    return hasattr(v, "sparkSession")
+
+
+def _df_eq(a, b) -> bool:
+    """Small-table equality: same columns, same multiset of rows."""
+    if set(a.columns) != set(b.columns):
+        return False
+    cols = sorted(a.columns)
+    ra = sorted(map(repr, (tuple(r[c] for c in cols) for r in a.collect())))
+    rb = sorted(map(repr, (tuple(r[c] for c in cols) for r in b.collect())))
+    return ra == rb
 
 
 def _values_eq(a, b) -> bool:
@@ -135,7 +164,10 @@ def _values_eq(a, b) -> bool:
         # the reference DISPLAYS ~6-7 significant digits; its expected
         # strings are display-rounded, so compare at display precision
         return abs(a - b) <= 5e-7 * max(1.0, abs(a), abs(b))
-    return a == b
+    try:
+        return bool(a == b)
+    except Exception:
+        return False  # non-boolean __eq__ (e.g. a stray Column object)
 
 
 def main():
@@ -157,13 +189,17 @@ def main():
     stats: dict[str, list[int]] = {}
     mismatches = []
     gaps: dict[str, int] = {}
+    section_interp: dict[str, object] = {}
     for section, prog, expected in cases:
         st = stats.setdefault(section, [0, 0, 0, 0, 0])  # pass/mis/unsup/inc/err
         if no_spark and any(n in prog for n in _SPARK_NEEDLES):
             st[2] += 1
             continue
         try:
-            it = Interp(spark)
+            # one interpreter PER TEST FUNCTION — the reference's harness
+            # shares state across a function's assertions ((set t …) in
+            # one case, (at t 'sym) in a later one)
+            it = section_interp.setdefault(section, Interp(spark))
             got = it.eval_str(prog)
         except RayfallError as e:
             st[2] += 1
@@ -175,8 +211,25 @@ def main():
             continue
         exp = parse_expected(expected)
         if exp[0] != "OK":
-            st[3] += 1
-            continue
+            # non-literal expected form: the reference's harness EVALUATES
+            # both sides in the same context (tests/main.c TEST_ASSERT_EQ) —
+            # do the same: run the expected string in the interp that just
+            # ran the program and compare values (incl. DataFrames)
+            try:
+                ev = it.eval_str(expected)
+            except Exception:
+                st[3] += 1
+                continue
+            if _df_like(got) or _df_like(ev):
+                if _df_like(got) and _df_like(ev) and _df_eq(got, ev):
+                    st[0] += 1
+                else:
+                    st[1] += 1
+                    if len(mismatches) < show:
+                        mismatches.append((section, prog[:100],
+                                           expected[:60], "<table>"))
+                continue
+            exp = ("OK", _norm(ev))
         try:
             gn = _norm(got)
         except Exception:
