@@ -673,6 +673,20 @@ def q_dedup_jaccard(spark, sf):
     ).withColumn("jaccard", F.round("jaccard", 6))
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over the exact-Jaccard duplicate pairs:
+    (doc_id, cluster_id=min id in the component) for every doc that has
+    at least one near-duplicate. The operator is the pair→corpus-dedup
+    bridge (datapipe.dedup.dedup_clusters, min-label propagation with
+    per-round localCheckpoint); the oracle replays it as a DuckDB
+    recursive CTE (min reachable id over the symmetrized pair graph)."""
+    from rayforce_spark.datapipe import dedup_clusters, jaccard_dup_pairs
+
+    (d,) = _t(spark, sf, "documents")
+    pairs = jaccard_dup_pairs(d, "text", "doc_id", shingle_k=1, threshold=0.8)
+    return dedup_clusters(pairs)
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash+LSH near-dup pairs, oracle-gated: bands=num_perm (one
     signature value per band) makes any pair sharing ANY of the 64 minhash
@@ -929,6 +943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parted_roundtrip": q_parted_roundtrip,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -1288,6 +1303,32 @@ ORACLE: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
+          FROM documents
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
+        ), co AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM co
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
     """,
     "multimodal_features": """
         -- the fake decoder is md5(utf8(text) || '0'): each feature is one

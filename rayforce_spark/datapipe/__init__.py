@@ -13,7 +13,9 @@ multimodal  — opaque binary columns + typed metadata; decode/feature UDF
 """
 
 from rayforce_spark.datapipe.dedup import (
+    dedup_clusters,
     dedup_exact,
+    dedup_keep_canonical,
     embedding_dup_pairs,
     jaccard_dup_pairs,
     minhash_lsh_pairs,
@@ -37,7 +39,9 @@ from rayforce_spark.datapipe.text import (
 
 __all__ = [
     "attach_binary",
+    "dedup_clusters",
     "dedup_exact",
+    "dedup_keep_canonical",
     "extract_features",
     "resize_media",
     "sample_frames",

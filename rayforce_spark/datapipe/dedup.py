@@ -534,3 +534,73 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         )
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over duplicate PAIRS -> ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the smallest id in the
+    component — the step between pair generation (minhash_lsh_pairs /
+    jaccard_dup_pairs / simhash_dup_pairs) and an actually deduplicated
+    corpus: pick one canonical doc per cluster (reference analog: the
+    dedup workflows its docs build from pair output; here it is a
+    first-class operator).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round takes the min over its neighbors' labels. Converges in
+    O(component diameter) rounds — near-dup clusters are short-diameter
+    by construction (pairs share an LSH bucket / a shingle), so rounds
+    stay single-digit in practice, with ``max_iter`` as the backstop.
+
+    Scale shape per round: one shuffle join (labels keyed by node onto
+    edge endpoints) + one grouped min — no driver-side graph, no
+    collect; only the converged boolean (a 1-row limit/count) reaches
+    the driver. Lineage is cut every round with ``localCheckpoint``
+    (iterative plans otherwise grow exponentially in the optimizer);
+    executor-local blocks are the documented durability tradeoff — use a
+    checkpoint dir on a real cluster if executor loss matters mid-job.
+
+    Only nodes that APPEAR in a pair come back (singletons are their own
+    cluster trivially and stay out of the result — and out of the
+    shuffle)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nbr"))
+            .withColumnRenamed("src", "node")
+        )
+        new = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, *,
+                         id_col: str, id_a: str = "id_a",
+                         id_b: str = "id_b") -> DataFrame:
+    """Drop every non-canonical member of each duplicate cluster: keep
+    the smallest id per connected component, plus all docs that have no
+    duplicate at all. One anti join against the (small) loser set."""
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

@@ -144,3 +144,38 @@ def timer(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup on ``keys`` — the streaming twin of
+    datapipe.dedup.dedup_exact for ingestion pipelines (drop replayed /
+    double-delivered documents before they reach the corpus).
+
+    With ``ts_col``, state is WATERMARK-BOUNDED
+    (dropDuplicatesWithinWatermark): a duplicate arriving within the
+    watermark of its first occurrence is dropped, and per-key state ages
+    out — the only shape that survives unbounded streams at scale.
+    Without ``ts_col`` it falls back to exact dropDuplicates, whose
+    state grows with distinct keys forever — bounded/replay use only.
+
+    Accepts the engine's i64-ns shadow longs for ``ts_col`` (projected
+    through ns_to_timestamp, same contract as stream_xbar_agg).
+    """
+    if ts_col is None:
+        return stream.dropDuplicates(keys)
+    from pyspark.sql.types import LongType
+
+    from rayforce_spark.functions.kdb import ns_to_timestamp
+
+    if isinstance(stream.schema[ts_col].dataType, LongType):
+        stream = stream.withColumn(ts_col, ns_to_timestamp(ts_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )

@@ -4,7 +4,9 @@ plumbing — the beyond-reference components (SURVEY §7 step 9)."""
 from pyspark.sql import functions as F
 
 from rayforce_spark.datapipe import (
+    dedup_clusters,
     dedup_exact,
+    dedup_keep_canonical,
     doc_fingerprint,
     embedding_dup_pairs,
     ivf_train,
@@ -35,6 +37,24 @@ def test_dedup_exact(spark):
     )
     kept = dedup_exact(df, ["text"], id_col="doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 5]
+
+
+def test_dedup_clusters_chain_and_canonical(spark):
+    # components: {1,2,3,4} (a CHAIN 1-2, 2-3, 3-4: the min label needs
+    # three propagation rounds to reach node 4), {7,9}, singleton 5 (no
+    # pair -> not in the cluster output, kept by dedup_keep_canonical)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 7)], "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 5, 7, 9)],
+        "doc_id long, text string",
+    )
+    kept = dedup_keep_canonical(docs, pairs, id_col="doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 5, 7]
 
 
 def test_jaccard_pairs_exact_vs_duckdb(tables, duck):

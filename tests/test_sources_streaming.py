@@ -252,3 +252,32 @@ def test_stream_xbar_agg_sliding(spark, tmp_path):
         assert [r.s.minute for r in rows] == [0, 5]
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from rayforce_spark.streaming import stream_dedup
+
+    jpath = str(tmp_path / "dedupjournal")
+    schema = "ts timestamp, doc_id long, text string"
+    j = Journal(jpath, schema)
+    j.append([
+        {"ts": "2024-01-01T00:00:10", "doc_id": 1, "text": "a"},
+        {"ts": "2024-01-01T00:00:20", "doc_id": 1, "text": "a"},  # dup
+        {"ts": "2024-01-01T00:00:30", "doc_id": 2, "text": "b"},
+        {"ts": "2024-01-01T00:01:00", "doc_id": 2, "text": "b"},  # dup
+        {"ts": "2024-01-01T00:01:30", "doc_id": 3, "text": "c"},
+    ])
+    stream = read_journal_stream(spark, jpath, schema)
+    out = stream_dedup(stream, ["doc_id"], ts_col="ts",
+                       watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT doc_id FROM dedup_out ORDER BY doc_id").collect()
+        assert [r.doc_id for r in rows] == [1, 2, 3]
+    finally:
+        q.stop()
