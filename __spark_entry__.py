@@ -825,6 +825,43 @@ def q_text_analysis(spark, sf):
     )
 
 
+def q_ngram_bigrams(spark, sf):
+    """Corpus top-50 bigram frequencies (datapipe.text.ngram_counts):
+    explode + one hash-shuffle; ties resolved by the (count desc, ngram)
+    total order so the limit is deterministic cross-engine."""
+    from rayforce_spark.datapipe import ngram_counts
+
+    (d,) = _t(spark, sf, "documents")
+    return ngram_counts(d, "text", n=2, top_k=50)
+
+
+def q_quality_filter(spark, sf):
+    """Per-language quality floor: keep docs at/above the 0.5
+    cume_dist of quality_score within their language
+    (datapipe.text.filter_by_quality_quantile) — count-based, so the
+    cutoff is integer-exact, engine-independent, and tie-sane."""
+    from rayforce_spark.datapipe import filter_by_quality_quantile
+
+    (d,) = _t(spark, sf, "documents")
+    return filter_by_quality_quantile(d, "text", q=0.5, by="lang").select(
+        "doc_id", "lang"
+    )
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction (datapipe.text.scrub_pii) over text salted with a
+    per-row synthetic email + IP, so every row exercises the patterns;
+    the oracle replays the same RE2-compatible regex chain in DuckDB."""
+    from rayforce_spark.datapipe import scrub_pii
+
+    (d,) = _t(spark, sf, "documents")
+    salted = F.concat(
+        F.col("text"), F.lit(" contact doc"), F.col("doc_id"),
+        F.lit("@example.com from 10.0.0."), F.col("doc_id") % 256,
+    )
+    return d.select("doc_id", scrub_pii(salted).alias("scrubbed"))
+
+
 def q_multimodal_features(spark, sf):
     """mapInPandas feature extraction over a binary media column.
 
@@ -951,6 +988,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "text_quality": q_text_quality,
+    "ngram_bigrams": q_ngram_bigrams,
+    "quality_filter": q_quality_filter,
+    "pii_scrub": q_pii_scrub,
     "text_analysis": q_text_analysis,
     "multimodal_features": q_multimodal_features,
     "grouped_lambda": q_grouped_lambda,
@@ -1329,6 +1369,56 @@ ORACLE: dict[str, str] = {
           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
         )
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+    """,
+    "ngram_bigrams": """
+        WITH toks AS (
+          SELECT string_split(trim(lower(text)), ' ') AS w FROM documents
+        ), grams AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS g
+          FROM toks WHERE len(w) >= 2
+        )
+        SELECT g AS ngram, count(*) AS n FROM grams
+        GROUP BY 1 ORDER BY n DESC, g LIMIT 50
+    """,
+    "quality_filter": """
+        -- same quality formula as text_analysis; rank-based cutoff:
+        -- keep percent_rank >= 0.5 within each lang
+        WITH feat AS (
+          SELECT doc_id, lang,
+                 length(text) AS n_chars,
+                 len(string_split(trim(lower(text)), ' ')) AS n_toks,
+                 length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, lang,
+                 round(greatest(
+                   least(n_toks / 50.0, 1.0) * 0.5
+                   + (CASE WHEN n_chars / greatest(n_toks, 1) >= 3
+                            AND n_chars / greatest(n_toks, 1) <= 10
+                           THEN 1.0 ELSE 0.5 END) * 0.3
+                   + (1 - punct / greatest(n_chars, 1)) * 0.2,
+                   0.0), 6) AS quality
+          FROM feat
+        )
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 cume_dist() OVER (PARTITION BY lang
+                                   ORDER BY quality) AS cd
+          FROM scored
+        ) WHERE cd >= 0.5
+    """,
+    "pii_scrub": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 text || ' contact doc' || doc_id
+                      || '@example.com from 10.0.0.' || (doc_id % 256),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]', '<PHONE>', 'g'),
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
+               AS scrubbed
+        FROM documents
     """,
     "multimodal_features": """
         -- the fake decoder is md5(utf8(text) || '0'): each feature is one

@@ -32,8 +32,11 @@ from rayforce_spark.datapipe.similarity import ivf_train, knn_cosine, knn_ivf, k
 from rayforce_spark.datapipe.sessions import sessionize_batch
 from rayforce_spark.datapipe.text import (
     doc_fingerprint,
+    filter_by_quality_quantile,
     language_id,
+    ngram_counts,
     quality_score,
+    scrub_pii,
     token_count,
 )
 
@@ -56,7 +59,10 @@ __all__ = [
     "knn_ivf",
     "knn_lsh",
     "doc_fingerprint",
+    "filter_by_quality_quantile",
     "language_id",
+    "ngram_counts",
+    "scrub_pii",
     "quality_score",
     "token_count",
 ]

@@ -95,3 +95,76 @@ def doc_fingerprint(text: Column) -> Column:
     (The reference idiom would be a rolling hash; md5-of-normalized is the
     content-defined equivalent with a SQL-portable oracle.)"""
     return F.md5(normalize_text(text))
+
+
+def ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams as an array column — scan-stage expression, no
+    Python. ``transform(sequence(...))`` indexes the token array once;
+    docs shorter than n yield an empty array."""
+    w = tokens(text)
+    # element_at is 1-based; sequence(1, size-n+1) is empty when size < n
+    return F.when(F.size(w) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_counts(df, text_col: str, *, n: int = 2,
+                 top_k: int | None = None):
+    """Corpus-level n-gram frequencies -> (ngram, n) ordered by count
+    desc then ngram (deterministic under ties). One explode + one
+    hash-shuffle on the ngram string — the corpus-statistics building
+    block (vocabulary building, boilerplate detection, contamination
+    checks). ``top_k`` caps the result via the same total order."""
+    out = (
+        df.select(F.explode(ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def filter_by_quality_quantile(df, text_col: str, *, q: float,
+                               by: str | None = None):
+    """Keep documents whose quality_score sits at or above the ``q``
+    percent-rank of the corpus (optionally within each ``by`` group —
+    e.g. per language, so low-resource languages aren't starved by a
+    global cutoff). The cutoff is ``cume_dist`` — count(score <= mine)/n
+    — which is integer-exact and reproducible across engines (an
+    interpolated quantile threshold's last-ulp arithmetic can flip
+    boundary membership) and behaves under heavy ties: a tie-block at
+    the top keeps cume_dist 1.0, where rank-based percent_rank would
+    mark the whole block below the cutoff. One window shuffle
+    (per-group; a global filter uses a single partition and is for
+    modest corpora — pass ``by``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*([by] if by else [])).orderBy(
+        quality_score(F.col(text_col)))
+    return (
+        df.withColumn("__cd", F.cume_dist().over(w))
+        .filter(F.col("__cd") >= q)
+        .drop("__cd")
+    )
+
+
+# PII patterns shared by engine and oracle: RE2/Java-compatible (no
+# lookarounds), applied in this order
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails / phone-ish numbers / IPv4 addresses with typed
+    placeholder tokens — the standard pre-training scrub pass. Pure
+    regexp_replace chain: scan-stage, codegen, no shuffle. Patterns are
+    deliberately RE2-compatible so the same strings drive the DuckDB
+    oracle and any non-JVM consumer."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

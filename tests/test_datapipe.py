@@ -366,3 +366,40 @@ def test_jaccard_max_doc_freq(spark):
     # only (1,2) share non-stopword shingles; jaccard over reduced sets = 1.0
     assert {(r.id_a, r.id_b) for r in cut} == {(1, 2)}
     assert cut[0].jaccard == 1.0
+
+
+def test_ngram_counts_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the cat mat"), (2, "the cat sat"), (3, "one")],
+        "doc_id long, text string",
+    )
+    from rayforce_spark.datapipe import ngram_counts
+
+    rows = ngram_counts(df, "text", n=2, top_k=3).collect()
+    assert [(r.ngram, r.n) for r in rows] == [
+        ("the cat", 3), ("cat sat", 2), ("cat mat", 1)]
+
+
+def test_filter_by_quality_quantile_ties_keep_top_block(spark):
+    # two long high-quality docs tie; the short doc is the bottom half
+    df = spark.createDataFrame(
+        [(1, " ".join(["word"] * 60)), (2, " ".join(["word"] * 60)),
+         (3, "x! x! x!")],
+        "doc_id long, text string",
+    )
+    from rayforce_spark.datapipe import filter_by_quality_quantile
+
+    kept = filter_by_quality_quantile(df, "text", q=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_scrub_pii_patterns(spark):
+    from rayforce_spark.datapipe import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org call +1 (555) 123-4567 ip 10.0.0.7")],
+        "doc_id long, text string",
+    )
+    out = df.select(scrub_pii(F.col("text")).alias("s")).collect()[0].s
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "example" not in out and "555" not in out and "10.0.0.7" not in out
