@@ -546,19 +546,24 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     dedup workflows its docs build from pair output; here it is a
     first-class operator).
 
-    Min-label propagation: every node starts labeled with its own id;
-    each round takes the min over its neighbors' labels. Converges in
-    O(component diameter) rounds — near-dup clusters are short-diameter
-    by construction (pairs share an LSH bucket / a shingle), so rounds
-    stay single-digit in practice, with ``max_iter`` as the backstop.
+    Min-label propagation with POINTER DOUBLING: every node starts
+    labeled with its own id; each round takes the min over its
+    neighbors' labels, then follows its new label's own label (the
+    shortcutting step), so label distance doubles per round —
+    O(log diameter) rounds instead of O(diameter). Long chains through
+    a dup graph are real (transitive near-dups), so the log bound is
+    the difference between ~6 rounds and dozens. ``max_iter`` is the
+    backstop.
 
-    Scale shape per round: one shuffle join (labels keyed by node onto
-    edge endpoints) + one grouped min — no driver-side graph, no
-    collect; only the converged boolean (a 1-row limit/count) reaches
-    the driver. Lineage is cut every round with ``localCheckpoint``
-    (iterative plans otherwise grow exponentially in the optimizer);
-    executor-local blocks are the documented durability tradeoff — use a
-    checkpoint dir on a real cluster if executor loss matters mid-job.
+    Scale shape: the (possibly expensive) pair pipeline is materialized
+    ONCE into the edge list via ``localCheckpoint`` — without it every
+    round would recompute the full upstream plan (an early version paid
+    the whole Jaccard inverted-index join per round). Each round is two
+    shuffle joins + one grouped min — no driver-side graph, no collect;
+    only the converged boolean (a 1-row limit/count over checkpointed
+    labels) reaches the driver. Executor-local checkpoint blocks are the
+    documented durability tradeoff — use a checkpoint dir on a real
+    cluster if executor loss matters mid-job.
 
     Only nodes that APPEAR in a pair come back (singletons are their own
     cluster trivially and stay out of the result — and out of the
@@ -567,6 +572,7 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"),
                             F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)  # materialize the pair pipeline ONCE
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
@@ -579,15 +585,24 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
             .groupBy("src").agg(F.min("label").alias("nbr"))
             .withColumnRenamed("src", "node")
         )
-        new = labels.join(nbr, "node", "left").select(
+        stepped = labels.join(nbr, "node", "left").select(
             "node",
-            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
-        ).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("__l1"),
         )
-        labels = new
+        # shortcut: label <- label[label] (pointer doubling)
+        hop = stepped.select(F.col("node").alias("__ln"),
+                             F.col("__l1").alias("__ll"))
+        new = (
+            stepped.join(hop, stepped["__l1"] == hop["__ln"], "left")
+            .select(
+                "node", "__old",
+                F.least("__l1", F.coalesce("__ll", "__l1")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("label") != F.col("__old")).limit(1).count()
+        labels = new.drop("__old")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),

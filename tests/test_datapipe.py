@@ -403,3 +403,29 @@ def test_scrub_pii_patterns(spark):
     out = df.select(scrub_pii(F.col("text")).alias("s")).collect()[0].s
     assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
     assert "example" not in out and "555" not in out and "10.0.0.7" not in out
+
+
+def test_knn_ivf_highdim_vector_native_training(spark):
+    # dim=256: training must stay a single vector aggregate per iteration
+    # (Summarizer.mean), not 256 per-dimension avg columns — and recall
+    # on well-separated clusters survives the high-dim regime
+    import random
+
+    rnd = random.Random(7)
+    dim, per = 256, 60
+    centers = [[10.0 * (c == (i % 8)) for i in range(dim)] for c in range(3)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            rows.append((vid, [x + rnd.gauss(0, 0.3) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id").isin([0, per, 2 * per]))
+    exact = knn_cosine(df, queries, "embedding", "vec_id", k=5)
+    approx = knn_ivf(df, queries, "embedding", "vec_id", k=5,
+                     nlist=6, nprobe=2, iters=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"high-dim IVF recall too low: {recall}"
