@@ -168,6 +168,27 @@ def main():
     if not ok_wjx:
         failures.append("window_join_wj.bounded_shuffles")
 
+    # 7d. text-curation ops: scrub_pii is pure scan-stage (ZERO
+    # exchanges); ngram_counts is explode + ONE hash shuffle + a
+    # TakeOrdered (never a global sort of the full ngram table)
+    from rayforce_spark.datapipe import ngram_counts, scrub_pii
+
+    docs = t["documents"]
+    pscrub = plan_of(docs.select(scrub_pii(F.col("text")).alias("s")))
+    n_sx = pscrub.count("Exchange")
+    print(f"[{'ok' if n_sx == 0 else 'VIOLATION'}] pii_scrub.no_shuffle: "
+          f"{n_sx} exchange(s)")
+    if n_sx:
+        failures.append("pii_scrub.no_shuffle")
+    png = plan_of(ngram_counts(docs, "text", n=2, top_k=50))
+    n_gx = png.count("Exchange hashpartitioning")
+    ok_g = n_gx == 1 and "TakeOrderedAndProject" in png
+    print(f"[{'ok' if ok_g else 'VIOLATION'}] ngram.one_shuffle_topk: "
+          f"{n_gx} hash exchange(s), TakeOrdered="
+          f"{'TakeOrderedAndProject' in png}")
+    if not ok_g:
+        failures.append("ngram.one_shuffle_topk")
+
     # 8. no driver-gated query plans a GLOBAL window (empty partition
     # spec = Exchange SinglePartition + full sort — a scale-killer).
     # Walk the optimized logical plan and check Window.partitionSpec
