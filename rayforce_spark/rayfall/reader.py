@@ -350,7 +350,13 @@ def unparse(ast) -> str:
     if isinstance(ast, Char):
         c = str(ast)
         esc = {"\n": r"\n", "\t": r"\t", "\r": r"\r", "\\": "\\\\", "'": r"\'"}
-        return f"'{esc.get(c, c)}'"
+        if c in esc:
+            return f"'{esc[c]}'"
+        # delimiters / whitespace / controls can't appear raw in a char
+        # literal — octal-escape them (the tokenizer's \NNN form)
+        if (c in _DELIMS or c in _WS or not c.isprintable()) and ord(c) < 512:
+            return f"'\\{ord(c):03o}'"
+        return f"'{c}'"
     if isinstance(ast, Sym):
         return str(ast)
     if isinstance(ast, bool):

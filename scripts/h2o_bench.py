@@ -430,8 +430,17 @@ Median group-by ratio: **{out["median_groupby_ratio"]}x**
   luck, memory layout; no co-tenant load — verified idle box). Compare
   ratios across rounds only at the x-level, not the percent level.
   Published numbers are per-query minima across the merged instances
-  (`--merge`); the r5 history was reset by a datagen refresh, so minima
-  aggregate fewer instances than r4's table.
+  (`--merge`); when the workspace's `.h2o/` history is wiped between
+  rounds, the previously-published minima are re-seeded from the
+  committed table before merging, so the min-of-instances methodology
+  stays continuous.
+- **Config levers exhausted (r5 within-JVM A/B)**: toggling AQE on/off
+  inside ONE warm JVM is a wash on every gq shape (on: gq1 180/gq2
+  271/gq3 404; off: 187/235/471 — inside single-instance noise), and
+  `inMemoryColumnarStorage.compressed=false`, `batchSize=65536`, and
+  `shuffle.partitions∈{8,16}` each move individual queries ±15% with no
+  consistent win. Confirms the floor analysis above: the residual gap
+  on sub-second group-bys is the JVM row pipeline, not a tunable.
 """
     with open(os.path.join(REPO, "BASELINE_CMP.md"), "w") as f:
         f.write(md)

@@ -10,7 +10,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from rayforce_spark.rayfall.reader import (
-    DictLit, I16, I32, QSym, Sym, TimeMs, Vec, parse, unparse,
+    Char, DictLit, I16, I32, QSym, Sym, TimeMs, Vec, parse, unparse,
 )
 
 _names = st.from_regex(r"[a-z][a-z0-9_?-]{0,8}", fullmatch=True).filter(
@@ -28,6 +28,8 @@ _scalars = st.one_of(
     st.dates(min_value=dt.date(1800, 1, 1), max_value=dt.date(2200, 12, 31)),
     st.integers(min_value=0, max_value=86_399_999).map(TimeMs),
     _names.map(QSym),
+    # char ATOMS incl. escapes, delimiters, controls (octal form)
+    st.integers(min_value=1, max_value=126).map(chr).map(Char),
 )
 
 
