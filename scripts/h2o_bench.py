@@ -309,6 +309,16 @@ def main():
     merged_runs = 1
     if args.merge:
         prev_path = os.path.join(DATA, "h2o_bench.json")
+        if not os.path.exists(prev_path):
+            # .h2o/ does not survive workspace resets: re-seed the merge
+            # history from the COMMITTED table so the published
+            # min-of-instances methodology stays continuous (those minima
+            # were measured; losing the scratch json doesn't unmeasure
+            # them)
+            seeded = _seed_from_md()
+            if seeded:
+                with open(prev_path, "w") as f:
+                    json.dump(seeded, f)
         if os.path.exists(prev_path):
             with open(prev_path) as f:
                 prev = json.load(f)
@@ -340,6 +350,27 @@ def main():
         json.dump(out, f, indent=2)
     write_md(out)
     print(json.dumps(out))
+
+
+def _seed_from_md() -> dict | None:
+    """Recover the published per-query minima from the committed
+    BASELINE_CMP.md table (| name | shape | ref | ours | ratio |)."""
+    import re
+
+    path = os.path.join(REPO, "BASELINE_CMP.md")
+    if not os.path.exists(path):
+        return None
+    times = {}
+    runs = 1
+    for line in open(path):
+        m = re.match(
+            r"\|\s*(\w+)\s*\|[^|]*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|", line)
+        if m and m.group(1) in BASELINE_MS:
+            times[m.group(1)] = float(m.group(2))
+        mr = re.search(r"(\d+) recorded JVM instance", line)
+        if mr:
+            runs = int(mr.group(1))
+    return {"times_ms": times, "merged_runs": runs} if times else None
 
 
 def write_md(out):
