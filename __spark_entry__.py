@@ -203,6 +203,29 @@ def q_update_where(spark, sf):
     )
 
 
+def q_rayfall_select(spark, sf):
+    # The reference's full select surface end-to-end through the Rayfall
+    # front-end in ONE gated query: where + by + multi-aggregate maps
+    # (ref core/parse.c, core/eval.c:934-1005; docs queries/select.md).
+    # The same string a reference user would type runs verbatim here.
+    from rayforce_spark.rayfall import eval_str
+
+    (li,) = _t(spark, sf, "lineitem")
+    return eval_str(
+        """
+        (select {sum_qty: (sum l_quantity)
+                 avg_price: (avg l_extendedprice)
+                 max_disc: (max l_discount)
+                 n: (count l_orderkey)
+                 from: lineitem
+                 where: (< l_quantity 30.0)
+                 by: l_returnflag})
+        """,
+        spark,
+        {"lineitem": li},
+    )
+
+
 def q_update_grouped(spark, sf):
     (li,) = _t(spark, sf, "lineitem")
     return update(li, {"grp_max": A.max_("l_quantity")}, by="l_orderkey").select(
@@ -950,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "project_filter": q_project_filter,
     "xbar_bucket": q_xbar_bucket,
     "update_where": q_update_where,
+    "rayfall_select": q_rayfall_select,
     "update_grouped": q_update_grouped,
     "distinct": q_distinct,
     "ediv_emod": q_ediv_emod,
@@ -1086,6 +1110,15 @@ ORACLE: dict[str, str] = {
                CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
                     ELSE o_totalprice END AS o_totalprice
         FROM orders
+    """,
+    "rayfall_select": """
+        SELECT l_returnflag,
+               sum(l_quantity) AS sum_qty,
+               avg(l_extendedprice) AS avg_price,
+               max(l_discount) AS max_disc,
+               count(l_orderkey) AS n
+        FROM lineitem WHERE l_quantity < 30.0
+        GROUP BY 1
     """,
     "update_grouped": """
         SELECT l_orderkey, l_linenumber,
