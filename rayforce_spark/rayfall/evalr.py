@@ -723,10 +723,14 @@ class Interp:
             sep = str(self.eval(args[2])) if len(args) > 2 else ","
             return self._read_csv(self.eval(args[0]), str(self.eval(args[1])), sep)
         if head == "write-csv":
+            # (write-csv path t [sep]) — path first, per the reference
+            # (docs data-types/table.md:98)
             from rayforce_spark.sources.csv import write_csv
 
-            df = self.eval(args[0])
-            write_csv(df, str(self.eval(args[1])))
+            path = str(self.eval(args[0]))
+            df = self.eval(args[1])
+            sep = str(self.eval(args[2])) if len(args) > 2 else ","
+            write_csv(df, path, sep=sep)
             return df
         if head == "show":
             v = self.eval(args[0])

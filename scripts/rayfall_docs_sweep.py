@@ -35,9 +35,48 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # non-goals: process/IPC/env pages whose snippets drive the C runtime
 SKIP_PAGES = {"IPC.md", "REPL.md", "environment.md", "serialization.md"}
 SKIP_PAT = re.compile(r"hopen|loadfn|\(system|\(timer|\(memstat|\(gc\)|\(env\)"
-                      r"|\(sysinfo|\(internals|\(exit|\(load "
-                      r"|\"/(tmp|path|data)/")  # filesystem-dependent paths
+                      r"|\(sysinfo|\(internals|\(exit|\(load ")
+# quoted filesystem paths are redirected into a per-run sandbox so the
+# splayed/parted/csv examples execute for real instead of being skipped
+PATH_RE = re.compile(r'"(/(?:tmp|path|data)(?:/[^"]*)?)"')
 BIG_LIT = re.compile(r"\b\d{7,}\b")
+
+# tables the docs assume from earlier pages / an ongoing REPL session
+AMBIENT = """
+(set employees (table [name dept salary hire_date region]
+  (list
+    (list "Alice" "Bob" "Charlie" "David")
+    ['IT 'HR 'IT 'IT]
+    [75000 65000 85000 72000]
+    [2021.01.15 2020.03.20 2019.11.30 2022.05.10]
+    ['east 'west 'east 'west])))
+(set trades (table [sym price size dept region day]
+  (list
+    ['AAPL 'MSFT 'AAPL 'GOOG]
+    [101.5 99.25 102.0 98.75]
+    [100 200 150 300]
+    ['IT 'HR 'IT 'IT]
+    ['east 'west 'east 'west]
+    [2024.01.01 2024.01.01 2024.01.02 2024.01.02])))
+(set day1-trades trades)
+(set day2-trades trades)
+(set day3-trades trades)
+(set t (table [id sym val day]
+  (list [1 2 3] ['a 'b 'c] [1.5 2.5 3.5]
+        [2024.01.01 2024.01.01 2024.01.02])))
+"""
+
+# the database / csv pre-state the doc examples read before (or without)
+# writing in-page ("assume a db at /tmp/db"): created through the
+# front-end's own storage verbs, so seeding doubles as write coverage
+SEED = """
+(set __seed (table [id sym val] (list [1 2 3] ['a 'b 'c] [1.5 2.5 3.5])))
+(set-parted "{sb}/tmp/db/tab/" trades)
+(set-parted "{sb}/tmp/db/trades/" trades)
+(set-splayed "{sb}/tmp/db/2024.01.01/trades/" trades)
+(set-splayed "{sb}/tmp/db/2024.01.02/trades/" trades)
+(write-csv "{sb}/path/to/file.csv" __seed)
+"""
 NONDET = re.compile(r"\((rand|guid|date|time|timestamp) ")
 
 
@@ -147,6 +186,8 @@ def sweep(pages: list[str]):
     from rayforce_spark.session import get_spark
 
     spark = get_spark("rayfall_sweep")
+    import tempfile
+
     report = []
     gaps: dict[str, int] = {}
     for page in pages:
@@ -158,11 +199,25 @@ def sweep(pages: list[str]):
             continue
         ok = val = mismatch = unsup = err = skip = 0
         it = Interp(spark)
+        # ambient fixture tables several doc pages reference without
+        # defining (the docs build them on earlier pages / in the REPL
+        # session); seeding them measures front-end breadth rather than
+        # doc-session continuity. Sandbox is per-page so one page's
+        # storage writes can't leak into another's reads.
+        sandbox = tempfile.mkdtemp(prefix="rayfall_sweep_")
+        it.eval_str(AMBIENT)
+        it.eval_str(SEED.replace("{sb}", sandbox))
         for b in blocks:
             for expr, expected in extract_exprs(b):
-                if SKIP_PAT.search(expr) or BIG_LIT.search(expr):
+                # "..." inside a form is the docs' elision placeholder
+                # ("(update {... from: t})") — not executable anywhere,
+                # including the reference itself; count as skipped.
+                if (SKIP_PAT.search(expr) or BIG_LIT.search(expr)
+                        or re.search(r"[\s{(]\.\.\.[\s})]", expr)):
                     skip += 1
                     continue
+                expr = PATH_RE.sub(
+                    lambda m: '"' + sandbox + m.group(1) + '"', expr)
                 try:
                     from rayforce_spark.rayfall.reader import parse as _p
 
@@ -183,6 +238,10 @@ def sweep(pages: list[str]):
                     unsup += 1
                     verb = str(e).split(":")[-1].strip()
                     gaps[verb] = gaps.get(verb, 0) + 1
+                    if os.environ.get("SWEEP_DEBUG"):
+                        print(f"[unsupported] {rel}: "
+                              f"{expr[:90].replace(chr(10), ' ')} -> "
+                              f"{str(e)[:120]}", file=sys.stderr)
                 except Exception as e:
                     err += 1
                     if os.environ.get("SWEEP_DEBUG"):
