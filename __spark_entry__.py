@@ -885,6 +885,38 @@ def q_pii_scrub(spark, sf):
     return d.select("doc_id", scrub_pii(salted).alias("scrubbed"))
 
 
+def q_hash_sample(spark, sf):
+    # deterministic curation sampling: 30% keep by doc_id + train/val/test
+    # folds, all pure bigint scan-stage expressions (datapipe/sampling.py)
+    # — reproducible at any partitioning, on any engine, zero shuffles
+    from rayforce_spark.datapipe.sampling import (
+        assign_folds,
+        hash_bucket,
+        sample_hash,
+    )
+
+    (d,) = _t(spark, sf, "documents")
+    return sample_hash(d, "doc_id", 0.30, salt=7).select(
+        "doc_id",
+        hash_bucket("doc_id", 1_000_000, salt=7).alias("bucket"),
+        assign_folds("doc_id", (0.8, 0.1, 0.1), salt=7).alias("fold"),
+    )
+
+
+def q_cap_per_key(spark, sf):
+    # per-key contribution cap (no source dominates the mix): keep at most
+    # 3 lineitems per order, deterministic via the total l_linenumber order
+    from rayforce_spark.datapipe.sampling import cap_per_key
+
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # order by BOTH output columns: any residual tie is between rows whose
+    # projected values are identical — the result is tie-break invariant
+    (li,) = _t(spark, sf, "lineitem")
+    return cap_per_key(
+        li, "l_orderkey", 3, ["l_linenumber", "l_quantity"]
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 def q_multimodal_features(spark, sf):
     """mapInPandas feature extraction over a binary media column.
 
@@ -1015,6 +1047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_bigrams": q_ngram_bigrams,
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
+    "hash_sample": q_hash_sample,
+    "cap_per_key": q_cap_per_key,
     "text_analysis": q_text_analysis,
     "multimodal_features": q_multimodal_features,
     "grouped_lambda": q_grouped_lambda,
@@ -1452,6 +1486,29 @@ ORACLE: dict[str, str] = {
                  '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
                AS scrubbed
         FROM documents
+    """,
+    "hash_sample": """
+        -- Knuth multiplicative bucket over the Mersenne-prime field:
+        -- plain bigint arithmetic, bit-identical across engines
+        WITH b AS (
+          SELECT doc_id,
+                 ((doc_id + 7) % 2147483647) * 2654435761
+                   % 2147483647 % 1000000 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'val'
+                    ELSE 'test' END AS fold
+        FROM b WHERE bucket < 300000
+    """,
+    "cap_per_key": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_quantity) AS rn
+          FROM lineitem
+        ) WHERE rn <= 3
     """,
     "multimodal_features": """
         -- the fake decoder is md5(utf8(text) || '0'): each feature is one

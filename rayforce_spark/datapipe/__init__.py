@@ -8,6 +8,8 @@ noted), so Catalyst/AQE handle skew, pushdown and partial aggregation.
 dedup       — exact, minhash-LSH, simhash, n-gram Jaccard, embedding-cosine
 similarity  — brute-force cosine top-k; LSH-bucketed ANN scale path
 text        — language id, quality scoring, token counting, fingerprinting
+sampling    — deterministic hash sampling, train/val/test folds, per-key
+              caps, corpus mixing (reproducible across runs and engines)
 multimodal  — opaque binary columns + typed metadata; decode/feature UDF
               plumbing (decoders stubbed: image/audio libs not installed)
 """
@@ -28,6 +30,14 @@ from rayforce_spark.datapipe.multimodal import (
     resize_media,
     sample_frames,
 )
+from rayforce_spark.datapipe.sampling import (
+    assign_folds,
+    cap_per_key,
+    hash_bucket,
+    mix_corpora,
+    sample_hash,
+    train_val_test_split,
+)
 from rayforce_spark.datapipe.similarity import ivf_train, knn_cosine, knn_ivf, knn_lsh
 from rayforce_spark.datapipe.sessions import sessionize_batch
 from rayforce_spark.datapipe.text import (
@@ -41,7 +51,13 @@ from rayforce_spark.datapipe.text import (
 )
 
 __all__ = [
+    "assign_folds",
     "attach_binary",
+    "cap_per_key",
+    "hash_bucket",
+    "mix_corpora",
+    "sample_hash",
+    "train_val_test_split",
     "dedup_clusters",
     "dedup_exact",
     "dedup_keep_canonical",

@@ -189,6 +189,26 @@ def main():
     if not ok_g:
         failures.append("ngram.one_shuffle_topk")
 
+    # sampling: hash_bucket/sample_hash/assign_folds are scan-stage
+    # expressions (0 exchanges); cap_per_key is exactly one keyed shuffle
+    from rayforce_spark.datapipe import cap_per_key, train_val_test_split
+    from rayforce_spark.datapipe.sampling import sample_hash
+
+    psm = plan_of(train_val_test_split(
+        sample_hash(docs, "doc_id", 0.3), "doc_id"))
+    n_smx = psm.count("Exchange")
+    print(f"[{'ok' if n_smx == 0 else 'VIOLATION'}] sample.no_shuffle: "
+          f"{n_smx} exchange(s)")
+    if n_smx:
+        failures.append("sample.no_shuffle")
+    pcap = plan_of(cap_per_key(docs, "source", 5, "doc_id"))
+    n_cx = pcap.count("Exchange hashpartitioning")
+    ok_c = n_cx == 1 and "Exchange SinglePartition" not in pcap
+    print(f"[{'ok' if ok_c else 'VIOLATION'}] cap_per_key.one_shuffle: "
+          f"{n_cx} hash exchange(s)")
+    if not ok_c:
+        failures.append("cap_per_key.one_shuffle")
+
     # 8. no driver-gated query plans a GLOBAL window (empty partition
     # spec = Exchange SinglePartition + full sort — a scale-killer).
     # Walk the optimized logical plan and check Window.partitionSpec

@@ -429,3 +429,78 @@ def test_knn_ivf_highdim_vector_native_training(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, f"high-dim IVF recall too low: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# sampling: deterministic curation sampling / splits (datapipe/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_hash_deterministic_and_nested(spark):
+    from rayforce_spark.datapipe import sample_hash
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s20 = {r.k for r in sample_hash(df, "k", 0.20, salt=3).collect()}
+    # partition layout must not change membership (the df.sample failure)
+    s20b = {r.k for r in
+            sample_hash(df.repartition(17), "k", 0.20, salt=3).collect()}
+    assert s20 == s20b
+    # a 10% sample is a subset of the 20% sample (same salt)
+    s10 = {r.k for r in sample_hash(df, "k", 0.10, salt=3).collect()}
+    assert s10 <= s20
+    # rates land near nominal at this n
+    assert 0.17 < len(s20) / 5000 < 0.23
+    assert 0.08 < len(s10) / 5000 < 0.12
+    # a different salt draws a different sample
+    s20c = {r.k for r in sample_hash(df, "k", 0.20, salt=4).collect()}
+    assert s20c != s20
+
+
+def test_train_val_test_split_proportions(spark):
+    from rayforce_spark.datapipe import train_val_test_split
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    counts = dict(
+        (r.fold, r["count"])
+        for r in train_val_test_split(df, "k").groupBy("fold").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.77 < counts["train"] / 10000 < 0.83
+    assert 0.07 < counts["val"] / 10000 < 0.13
+    assert 0.07 < counts["test"] / 10000 < 0.13
+    # folds partition the data: every row appears exactly once
+    assert sum(counts.values()) == 10000
+
+
+def test_cap_per_key(spark):
+    from rayforce_spark.datapipe import cap_per_key
+
+    df = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(10)] + [("c", 0)],
+        "key string, seq long",
+    )
+    out = cap_per_key(df, "key", 3, "seq").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r.seq)
+    assert sorted(by_key["a"]) == [0, 1, 2]
+    assert sorted(by_key["b"]) == [0, 1, 2]
+    assert by_key["c"] == [0]  # keys under the cap keep everything
+
+
+def test_mix_corpora(spark):
+    from rayforce_spark.datapipe import mix_corpora, sample_hash
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "src", F.lit("a"))
+    b = spark.range(1000, 2000).withColumnRenamed("id", "k").withColumn(
+        "src", F.lit("b"))
+    out = mix_corpora([(a, "k", 1.0), (b, "k", 0.25)], salt=1)
+    counts = dict((r.src, r["count"])
+                  for r in out.groupBy("src").count().collect())
+    assert counts["a"] == 1000
+    assert 200 < counts["b"] < 300
+    # per-source membership equals a standalone sample at the same salt
+    only_b = {r.k for r in out.filter(F.col("src") == "b").collect()}
+    direct = {r.k for r in sample_hash(b, "k", 0.25, salt=1).collect()}
+    assert only_b == direct
