@@ -767,6 +767,19 @@ def q_dedup_embedding(spark, sf):
     ).withColumn("cos", F.round("cos", 6))
 
 
+def q_dedup_embedding_lsh(spark, sf):
+    # the corpus-scale path for embedding near-dup: hyperplane-LSH buckets
+    # + exact verify. planes=1/tables=16 is a recall-exact configuration
+    # (miss ~1e-7 per pair even at this wide threshold), so it reproduces
+    # the all-pairs result and shares its oracle.
+    from rayforce_spark.datapipe import embedding_dup_pairs_lsh
+
+    (e,) = _t(spark, sf, "embeddings")
+    return embedding_dup_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.4, dim=64, planes=1, tables=16
+    ).withColumn("cos", F.round("cos", 6))
+
+
 def q_knn_cosine(spark, sf):
     from rayforce_spark.datapipe import knn_cosine
 
@@ -1040,6 +1053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -1583,6 +1597,14 @@ ORACLE: dict[str, str] = {
         WHERE bit_count(xor(a.f, b.f)) <= 8
     """,
     "dedup_embedding": f"""
+        SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_cos_sql('a.embedding', 'b.embedding')} AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos >= 0.4
+    """,
+    "dedup_embedding_lsh": f"""
+        -- recall-exact LSH config reproduces the all-pairs result
         SELECT id_a, id_b, round(cos, 6) AS cos FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  {_cos_sql('a.embedding', 'b.embedding')} AS cos

@@ -38,7 +38,13 @@ from rayforce_spark.datapipe.sampling import (
     sample_hash,
     train_val_test_split,
 )
-from rayforce_spark.datapipe.similarity import ivf_train, knn_cosine, knn_ivf, knn_lsh
+from rayforce_spark.datapipe.similarity import (
+    embedding_dup_pairs_lsh,
+    ivf_train,
+    knn_cosine,
+    knn_ivf,
+    knn_lsh,
+)
 from rayforce_spark.datapipe.sessions import sessionize_batch
 from rayforce_spark.datapipe.text import (
     doc_fingerprint,
@@ -66,6 +72,7 @@ __all__ = [
     "sample_frames",
     "sessionize_batch",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "jaccard_dup_pairs",
     "minhash_lsh_pairs",
     "simhash",

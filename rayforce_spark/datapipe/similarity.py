@@ -318,3 +318,70 @@ def knn_lsh(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    dim: int,
+    planes: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-scale embedding near-duplicate pairs: hyperplane-LSH
+    candidate buckets + exact cosine verification — the scale path for
+    ``dedup.embedding_dup_pairs`` (which is the O(n²) all-pairs
+    verifier). Returns (id_a, id_b, cos), cos >= threshold.
+
+    Recall: a pair at angle θ = acos(threshold) collides in one table
+    with probability (1 - θ/π)^planes; the overall miss probability is
+    (1 - (1 - θ/π)^planes)^tables. planes=1, tables=16 is effectively
+    exact at any useful threshold (miss ~1e-7 even at θ≈66°); the
+    4-plane/8-table default trades a few-per-mille miss rate for ~16×
+    smaller candidate buckets.
+
+    Scale: the shuffle carries (id, 8-byte bucket key, vector) — one
+    exchange per side on (table, key), then exact cosine only on
+    candidates. Hot buckets ARE near-duplicate mass (the pairs we want),
+    so bucket skew is signal; AQE splits oversized partitions, and the
+    pair-level dropDuplicates keeps multi-table collisions from
+    re-verifying the same pair.
+    """
+    sel = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__nu", norm_units(F.col("__v")))
+    buckets = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_key(F.col("__v"),
+                        _hyperplanes(dim, planes, t, seed)).alias("key"),
+        )
+        for t in range(tables)
+    ])
+    b = sel.select("__id", "__v", "__nu", F.explode(buckets).alias("bk")) \
+           .select("__id", "__v", "__nu", "bk.tbl", "bk.key")
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb"),
+            F.col("a.__nu").alias("__na"), F.col("b.__nu").alias("__nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b",
+        cosine_from_units(
+            dot_units(F.col("__va"), F.col("__vb")),
+            F.col("__na"), F.col("__nb"),
+        ).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

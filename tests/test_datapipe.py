@@ -504,3 +504,27 @@ def test_mix_corpora(spark):
     only_b = {r.k for r in out.filter(F.col("src") == "b").collect()}
     direct = {r.k for r in sample_hash(b, "k", 0.25, salt=1).collect()}
     assert only_b == direct
+
+
+def test_embedding_dup_pairs_lsh_recall(tables):
+    from rayforce_spark.datapipe import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 300)
+    exact = {(r.id_a, r.id_b) for r in embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4).collect()}
+    # threshold 0.4 is a WIDE angle (66°): fewer planes per table keep
+    # collision probability up (expected miss ~2% at 2 planes / 8 tables;
+    # the 4-plane default targets tight thresholds like 0.95)
+    approx = {(r.id_a, r.id_b) for r in embedding_dup_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64,
+        planes=2, tables=8).collect()}
+    assert approx <= exact  # exact verify on candidates: no false positives
+    assert exact and len(approx & exact) / len(exact) >= 0.85
+    # recall-exact gate config reproduces the all-pairs result bit-for-bit
+    exact_cfg = {(r.id_a, r.id_b) for r in embedding_dup_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64,
+        planes=1, tables=16).collect()}
+    assert exact_cfg == exact
