@@ -209,6 +209,21 @@ def main():
     if not ok_c:
         failures.append("cap_per_key.one_shuffle")
 
+    # LSH embedding dedup must candidate-join on (table, key) buckets —
+    # never a cartesian/broadcast-nested-loop over the corpus
+    from rayforce_spark.datapipe import embedding_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plsh = plan_of(embedding_dup_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.9, dim=64))
+    ok_l = ("CartesianProduct" not in plsh
+            and "BroadcastNestedLoopJoin" not in plsh)
+    print(f"[{'ok' if ok_l else 'VIOLATION'}] dedup_lsh.bucket_join: "
+          f"cartesian={'CartesianProduct' in plsh}, "
+          f"bnlj={'BroadcastNestedLoopJoin' in plsh}")
+    if not ok_l:
+        failures.append("dedup_lsh.bucket_join")
+
     # 8. no driver-gated query plans a GLOBAL window (empty partition
     # spec = Exchange SinglePartition + full sort — a scale-killer).
     # Walk the optimized logical plan and check Window.partitionSpec
