@@ -611,3 +611,26 @@ def test_journal_rfl_verbatim(it, tmp_path, capsys):
 def test_format_placeholders(it):
     assert it.eval_str('(format "x=% y=%" 1 2)') == "x=1 y=2"
     assert it.eval_str('(format "no args %")') == "no args %"
+
+
+def test_write_read_csv_roundtrip(it, tmp_path):
+    # docs data-types/table.md:87-99 — (write-csv path t [sep]) takes the
+    # PATH first (regression: the evaluator had the args swapped), and
+    # (read-csv types path [sep]) round-trips the table
+    it.eval_str(
+        '(set t (table [id sym val]'
+        ' (list [1 2 3] ["a" "b" "c"] [1.5 2.5 3.5])))'
+    )
+    p = str(tmp_path / "t.csv")
+    it.eval_str(f'(write-csv "{p}" t)')
+    rows = it.eval_str(f'(read-csv [I64 STRING F64] "{p}")') \
+             .orderBy("id").collect()
+    assert [(r.id, r.sym, r.val) for r in rows] == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+    # custom separator variant
+    p2 = str(tmp_path / "t2.csv")
+    it.eval_str(f'(write-csv "{p2}" t ";")')
+    rows2 = it.eval_str(f'(read-csv [I64 STRING F64] "{p2}" ";")') \
+              .orderBy("id").collect()
+    assert [(r.id, r.sym, r.val) for r in rows2] == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
