@@ -297,8 +297,9 @@ def q_groupby_highcard(spark, sf):
 def q_groupby_avg3(spark, sf):
     # H2O Q4 shape: avg of 3 value columns by a medium-cardinality key.
     # Bench-only since r4 (bench.py resolves q_* by name): its gate slot
-    # went to time_of_day — the shape is near-duplicate of groupby_stats
-    # and QUERIES sits at the driver's 50-query cap.
+    # went to time_of_day — the shape is a near-duplicate of groupby_stats
+    # so a gate slot adds no coverage. (r4's assumed 50-query driver cap
+    # proved wrong: the r5 gate carries every QUERIES entry.)
     (li,) = _t(spark, sf, "lineitem")
     return select(
         li,
