@@ -295,7 +295,8 @@ class _Reader:
                     self.next()  # string key: "apple": value
                     key = key_tok[1:]
                 elif key_tok is not None and key_tok.endswith(":") \
-                        and not key_tok.startswith('"'):
+                        and not key_tok.startswith('"') \
+                        and not key_tok.startswith("\x01"):
                     key = key_tok[:-1]
                 else:
                     raise SyntaxError(f"dict key expected, got {key_tok!r}")
@@ -321,6 +322,9 @@ class _Reader:
         if tok in (")", "]", "}"):
             raise SyntaxError(f"unexpected {tok}")
         if (tok.endswith(":") and len(tok) > 1 and not tok.startswith('"')
+                and not tok.startswith("\x01")  # char atoms like ':' are
+                # \x01-prefixed tokens, never keywords (IPC ships unparse
+                # text, so Char(':') must round-trip)
                 and not tok[:-1].isdigit()):
             raise SyntaxError(f"keyword {tok!r} outside a dict")
         v = _atom(tok)
