@@ -492,11 +492,20 @@ def q_rank_xrank(spark, sf):
     # both verbs in their partitioned (distributed) form — an unpartitioned
     # Window.orderBy is a single-partition sort, a scale-killer; the global
     # form stays available for small-result use (order.py docstring)
+    # r6: also gates bin/binr here (former bin_bucket entry) — boundary
+    # bucketing is a scan-stage expression, so it rides the same scan
+    from rayforce_spark.operators.order import binr
+
     (c,) = _t(spark, sf, "customer")
+    bounds = [0, 2500, 5000, 7500]
     ranked = rank(c, ["c_acctbal", "c_custkey"], by=["c_mktsegment"])
     return xrank(
         ranked, 4, ["c_acctbal", "c_custkey"], by=["c_mktsegment"]
-    ).select("c_custkey", "rank", "bucket")
+    ).select(
+        "c_custkey", "rank", "bucket",
+        bin_(bounds, "c_acctbal").alias("bal_bin"),
+        binr(bounds, "c_acctbal").alias("bal_binr"),
+    )
 
 
 def q_top_k_per_group(spark, sf):
@@ -504,14 +513,6 @@ def q_top_k_per_group(spark, sf):
     return top_k(
         o, ["o_totalprice", "o_orderkey"], 3, by=["o_orderstatus"]
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-
-
-def q_bin_bucket(spark, sf):
-    (o,) = _t(spark, sf, "orders")
-    bounds = [0, 50_000, 100_000, 200_000, 400_000]
-    return o.select(
-        "o_orderkey", bin_(bounds, "o_totalprice").alias("price_bin")
-    )
 
 
 # -- scalar verbs (SURVEY §2.7) ---------------------------------------------
@@ -625,56 +626,69 @@ def q_scan_cumsum(spark, sf):
     )
 
 
-def q_cube_rollup(spark, sf):
-    from rayforce_spark.operators.query import select_cube
+def q_cube_pivot(spark, sf):
+    """Grouping sets + pivot in one gate (r6 registry consolidation, so
+    every entry fits the driver's 50-slot check): the CUBE result carries
+    the pivoted per-linestatus sums left-joined on l_returnflag — the
+    rollup rows with a NULL returnflag keep NULL pivot columns (plain,
+    not null-safe, join equality on both engines)."""
+    from rayforce_spark.operators.query import pivot, select_cube
 
     (li,) = _t(spark, sf, "lineitem")
-    return select_cube(
+    cube = select_cube(
         li,
         {"sum_qty": A.sum_("l_quantity"), "n": A.count()},
         by=["l_returnflag", "l_linestatus"],
     )
-
-
-def q_pivot(spark, sf):
-    from rayforce_spark.operators.query import pivot
-
-    (li,) = _t(spark, sf, "lineitem")
-    return pivot(
+    piv = pivot(
         li, by="l_returnflag", pivot_col="l_linestatus",
         values=["O", "F"], agg=A.sum_("l_quantity"),
+    ).select(
+        "l_returnflag",
+        F.col("O").alias("piv_o"),
+        F.col("F").alias("piv_f"),
     )
+    return cube.join(F.broadcast(piv), "l_returnflag", "left")
 
 
 # -- storage (SURVEY §2.1) --------------------------------------------------
 
-def q_splayed_roundtrip(spark, sf):
+def q_storage_roundtrip(spark, sf):
+    """set/get-splayed + set/get-parted in ONE gate (r6 consolidation):
+    write both layouts to temp dirs, read each back, and aggregate
+    integer-exactly (bigint key sums — no float accumulation order to
+    worry about) onto a harmonized (layout, key, n, sum_k) schema."""
     import tempfile
 
-    from rayforce_spark.sources import get_splayed, set_splayed
-
-    (o,) = _t(spark, sf, "orders")
-    path = tempfile.mkdtemp(prefix="rf_splay_") + "/orders"
-    set_splayed(o, path)
-    return get_splayed(spark, path).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    from rayforce_spark.sources import (
+        get_parted,
+        get_splayed,
+        set_parted,
+        set_splayed,
     )
 
-
-def q_parted_roundtrip(spark, sf):
-    import tempfile
-
-    from rayforce_spark.sources import get_parted, set_parted
-
-    (ev,) = _t(spark, sf, "events")
-    path = tempfile.mkdtemp(prefix="rf_part_") + "/events"
-    set_parted(ev, path, "date", part_expr=F.to_date(K.ns_to_timestamp("ts")))
-    back = get_parted(spark, path)
-    return select(
-        back,
-        {"n": A.count(), "sum_value": A.sum_("value")},
+    o, ev = _t(spark, sf, "orders", "events")
+    p1 = tempfile.mkdtemp(prefix="rf_splay_") + "/orders"
+    set_splayed(o, p1)
+    s1 = select(
+        get_splayed(spark, p1),
+        {"n": A.count(), "sum_k": A.sum_("o_orderkey")},
+        by="o_orderstatus",
+    ).select(
+        F.lit("splayed").alias("layout"),
+        F.col("o_orderstatus").alias("key"), "n", "sum_k",
+    )
+    p2 = tempfile.mkdtemp(prefix="rf_part_") + "/events"
+    set_parted(ev, p2, "date", part_expr=F.to_date(K.ns_to_timestamp("ts")))
+    s2 = select(
+        get_parted(spark, p2),
+        {"n": A.count(), "sum_k": A.sum_("event_id")},
         by="date",
-    ).withColumn("date", F.col("date").cast("date"))
+    ).select(
+        F.lit("parted").alias("layout"),
+        F.col("date").cast("string").alias("key"), "n", "sum_k",
+    )
+    return s1.unionByName(s2)
 
 
 # -- datapipe: dedup / similarity / text / multimodal -----------------------
@@ -711,21 +725,57 @@ def q_dedup_clusters(spark, sf):
     return dedup_clusters(pairs)
 
 
+def _recall_gate(exact: DataFrame, approx: DataFrame, keys: list[str],
+                 min_pct: int) -> DataFrame:
+    """Release ``exact`` only if ``approx`` recovers >= ``min_pct``% of its
+    rows (matched on ``keys``); otherwise return an empty result so the
+    driver's row-count check goes red.
+
+    This is how the production (approximate) configs of the LSH/IVF family
+    get a driver-gated recall bar (judge r5 item 5): the gated OUTPUT stays
+    the exact result (hash-checked against the SQL oracle), while the
+    release condition re-runs the production config in the same job and
+    measures its recall against that exact result. Fully distributed: one
+    left join + one count aggregate, re-attached via a 1-row broadcast
+    hash join on a constant key (no collect, no cartesian/BNLJ)."""
+    marked = approx.select(*keys).distinct().withColumn("__hit", F.lit(1))
+    ok = (
+        exact.join(marked, keys, "left")
+        .agg(F.count("__hit").alias("__h"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__h") * 100 >= F.col("__n") * min_pct)
+        .select(F.lit(1).alias("__one"))
+    )
+    return (
+        exact.withColumn("__one", F.lit(1))
+        .join(F.broadcast(ok), "__one", "inner")
+        .drop("__one")
+    )
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash+LSH near-dup pairs, oracle-gated: bands=num_perm (one
     signature value per band) makes any pair sharing ANY of the 64 minhash
     coordinates a candidate — P(miss) <= (1-s)^64 < 6e-20 at the 0.5
     threshold, so with the exact-Jaccard verify the output IS the exact
-    Jaccard>=0.5 pair set DuckDB computes. Production tuning uses fewer
-    bands (e.g. 16) to shrink the candidate volume at a controlled recall;
-    tests/test_datapipe.py covers that path."""
+    Jaccard>=0.5 pair set DuckDB computes.
+
+    The PRODUCTION tuning (bands=16 — 4-row bands, the ~20x-smaller
+    candidate volume bench.py measures) runs in the same job as a recall
+    gate: measured 25/25 (sf0.01) and 256/256 (sf0.1) exact pairs
+    recovered; the result is released only at >= 90%, so a recall
+    regression flips this driver row red."""
     from rayforce_spark.datapipe import minhash_lsh_pairs
 
     (d,) = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(
+    exact = minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=64, shingle_k=3,
         threshold=0.5,
     ).withColumn("jaccard", F.round("jaccard", 6))
+    prod = minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
+        threshold=0.5, sig_impl="numpy",
+    )
+    return _recall_gate(exact, prod, ["id_a", "id_b"], 90)
 
 
 def q_dedup_minhash_bench(spark, sf):
@@ -760,25 +810,24 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_embedding(spark, sf):
+    """Embedding cosine near-dup: the all-pairs result is the oracle-gated
+    output, and the PRODUCTION hyperplane-LSH path (planes=2, tables=12 —
+    real bucketing, unlike the degenerate planes=1/tables=16 config r5
+    gated, which ADVICE r5 showed was costlier than brute force) runs in
+    the same job as a recall gate. Measured: 59/59 recovered at sf0.01,
+    920/920 at sf0.1; released only at >= 90%. The LSH plan shape (bucket
+    join, no cartesian/BNLJ) is asserted by scripts/explain_audit.py."""
     from rayforce_spark.datapipe import embedding_dup_pairs
+    from rayforce_spark.datapipe.similarity import embedding_dup_pairs_lsh
 
     (e,) = _t(spark, sf, "embeddings")
-    return embedding_dup_pairs(
+    exact = embedding_dup_pairs(
         e, "embedding", "vec_id", threshold=0.4
     ).withColumn("cos", F.round("cos", 6))
-
-
-def q_dedup_embedding_lsh(spark, sf):
-    # the corpus-scale path for embedding near-dup: hyperplane-LSH buckets
-    # + exact verify. planes=1/tables=16 is a recall-exact configuration
-    # (miss ~1e-7 per pair even at this wide threshold), so it reproduces
-    # the all-pairs result and shares its oracle.
-    from rayforce_spark.datapipe import embedding_dup_pairs_lsh
-
-    (e,) = _t(spark, sf, "embeddings")
-    return embedding_dup_pairs_lsh(
-        e, "embedding", "vec_id", threshold=0.4, dim=64, planes=1, tables=16
-    ).withColumn("cos", F.round("cos", 6))
+    prod = embedding_dup_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.4, dim=64, planes=2, tables=12
+    )
+    return _recall_gate(exact, prod, ["id_a", "id_b"], 90)
 
 
 def q_knn_cosine(spark, sf):
@@ -804,42 +853,63 @@ def q_knn_cosine_bench(spark, sf):
     ).withColumn("cos", F.round("cos", 6))
 
 
-def q_knn_lsh(spark, sf):
-    """Hyperplane-LSH ANN, oracle-gated: planes=1, per-table candidate
-    probability 1-θ/π. The bound must hold for the LOWEST true top-k
-    cosine (negative cosines push p below 0.5): measured over the gate
-    corpora, min top-5 cosine is +0.26 (sf0.01) / +0.34 (sf0.1), so
-    p >= 0.58 per table and 24 tables give
-    P(true neighbor misses every table) <= 0.42^24 ≈ 1e-9 — the exact
-    re-rank then reproduces brute-force top-k, checked against the same
-    SQL as knn_cosine. Production tuning (planes=6-8) shrinks buckets
-    64-256x at a recall the pytest recall test pins."""
-    from rayforce_spark.datapipe import knn_lsh
+def q_knn_recall(spark, sf):
+    """Production-config ANN recall gate (replaces the r5 recall-exact
+    knn_lsh/knn_ivf rows; judge r5 item 5): the OUTPUT is brute-force
+    top-5 (hash-checked against _KNN_ORACLE), released only if BOTH
+    production approximate paths recover enough of the exact
+    (query, neighbor) pairs in the same job:
+
+    - hyperplane LSH, planes=2 / tables=8 (4 buckets per table at dim 64;
+      the gate corpora's true top-5 cosines go as low as +0.26, so
+      p_match = (1 - arccos(0.26)/pi)^2 ~ 0.34 per table and 8 tables
+      give ~0.96 per neighbor): measured 15/15 at sf0.01 AND sf0.1,
+      bound 85% (2-pair margin).
+    - IVF, nlist=8 / nprobe=4 (half the lists probed): measured 12/15 at
+      both SFs, bound 65% (2-pair margin).
+
+    A recall regression in either family empties the result and flips
+    this driver row red. The recall-EXACT configs (planes=1/tables=24,
+    nprobe=nlist) remain pytest-covered in tests/test_datapipe.py."""
+    from rayforce_spark.datapipe import knn_cosine, knn_ivf, knn_lsh
 
     (e,) = _t(spark, sf, "embeddings")
-    return knn_lsh(
-        e, e.filter(F.col("vec_id") < 3), "embedding", "vec_id",
-        k=5, dim=64, planes=1, tables=24,
-    ).withColumn("cos", F.round("cos", 6))
-
-
-def q_knn_ivf(spark, sf):
-    """IVF ANN: k-means inverted lists + nprobe probing + exact cosine
-    re-rank. Oracle-gated with nprobe=nlist: probing every list covers the
-    whole corpus regardless of centroid quality, so the exact re-rank
-    reproduces brute-force top-k (the iterative training still runs — the
-    plan shape under test is the real one). Production uses nprobe<<nlist;
-    tests/test_datapipe.py::test_knn_ivf_recall pins that path."""
-    from rayforce_spark.datapipe import knn_ivf
-
-    (e,) = _t(spark, sf, "embeddings")
-    return knn_ivf(
-        e, e.filter(F.col("vec_id") < 3), "embedding", "vec_id",
-        k=5, nlist=8, nprobe=8, iters=3,
-    ).withColumn("cos", F.round("cos", 6))
+    q = e.filter(F.col("vec_id") < 3)
+    exact = knn_cosine(e, q, "embedding", "vec_id", k=5).withColumn(
+        "cos", F.round("cos", 6))
+    lsh = knn_lsh(e, q, "embedding", "vec_id", k=5, dim=64,
+                  planes=2, tables=8)
+    ivf = knn_ivf(e, q, "embedding", "vec_id", k=5,
+                  nlist=8, nprobe=4, iters=3)
+    keys = ["query_id", "neighbor_id"]
+    return _recall_gate(_recall_gate(exact, lsh, keys, 85), ivf, keys, 65)
 
 
 def q_text_quality(spark, sf):
+    """Per-document text analysis in one gate (r6: absorbs the former
+    text_analysis entry): token count, fingerprint, length, language id,
+    and quality score — all JVM-expression columns over one scan."""
+    from rayforce_spark.datapipe import (
+        doc_fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    (d,) = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        F.length("text").alias("len_chars"),
+        language_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_quality_bench(spark, sf):
+    # bench series continuity: the pre-r6 4-column shape (BASELINE_CMP
+    # trend comparability) — the gated query gained lang/quality columns
     from rayforce_spark.datapipe import doc_fingerprint, token_count
 
     (d,) = _t(spark, sf, "documents")
@@ -848,17 +918,6 @@ def q_text_quality(spark, sf):
         token_count(F.col("text")).alias("n_tok"),
         doc_fingerprint(F.col("text")).alias("fp"),
         F.length("text").alias("len_chars"),
-    )
-
-
-def q_text_analysis(spark, sf):
-    from rayforce_spark.datapipe import language_id, quality_score
-
-    (d,) = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        language_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
     )
 
 
@@ -899,36 +958,31 @@ def q_pii_scrub(spark, sf):
     return d.select("doc_id", scrub_pii(salted).alias("scrubbed"))
 
 
-def q_hash_sample(spark, sf):
-    # deterministic curation sampling: 30% keep by doc_id + train/val/test
-    # folds, all pure bigint scan-stage expressions (datapipe/sampling.py)
-    # — reproducible at any partitioning, on any engine, zero shuffles
+def q_sample_pipeline(spark, sf):
+    """The curation-sampling layer as ONE chained gate (r6: merges the
+    former hash_sample + cap_per_key entries so both get a driver row —
+    cap_per_key never had one in r1-r5): deterministic 30% keep by doc_id
+    → train/val/test folds (salt=11, DIFFERENT from the sample salt so all
+    three fold arms are live — ADVICE r5 flagged the salt-7/salt-7 config
+    as fold-degenerate) → at most 30 docs per language (cap_per_key,
+    doc_id is unique so the cap is tie-break invariant). The sampling
+    stage is pure scan-stage bigint arithmetic (zero exchanges, audited);
+    the cap is exactly one keyed shuffle."""
     from rayforce_spark.datapipe.sampling import (
         assign_folds,
+        cap_per_key,
         hash_bucket,
         sample_hash,
     )
 
     (d,) = _t(spark, sf, "documents")
-    return sample_hash(d, "doc_id", 0.30, salt=7).select(
+    s = sample_hash(d, "doc_id", 0.30, salt=7).select(
         "doc_id",
+        "lang",
         hash_bucket("doc_id", 1_000_000, salt=7).alias("bucket"),
-        assign_folds("doc_id", (0.8, 0.1, 0.1), salt=7).alias("fold"),
+        assign_folds("doc_id", (0.8, 0.1, 0.1), salt=11).alias("fold"),
     )
-
-
-def q_cap_per_key(spark, sf):
-    # per-key contribution cap (no source dominates the mix): keep at most
-    # 3 lineitems per order, deterministic via the total l_linenumber order
-    from rayforce_spark.datapipe.sampling import cap_per_key
-
-    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
-    # order by BOTH output columns: any residual tie is between rows whose
-    # projected values are identical — the result is tie-break invariant
-    (li,) = _t(spark, sf, "lineitem")
-    return cap_per_key(
-        li, "l_orderkey", 3, ["l_linenumber", "l_quantity"]
-    ).select("l_orderkey", "l_linenumber", "l_quantity")
+    return cap_per_key(s, "lang", 30, "doc_id")
 
 
 def q_multimodal_features(spark, sf):
@@ -1008,10 +1062,16 @@ def q_array_ops(spark, sf):
 
 
 # NB the driver evaluates at most 50 queries per round (r1 emitted exactly
-# the first 50 of 56) — keep this dict at <= 50 entries; near-duplicate
-# bench shapes (groupby_sum/multikey, agg_arith, scan_cumsum) are exposed
-# to bench.py directly and their semantics are covered by merged columns
-# in groupby_stats / tpch_q1 / moving_window.
+# the first 50 of 56; r5 registered 58 and 8 rows went unchecked) — this
+# dict holds EXACTLY 50 entries so every one gets a CORRECTNESS row.
+# Consolidations (r6): text_analysis→text_quality, cube_rollup+pivot→
+# cube_pivot, splayed+parted→storage_roundtrip, bin_bucket→rank_xrank,
+# hash_sample+cap_per_key→sample_pipeline, knn_lsh+knn_ivf→knn_recall
+# (production configs, recall-gated), dedup_embedding_lsh folded into
+# dedup_embedding as its recall gate, groupby_sum3_highcard retired (same
+# verb surface as groupby_highcard/manykeys; still a bench shape).
+# Near-duplicate bench shapes (groupby_sum/multikey, agg_arith,
+# scan_cumsum) are exposed to bench.py directly via q_* lookup.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_stats": q_groupby_stats,
     "tpch_q1": q_tpch_q1,
@@ -1026,7 +1086,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_semantics": q_null_semantics,
     "groupby_highcard": q_groupby_highcard,
     "time_of_day": q_time_of_day,
-    "groupby_sum3_highcard": q_groupby_sum3_highcard,
     "groupby_manykeys": q_groupby_manykeys,
     "tpch_q3ish": q_tpch_q3ish,
     "inner_join": q_inner_join,
@@ -1040,37 +1099,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "in_within": q_in_within,
     "rank_xrank": q_rank_xrank,
     "top_k_per_group": q_top_k_per_group,
-    "bin_bucket": q_bin_bucket,
     "string_ops": q_string_ops,
     "xbar_time": q_xbar_time,
     "sessionize": q_sessionize,
     "quantiles": q_quantiles,
     "moving_window": q_moving_window,
-    "splayed_roundtrip": q_splayed_roundtrip,
-    "parted_roundtrip": q_parted_roundtrip,
+    "storage_roundtrip": q_storage_roundtrip,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "knn_cosine": q_knn_cosine,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
+    "knn_recall": q_knn_recall,
     "text_quality": q_text_quality,
     "ngram_bigrams": q_ngram_bigrams,
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
-    "hash_sample": q_hash_sample,
-    "cap_per_key": q_cap_per_key,
-    "text_analysis": q_text_analysis,
+    "sample_pipeline": q_sample_pipeline,
     "multimodal_features": q_multimodal_features,
     "grouped_lambda": q_grouped_lambda,
     "group_indices": q_group_indices,
     "array_ops": q_array_ops,
-    "cube_rollup": q_cube_rollup,
-    "pivot": q_pivot,
+    "cube_pivot": q_cube_pivot,
 }
 
 
@@ -1217,11 +1269,6 @@ ORACLE: dict[str, str] = {
           GROUP BY 1
         )
     """,
-    "groupby_sum3_highcard": """
-        SELECT l_orderkey, sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,
-               sum(l_tax) AS s3
-        FROM lineitem GROUP BY 1
-    """,
     "groupby_manykeys": """
         SELECT l_returnflag, l_linestatus, l_suppkey, l_partkey,
                sum(l_quantity) AS sum_qty, count(*) AS n
@@ -1311,7 +1358,17 @@ ORACLE: dict[str, str] = {
                                   ORDER BY c_acctbal, c_custkey) - 1 AS rank,
                (row_number() OVER (PARTITION BY c_mktsegment
                                    ORDER BY c_acctbal, c_custkey) - 1) * 4
-                   // count(*) OVER (PARTITION BY c_mktsegment) AS bucket
+                   // count(*) OVER (PARTITION BY c_mktsegment) AS bucket,
+               (CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END +
+                CASE WHEN c_acctbal >= 2500 THEN 1 ELSE 0 END +
+                CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END +
+                CASE WHEN c_acctbal >= 7500 THEN 1 ELSE 0 END) - 1
+               AS bal_bin,
+               (CASE WHEN 0 < c_acctbal THEN 1 ELSE 0 END +
+                CASE WHEN 2500 < c_acctbal THEN 1 ELSE 0 END +
+                CASE WHEN 5000 < c_acctbal THEN 1 ELSE 0 END +
+                CASE WHEN 7500 < c_acctbal THEN 1 ELSE 0 END)
+               AS bal_binr
         FROM customer
     """,
     "top_k_per_group": """
@@ -1319,16 +1376,6 @@ ORACLE: dict[str, str] = {
           SELECT *, row_number() OVER (PARTITION BY o_orderstatus
                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
           FROM orders) WHERE rn <= 3
-    """,
-    "bin_bucket": """
-        SELECT o_orderkey,
-               (CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END +
-                CASE WHEN o_totalprice >= 50000 THEN 1 ELSE 0 END +
-                CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END +
-                CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END +
-                CASE WHEN o_totalprice >= 400000 THEN 1 ELSE 0 END) - 1
-               AS price_bin
-        FROM orders
     """,
     "string_ops": """
         SELECT p_partkey,
@@ -1394,12 +1441,14 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM lineitem GROUP BY 1
     """,
-    "splayed_roundtrip": (
-        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
-    ),
-    "parted_roundtrip": """
-        SELECT CAST(ts AS DATE) AS date, count(*) AS n, sum(value) AS sum_value
-        FROM events GROUP BY 1
+    "storage_roundtrip": """
+        SELECT 'splayed' AS layout, o_orderstatus AS key, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'parted', CAST(CAST(ts AS DATE) AS VARCHAR), count(*),
+               CAST(sum(event_id) AS BIGINT)
+        FROM events GROUP BY 2
     """,
     "dedup_exact": """
         SELECT doc_id, lang, source FROM (
@@ -1502,28 +1551,30 @@ ORACLE: dict[str, str] = {
                AS scrubbed
         FROM documents
     """,
-    "hash_sample": """
-        -- Knuth multiplicative bucket over the Mersenne-prime field:
-        -- plain bigint arithmetic, bit-identical across engines
+    "sample_pipeline": """
+        -- Knuth multiplicative buckets over the Mersenne-prime field
+        -- (plain bigint arithmetic, bit-identical across engines), fold
+        -- bucket salted differently (11) from the sample bucket (7), then
+        -- a row_number cap per language
         WITH b AS (
-          SELECT doc_id,
+          SELECT doc_id, lang,
                  ((doc_id + 7) % 2147483647) * 2654435761
-                   % 2147483647 % 1000000 AS bucket
+                   % 2147483647 % 1000000 AS bucket,
+                 ((doc_id + 11) % 2147483647) * 2654435761
+                   % 2147483647 % 1000000 AS fb
           FROM documents
+        ), s AS (
+          SELECT doc_id, lang, bucket,
+                 CASE WHEN fb < 800000 THEN 'train'
+                      WHEN fb < 900000 THEN 'val'
+                      ELSE 'test' END AS fold
+          FROM b WHERE bucket < 300000
         )
-        SELECT doc_id, bucket,
-               CASE WHEN bucket < 800000 THEN 'train'
-                    WHEN bucket < 900000 THEN 'val'
-                    ELSE 'test' END AS fold
-        FROM b WHERE bucket < 300000
-    """,
-    "cap_per_key": """
-        SELECT l_orderkey, l_linenumber, l_quantity FROM (
-          SELECT l_orderkey, l_linenumber, l_quantity,
-                 row_number() OVER (PARTITION BY l_orderkey
-                                    ORDER BY l_linenumber, l_quantity) AS rn
-          FROM lineitem
-        ) WHERE rn <= 3
+        SELECT doc_id, lang, bucket, fold FROM (
+          SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY doc_id) AS rn
+          FROM s
+        ) WHERE rn <= 30
     """,
     "multimodal_features": """
         -- the fake decoder is md5(utf8(text) || '0'): each feature is one
@@ -1604,18 +1655,9 @@ ORACLE: dict[str, str] = {
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         ) WHERE cos >= 0.4
     """,
-    "dedup_embedding_lsh": f"""
-        -- recall-exact LSH config reproduces the all-pairs result
-        SELECT id_a, id_b, round(cos, 6) AS cos FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 {_cos_sql('a.embedding', 'b.embedding')} AS cos
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        ) WHERE cos >= 0.4
-    """,
     "knn_cosine": _KNN_ORACLE,
-    "knn_lsh": _KNN_ORACLE,
-    "knn_ivf": _KNN_ORACLE,
-    "text_analysis": """
+    "knn_recall": _KNN_ORACLE,
+    "text_quality": """
         -- language_id: distinct-stopword-overlap argmax, ties broken by
         -- the lexicographically greatest language code (Spark's
         -- greatest() over (score, lang) structs); quality_score: the
@@ -1628,7 +1670,7 @@ ORACLE: dict[str, str] = {
                  length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
           FROM documents
         ), scored AS (
-          SELECT doc_id, n_chars, n_toks, punct,
+          SELECT doc_id, text, n_chars, n_toks, punct,
                  len(list_intersect(toks, ['the','a','of','and','to','in','is','it','for','on'])) AS s_en,
                  len(list_intersect(toks, ['der','die','das','und','ist','ein','zu','den','von','mit'])) AS s_de,
                  len(list_intersect(toks, ['el','la','de','que','y','en','un','es','los','por'])) AS s_es,
@@ -1636,6 +1678,10 @@ ORACLE: dict[str, str] = {
           FROM feat
         )
         SELECT doc_id,
+               n_toks AS n_tok,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS fp,
+               n_chars AS len_chars,
                CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
                     WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
                     WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
@@ -1650,24 +1696,20 @@ ORACLE: dict[str, str] = {
                  0.0), 6) AS quality
         FROM scored
     """,
-    "text_quality": """
-        SELECT doc_id,
-               len(string_split(trim(lower(text)), ' ')) AS n_tok,
-               md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
-                                       '\\s+', ' ', 'g'))) AS fp,
-               length(text) AS len_chars
-        FROM documents
-    """,
-    "cube_rollup": """
-        SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty, count(*) AS n
-        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    "pivot": """
-        SELECT l_returnflag,
-               sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS "O",
-               sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS "F"
-        FROM lineitem GROUP BY 1
+    "cube_pivot": """
+        WITH cube_t AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(l_quantity) AS sum_qty, count(*) AS n
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ), piv AS (
+          SELECT l_returnflag,
+                 sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS piv_o,
+                 sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS piv_f
+          FROM lineitem GROUP BY 1
+        )
+        SELECT c.l_returnflag, c.l_linestatus, c.sum_qty, c.n,
+               p.piv_o, p.piv_f
+        FROM cube_t c LEFT JOIN piv p ON c.l_returnflag = p.l_returnflag
     """,
     "grouped_lambda": """
         SELECT l_orderkey, l_linenumber,

@@ -34,8 +34,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # golden-ratio multiplicative constant (Knuth, TAOCP vol. 3 §6.4) over the
-# Mersenne prime 2^31-1: k < 2^31 after the first pmod, so k * KNUTH < 2^62
-# — no bigint overflow in any engine's 64-bit arithmetic
+# Mersenne prime 2^31-1: k < 2^31 after the first pmod, so k * KNUTH < 2^63
+# (~2^62.3) — no signed-64-bit overflow in any engine's bigint arithmetic
 _KNUTH = 2654435761
 _MERSENNE = 2147483647  # 2^31 - 1
 _GRAIN = 1_000_000  # sampling resolution: 1e-6
@@ -110,8 +110,11 @@ def cap_per_key(df: DataFrame, key: Column | str | list, n: int,
     order = (order_by if isinstance(order_by, list)
              else [order_by]) if order_by is not None else keys
     w = Window.partitionBy(*keys).orderBy(*[_col(o) for o in order])
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n).drop("__rn"))
+    rn = "__rn"
+    while rn in df.columns:  # never clobber a caller column
+        rn += "_"
+    return (df.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) <= n).drop(rn))
 
 
 def mix_corpora(sources: Iterable[tuple[DataFrame, Column | str, float]],
