@@ -547,6 +547,18 @@ class Interp:
 
         if head == "type":
             return self._type_of(args[0])
+        if head == "ser" or head == "de":
+            # binary wire format (ref core/serde.c:339 ser_obj / :365
+            # de_raw; tests/lang.c:3245): ser -> u8 vector of the full
+            # header+payload message, de parses it back
+            from . import serde as _serde
+            from .reader import U8
+
+            x = self.eval(args[0])
+            if head == "ser":
+                return [U8(b) for b in _serde.ser_obj(x)]
+            buf = bytes(x) if not isinstance(x, (bytes, bytearray)) else x
+            return _serde.de_obj(bytes(buf))
         if head == "nil?":
             return self.eval(args[0]) is None
         if head == "resolve":

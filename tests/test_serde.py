@@ -1,0 +1,104 @@
+"""Binary wire-format round-trips (rayforce_spark/rayfall/serde.py vs
+ref core/serde.c): header layout, scalar/vector/dict tag-len-payload
+encoding, and the (de (ser …)) verb pair (ref tests/lang.c:3245)."""
+
+import datetime as dt
+import struct
+
+import pytest
+
+from rayforce_spark.rayfall import serde as S
+from rayforce_spark.rayfall.reader import (
+    Char,
+    I16,
+    I32,
+    TimeMs,
+    TsNs,
+    U8,
+)
+from rayforce_spark.rayfall.values import NS_2000, GuidVal, SymVal
+
+SCALARS = [
+    None, True, False, 5, -3, 2 ** 62, 2.5, float("inf"),
+    I32(7), I32(-2 ** 31), I16(-2), U8(255),
+    SymVal("apple"), SymVal(""), Char("x"), Char("\n"),
+    "hello world", "", "unicode: é",
+    TimeMs(32_399_000), TsNs(NS_2000 + 123_456_789), TsNs(NS_2000),
+    dt.date(2000, 1, 1), dt.date(2024, 2, 29), dt.date(1999, 12, 31),
+    GuidVal("0123abcd-4567-89ef-0123-456789abcdef"),
+]
+
+VECTORS = [
+    [], [1, 2, 3], [1.5, 2.5], [True, False, True],
+    [SymVal("a"), SymVal("bee"), SymVal("")],
+    [U8(0), U8(255)], [I16(1), I16(-1)], [I32(7), I32(8)],
+    [TimeMs(1), TimeMs(86_399_999)],
+    [TsNs(NS_2000), TsNs(NS_2000 + 1)],
+    [dt.date(2000, 1, 1), dt.date(2024, 12, 31)],
+    [1, "mixed", None, [2.0, 3.0], SymVal("s")],  # LIST
+    {"a": 1, "b": [1, 2], "c": None, "d": {"n": 2.5}},
+]
+
+
+@pytest.mark.parametrize("v", SCALARS + VECTORS,
+                         ids=lambda v: repr(v)[:40])
+def test_roundtrip(v):
+    back = S.de_obj(S.ser_obj(v))
+    assert back == v
+    if not isinstance(v, (list, dict)):
+        assert type(back) is type(v)
+
+
+def test_header_layout():
+    # ref core/serde.h:32-39: 16 bytes — prefix, version, flags, endian,
+    # msgtype, i64 size; null payload is the single byte 126
+    m = S.ser_obj(None)
+    assert len(m) == 17
+    prefix, ver, flags, endian, mt, size = struct.unpack("<IBBBBq", m[:16])
+    assert prefix == 0xCEFADEFA
+    assert (ver, flags, endian, mt, size) == (1, 0, 0, 0, 1)
+    assert m[16] == 126
+
+
+def test_atom_vs_vector_tags():
+    # atom i64 = tag -5 + 8 bytes; vector i64 = tag 5, attrs, len, data
+    assert S.ser_raw(7)[0] == struct.pack("<b", -5)[0]
+    v = S.ser_raw([7])
+    assert v[0] == 5 and v[1] == 0
+    assert struct.unpack("<q", v[2:10]) == (1,)
+
+
+def test_timestamp_is_2000_epoch_on_wire():
+    raw = S.ser_raw(TsNs(NS_2000 + 42))
+    assert struct.unpack("<q", raw[1:]) == (42,)
+    raw = S.ser_raw(dt.date(2000, 1, 2))
+    assert struct.unpack("<i", raw[1:]) == (1,)
+
+
+def test_char_vector_is_a_string_on_the_wire():
+    # the reference's char vector IS its string type (ref core/serde.c
+    # TYPE_C8 branch), so a list of char atoms round-trips as a str
+    assert S.de_obj(S.ser_obj([Char("a"), Char("b")])) == "ab"
+    assert S.ser_raw([Char("a"), Char("b")]) == S.ser_raw("ab")
+
+
+def test_bad_input_raises():
+    with pytest.raises(S.SerdeError):
+        S.de_obj(b"\x00" * 16)  # bad prefix
+    with pytest.raises(S.SerdeError):
+        S.de_obj(S.ser_obj([1, 2, 3])[:-2])  # truncated
+    with pytest.raises(S.SerdeError):
+        S.ser_obj(object())
+
+
+def test_ser_de_verbs(spark):
+    from rayforce_spark.rayfall import eval_str
+
+    assert eval_str("(de (ser null))", spark) is None
+    assert eval_str("(de (ser [1 2 3]))", spark) == [1, 2, 3]
+    assert eval_str('(de (ser "wire"))', spark) == "wire"
+    assert eval_str("(de (ser {a: 1 b: [2 3]}))", spark) == {
+        "a": 1, "b": [2, 3]}
+    # ser yields the reference's u8 vector (header bytes first)
+    out = eval_str("(ser null)", spark)
+    assert [int(b) for b in out[:4]] == [0xFA, 0xDE, 0xFA, 0xCE]
