@@ -306,6 +306,11 @@ def main():
             print(f"[h2o] {name} FAILED: {e}", file=sys.stderr)
             times[name] = -1.0
 
+    # keep this JVM's own numbers before min-merging: minima-of-history
+    # can only improve, so a regression would be invisible without a
+    # fresh-instance column published alongside (judge r5 methodology
+    # caveat)
+    fresh = dict(times)
     merged_runs = 1
     if args.merge:
         prev_path = os.path.join(DATA, "h2o_bench.json")
@@ -340,12 +345,22 @@ def main():
         "rows": {"groupby": N_GROUPBY, "join": N_JOIN, "window": N_WJ},
         "merged_runs": merged_runs,
         "times_ms": times,
+        "fresh_ms": fresh,
         "baseline_ms": {n: BASELINE_MS[n] for n in times},
         "ratio": ratios,
+        "fresh_ratio": {
+            n: round(fresh[n] / BASELINE_MS[n], 2)
+            for n in fresh if fresh[n] > 0
+        },
         "median_groupby_ratio": round(sorted(
             ratios[n] for n in ratios if n.startswith("gq"))[
                 len([n for n in ratios if n.startswith("gq")]) // 2], 2),
     }
+    fr = out["fresh_ratio"]
+    gq_fresh = sorted(fr[n] for n in fr if n.startswith("gq"))
+    if gq_fresh:
+        out["fresh_median_groupby_ratio"] = round(
+            gq_fresh[len(gq_fresh) // 2], 2)
     with open(os.path.join(DATA, "h2o_bench.json"), "w") as f:
         json.dump(out, f, indent=2)
     write_md(out)
@@ -363,10 +378,16 @@ def _seed_from_md() -> dict | None:
     times = {}
     runs = 1
     for line in open(path):
-        m = re.match(
-            r"\|\s*(\w+)\s*\|[^|]*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|", line)
-        if m and m.group(1) in BASELINE_MS:
-            times[m.group(1)] = float(m.group(2))
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        # 7-col (r6+): name, shape, ref, fresh, fresh ratio, MERGED, ratio
+        # 5-col (pre-r6): name, shape, ref, MERGED, ratio
+        if cells and cells[0] in BASELINE_MS:
+            merged = cells[5] if len(cells) >= 7 else (
+                cells[3] if len(cells) >= 5 else None)
+            try:
+                times[cells[0]] = float(merged)
+            except (TypeError, ValueError):
+                pass
         mr = re.search(r"(\d+) recorded JVM instance", line)
         if mr:
             runs = int(mr.group(1))
@@ -390,7 +411,10 @@ def write_md(out):
     for n, ms in out["times_ms"].items():
         b = out["baseline_ms"][n]
         r = out["ratio"].get(n, "FAIL")
-        rows.append(f"| {n} | {desc.get(n, '')} | {b} | {ms} | {r} |")
+        fm = out.get("fresh_ms", {}).get(n, ms)
+        fr = out.get("fresh_ratio", {}).get(n, r)
+        rows.append(f"| {n} | {desc.get(n, '')} | {b} | {fm} | {fr} "
+                    f"| {ms} | {r} |")
     md = f"""# BASELINE_CMP — same-scale comparison vs BASELINE.md
 
 Generated by `scripts/h2o_bench.py` (datagen + methodology documented
@@ -406,12 +430,18 @@ counts, warm JVM, cached inputs, min of N runs (per-query minima across
 {out.get("merged_runs", 1)} recorded JVM instance(s) — see variance
 note below), full materialization via noop sink.
 
-| query | shape | reference ms | rayforce_spark ms | ratio |
-|---|---|---|---|---|
+| query | shape | reference ms | fresh ms | fresh ratio | merged-min ms | ratio |
+|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
-Median group-by ratio: **{out["median_groupby_ratio"]}x**
-(2x gate per BASELINE.json).
+"fresh" = this JVM instance alone (a regression shows here even when the
+merged minima hide it); "merged-min" = per-query minima across all
+recorded instances (the published methodology, unchanged). Ratios are
+vs the reference column.
+
+Median group-by ratio: **{out["median_groupby_ratio"]}x** merged /
+**{out.get("fresh_median_groupby_ratio", out["median_groupby_ratio"])}x**
+fresh (2x gate per BASELINE.json).
 
 ## Gate position (which rows meet 2x, and why the rest don't)
 
