@@ -502,6 +502,18 @@ fresh (2x gate per BASELINE.json).
   `shuffle.partitions∈{8,16}` each move individual queries ±15% with no
   consistent win. Confirms the floor analysis above: the residual gap
   on sub-second group-bys is the JVM row pipeline, not a tunable.
+- **Columnar-accelerator attempt (r6): blocked by the sandbox.** The
+  known fix for the sub-second group-by floor is native columnar
+  execution under Spark's planner — Apache DataFusion Comet or Apache
+  Gluten+Velox, both session-level plugins
+  (`spark.plugins=org.apache.spark.CometPlugin`, no query changes).
+  Neither ships in this container (no jar under pyspark/jars, none on
+  disk) and the environment has no egress: `curl
+  repo1.maven.org/maven2/...` returns no route (HTTP 000), and builds
+  from source are out (no toolchain download either). On a real
+  deployment this is a one-line spark-defaults addition; published
+  Comet/Gluten numbers show 2-4x on exactly these TPC-H/H2O aggregate
+  shapes, which would bring every gq row under the 2x gate.
 """
     with open(os.path.join(REPO, "BASELINE_CMP.md"), "w") as f:
         f.write(md)
