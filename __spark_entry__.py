@@ -801,7 +801,15 @@ def q_dedup_simhash(spark, sf):
     rebuild the exact fingerprints; bands=9 > max_hamming=8 makes the
     pigeonhole candidate step exact-recall, so the output equals the
     exhaustive hamming<=8 pair set the oracle computes. Production keeps
-    the faster xxhash64 token hash (identical plan shape)."""
+    the faster xxhash64 token hash (identical plan shape).
+
+    Why this family has NO production recall gate (unlike minhash /
+    embedding-LSH / knn, r6): simhash's banding is pigeonhole-EXACT at
+    any bands > max_hamming — there is no recall-losing production
+    config to measure (simhash_dup_pairs raises on bands <= max_hamming
+    rather than silently dropping pairs), and swapping md5 for xxhash64
+    changes the fingerprint definition, not the recall, so a cross-hash
+    'recall' would compare two different exact answers."""
     from rayforce_spark.datapipe import simhash_dup_pairs
 
     (d,) = _t(spark, sf, "documents")

@@ -368,6 +368,33 @@ def test_jaccard_max_doc_freq(spark):
     assert cut[0].jaccard == 1.0
 
 
+def test_jaccard_prefix_filter_equals_brute(spark):
+    """The AllPairs/PPJoin prefix filter is EXACT: identical pair set and
+    jaccard values vs the brute inverted-index join, at thresholds that
+    stress the integer ceil arithmetic (0.8*5 must round to 4, not 5)."""
+    import random
+
+    random.seed(17)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(200):
+        rows.append((i, " ".join(random.choices(vocab,
+                                                k=random.randint(3, 30)))))
+    for i in range(200, 240):  # seeded near-dups (one word swapped)
+        base = rows[i - 200][1].split()
+        base[random.randrange(len(base))] = random.choice(vocab)
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.8, 0.95):
+        brute = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                 jaccard_dup_pairs(df, "text", "doc_id", threshold=t,
+                                   prefix_filter=False).collect()}
+        pref = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                jaccard_dup_pairs(df, "text", "doc_id", threshold=t,
+                                  prefix_filter=True).collect()}
+        assert pref == brute and brute
+
+
 def test_ngram_counts_bigrams(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the cat mat"), (2, "the cat sat"), (3, "one")],
