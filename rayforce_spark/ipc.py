@@ -15,12 +15,16 @@ Rayfall front-end:
   sync-evals remotely; ``h.write_async(...)`` fires and forgets
   (the reference's negated-handle form).
 
-Wire format is JSON-lines, NOT the reference's binary serde
-(core/serde.c) — deliberately: Arrow + Spark Connect are this engine's
-binary transports (COVERAGE.md §2.1); this server exists for the
-reference's client/server *workflow* (a REPL-able eval port), where a
-debuggable text protocol wins. Production remote sessions use
-``Session.connect`` (Spark Connect).
+The server speaks BOTH wire formats on one port, sniffed per message
+(r6): the reference's binary serde framing (rayfall/serde.py — 16-byte
+``0xcefadefa`` header + tag-len-payload, msgtype 0=async / 1=sync /
+2=response per core/serde.h:38; first byte on the wire is 0xfa, never
+valid JSON) and JSON-lines (debuggable text protocol; ``{`` first
+byte). Binary replies carry values in the reference encoding — tables
+as TYPE_TABLE columns, errors flagged in the header's flags byte with a
+string payload. An IPC reply is a result channel, not a bulk-data path:
+replies cap at ``max_rows``; ship datasets as parquet, and use
+``Session.connect`` (Spark Connect) for production remote sessions.
 """
 
 from __future__ import annotations
@@ -34,6 +38,40 @@ import threading
 from pyspark.sql import DataFrame
 
 MAX_REPLY_ROWS = 10_000
+_BIN_FIRST = 0xFA  # first wire byte of struct.pack('<I', 0xcefadefa)
+
+
+def _binable(v, max_rows: int = MAX_REPLY_ROWS):
+    """Shape a reply value for the binary serde: DataFrames become the
+    reference's TYPE_TABLE (column name -> column vector), capped."""
+    from rayforce_spark.rayfall.serde import Table
+
+    if isinstance(v, DataFrame):
+        rows = v.limit(max_rows).collect()
+        return Table((c, [_binable(r[i]) for r in rows])
+                     for i, c in enumerate(v.columns))
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()  # plain datetimes aren't a wire scalar
+    return v
+
+
+def _read_bin_msg(rfile, first: bytes):
+    """Read one binary message after its first byte was sniffed.
+    Returns (value, msgtype)."""
+    import struct
+
+    from rayforce_spark.rayfall import serde as S
+
+    header = first + rfile.read(15)
+    if len(header) < 16:
+        raise S.SerdeError("ipc: truncated header")
+    prefix, _v, _f, _e, msgtype, size = struct.unpack("<IBBBBq", header)
+    if prefix != S.SERDE_PREFIX:
+        raise S.SerdeError(f"ipc: bad prefix {prefix:#x}")
+    payload = rfile.read(size)
+    if len(payload) < size:
+        raise S.SerdeError("ipc: truncated payload")
+    return S.de_obj(header + payload), msgtype
 
 
 def _jsonable(v, max_rows: int = MAX_REPLY_ROWS):
@@ -81,22 +119,62 @@ class RayfallServer:
 
         class _Handler(socketserver.StreamRequestHandler):
             def handle(self):
-                for raw in self.rfile:
-                    req = {}
-                    try:
-                        req = json.loads(raw)
-                        is_async = bool(req.get("async"))
-                        with lock:
-                            val = interp.eval_str(req["q"])
-                        if is_async:
+                while True:
+                    first = self.rfile.read(1)
+                    if not first:
+                        return
+                    if first[0] == _BIN_FIRST:
+                        self._handle_binary(first)
+                    else:
+                        raw = first + self.rfile.readline()
+                        if not raw.strip():
                             continue
-                        reply = {"ok": True, "value": _jsonable(val, max_rows_)}
-                    except Exception as e:  # noqa: BLE001 - reply, don't die
-                        if req.get("async"):
-                            continue
-                        reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-                    self.wfile.write(json.dumps(reply).encode() + b"\n")
-                    self.wfile.flush()
+                        self._handle_json(raw)
+
+            def _handle_json(self, raw: bytes):
+                req = {}
+                try:
+                    req = json.loads(raw)
+                    is_async = bool(req.get("async"))
+                    with lock:
+                        val = interp.eval_str(req["q"])
+                    if is_async:
+                        return
+                    reply = {"ok": True, "value": _jsonable(val, max_rows_)}
+                except Exception as e:  # noqa: BLE001 - reply, don't die
+                    if req.get("async"):
+                        return
+                    reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                self.wfile.write(json.dumps(reply).encode() + b"\n")
+                self.wfile.flush()
+
+            def _handle_binary(self, first: bytes):
+                from rayforce_spark.rayfall import serde as S
+
+                msgtype = 1
+                try:
+                    msg, msgtype = _read_bin_msg(self.rfile, first)
+                    with lock:
+                        # string message = a Rayfall program (the
+                        # reference evals the de'd object; a data value
+                        # evals to itself)
+                        val = (interp.eval_str(msg)
+                               if isinstance(msg, str) else msg)
+                    if msgtype == 0:  # async: no reply
+                        return
+                    reply = S.ser_obj(_binable(val, max_rows_), msgtype=2)
+                except Exception as e:  # noqa: BLE001 - reply, don't die
+                    if msgtype == 0:
+                        return
+                    # flags=1 marks an error reply; payload is the message
+                    payload = S.ser_raw(f"{type(e).__name__}: {e}")
+                    import struct
+
+                    reply = struct.pack(
+                        "<IBBBBq", S.SERDE_PREFIX, S.VERSION, 1, 0, 2,
+                        len(payload)) + payload
+                self.wfile.write(reply)
+                self.wfile.flush()
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -123,10 +201,17 @@ class RayfallServer:
 
 
 class Handle:
-    """Client handle from :func:`hopen` (ref core/io.c hopen; docs IPC.md)."""
+    """Client handle from :func:`hopen` (ref core/io.c hopen; docs IPC.md).
 
-    def __init__(self, addr: str, timeout_ms: int | None = None):
+    ``binary=True`` speaks the reference's serde framing (r6): requests
+    go out as serialized messages with msgtype 1 (sync) / 0 (async),
+    replies come back as serialized values (tables as TYPE_TABLE dicts;
+    a flags=1 header marks a remote error)."""
+
+    def __init__(self, addr: str, timeout_ms: int | None = None,
+                 binary: bool = False):
         host, port = addr.rsplit(":", 1)
+        self.binary = binary
         self._sock = socket.create_connection(
             (host, int(port)),
             timeout=(timeout_ms / 1000 if timeout_ms else None),
@@ -135,6 +220,20 @@ class Handle:
 
     def write(self, expr: str):
         """Sync eval: block for the reply (docs IPC.md "Sync Messages")."""
+        if self.binary:
+            import struct
+
+            from rayforce_spark.rayfall import serde as S
+
+            self._sock.sendall(S.ser_obj(expr, msgtype=1))
+            header = self._rfile.read(16)
+            if len(header) < 16:
+                raise RuntimeError("ipc: connection closed mid-reply")
+            _p, _v, flags, _e, _mt, size = struct.unpack("<IBBBBq", header)
+            val = S.de_obj(header + self._rfile.read(size))
+            if flags & 1:
+                raise RuntimeError(f"remote error: {val}")
+            return val
         self._sock.sendall(json.dumps({"q": expr}).encode() + b"\n")
         reply = json.loads(self._rfile.readline())
         if not reply.get("ok"):
@@ -143,6 +242,11 @@ class Handle:
 
     def write_async(self, expr: str) -> None:
         """Fire-and-forget (the reference's negated-handle form)."""
+        if self.binary:
+            from rayforce_spark.rayfall import serde as S
+
+            self._sock.sendall(S.ser_obj(expr, msgtype=0))
+            return
         self._sock.sendall(json.dumps({"q": expr, "async": True}).encode() + b"\n")
 
     def close(self) -> None:
@@ -152,7 +256,8 @@ class Handle:
             self._sock.close()
 
 
-def hopen(addr: str, timeout_ms: int | None = None) -> Handle:
+def hopen(addr: str, timeout_ms: int | None = None,
+          binary: bool = False) -> Handle:
     """``(hopen "host:port" [timeout-ms])`` — IPC connections only; file
     handles are the journal (streaming/journal.py)."""
-    return Handle(addr, timeout_ms)
+    return Handle(addr, timeout_ms, binary=binary)

@@ -52,6 +52,14 @@ class SerdeError(ValueError):
     pass
 
 
+class Table(dict):
+    """Column-name -> column-vector mapping that serializes with the
+    TYPE_TABLE tag (98) instead of TYPE_DICT (99) — the reference's
+    table-on-the-wire shape (ref core/serde.c:302: a table IS its
+    keys object + values object, same layout as dict, different tag)."""
+    __slots__ = ()
+
+
 # -- ser --------------------------------------------------------------------
 
 def _sym_bytes(s) -> bytes:
@@ -134,9 +142,10 @@ def ser_raw(x) -> bytes:
     if x is None:
         return struct.pack("<b", T_NULL)
     if isinstance(x, dict):
-        # DICT = serialized keys object + values object (serde.c:302)
+        # DICT/TABLE = serialized keys object + values object (serde.c:302)
         keys = [SymVal(k) if isinstance(k, str) else k for k in x.keys()]
-        return (struct.pack("<bB", T_DICT, 0)
+        tag = T_TABLE if isinstance(x, Table) else T_DICT
+        return (struct.pack("<bB", tag, 0)
                 + ser_raw(keys) + ser_raw(list(x.values())))
     if isinstance(x, (Sym, QSym, SymVal, Char, GuidVal)):
         return _ser_atom(_atom_tag(x), x)
@@ -240,7 +249,8 @@ def _de_raw(c: _Cur):
     if tag in (T_DICT, T_TABLE):
         c.take(1)  # attrs
         keys, vals = _de_raw(c), _de_raw(c)
-        return dict(zip([str(k) for k in keys], vals))
+        cls = Table if tag == T_TABLE else dict
+        return cls(zip([str(k) for k in keys], vals))
     # vector / list
     c.take(1)  # attrs
     (n,) = struct.unpack("<q", c.take(8))

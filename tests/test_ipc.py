@@ -82,3 +82,42 @@ def test_rayfall_ipc_verbs(spark, server):
         time.sleep(0.1)
     assert it.eval_str("(write h 'y)") == 7
     it.eval_str("(hclose h)")
+
+
+def test_binary_wire_sync_async_and_error(server):
+    """The reference's serde framing end-to-end (r6): sync eval, async
+    set, TYPE_TABLE reply, flags=1 error reply — while a JSON client
+    shares the same port (per-message format sniffing)."""
+    from rayforce_spark.rayfall.serde import Table
+
+    hb = hopen(server.address, timeout_ms=30000, binary=True)
+    hj = hopen(server.address, timeout_ms=30000)
+    try:
+        assert hb.write("(+ 1 2)") == 3
+        assert hb.write("(sum [1 2 3 4 5])") == 15
+        # async (msgtype 0): no reply; poll for the effect
+        hb.write_async("(set bz 19)")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if hb.write("bz") == 19:
+                    break
+            except RuntimeError:
+                pass
+            time.sleep(0.1)
+        assert hb.write("bz") == 19
+        # table reply is the reference TYPE_TABLE (columns -> vectors)
+        hb.write("(set t (table [a b] (list [1 2 3] ['x 'y 'z])))")
+        out = hb.write("t")
+        assert isinstance(out, Table)
+        assert out["a"] == [1, 2, 3]
+        assert [str(s) for s in out["b"]] == ["x", "y", "z"]
+        # remote error -> flags=1 reply -> RuntimeError
+        with pytest.raises(RuntimeError, match="remote error"):
+            hb.write("(this-verb-does-not-exist 1)")
+        # the JSON client still works interleaved on the same server
+        assert hj.write("(+ 40 2)") == 42
+        assert hb.write("(+ 1 1)") == 2
+    finally:
+        hb.close()
+        hj.close()
