@@ -189,6 +189,23 @@ def main():
     if not ok_g:
         failures.append("ngram.one_shuffle_topk")
 
+    # 7e. prefix-filtered exact jaccard (r6): candidate generation must
+    # be a hash join on the prefix token — never a cartesian/BNLJ — and
+    # no global (single-partition) exchange anywhere in the plan
+    from rayforce_spark.datapipe import jaccard_dup_pairs
+
+    pjac = plan_of(jaccard_dup_pairs(docs, "text", "doc_id",
+                                     threshold=0.8))
+    ok_j = ("CartesianProduct" not in pjac
+            and "BroadcastNestedLoopJoin" not in pjac
+            and "Exchange SinglePartition" not in pjac)
+    print(f"[{'ok' if ok_j else 'VIOLATION'}] jaccard_prefix.hash_join: "
+          f"cartesian={'CartesianProduct' in pjac}, "
+          f"bnlj={'BroadcastNestedLoopJoin' in pjac}, "
+          f"global={'Exchange SinglePartition' in pjac}")
+    if not ok_j:
+        failures.append("jaccard_prefix.hash_join")
+
     # sampling: hash_bucket/sample_hash/assign_folds are scan-stage
     # expressions (0 exchanges); cap_per_key is exactly one keyed shuffle
     from rayforce_spark.datapipe import cap_per_key, train_val_test_split
