@@ -242,3 +242,118 @@ def stream_asof_join(
         rstruct = F.from_json("__rf_rpay", rpay_schema)
         cols += [rstruct[c].alias(out_names[c]) for c in right_cols]
     return staged.select(*cols)
+
+
+def stream_neardup(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_per_bucket: int = 64,
+    state_ttl_sec: int = 3600,
+) -> DataFrame:
+    """Streaming NEAR-duplicate candidates — the streaming twin of
+    datapipe.dedup.minhash_lsh_pairs for ingestion pipelines: catch a
+    document that near-duplicates one seen EARLIER in the stream, at
+    ingest time, without a batch all-corpus pass.
+
+    Plan: the minhash signature and band buckets are the SAME pure-JVM
+    expressions as the batch operator (scan stage, no Python), then one
+    applyInPandasWithState keyed by band bucket holds the recent
+    signatures seen per bucket. Each new document is scored against its
+    bucket's buffer by signature agreement — the standard MinHash
+    estimate E[matching coords / num_perm] = Jaccard — and (id_a, id_b,
+    est_jaccard) rows are emitted for est >= threshold (id_a < id_b).
+
+    Scale/state contract:
+    - state per bucket is CAPPED at ``max_per_bucket`` signatures
+      (oldest evicted) and aged out after ``state_ttl_sec`` of bucket
+      inactivity — O(buckets x cap x num_perm) bounded memory, the only
+      shape that survives an unbounded stream.
+    - a pair colliding in several bands emits once per band:
+      deduplicate downstream (dropDuplicates on (id_a, id_b) in the
+      sink batch, or dropDuplicatesWithinWatermark) — emitting from
+      every band and deduping later is cheaper than cross-bucket
+      coordination in state.
+    - est_jaccard is the ESTIMATE: this operator is the streaming
+      candidate/filter stage; audit candidates with the exact batch
+      jaccard (datapipe.dedup.jaccard_dup_pairs) offline. Docs shorter
+      than shingle_k words produce null signature coordinates and never
+      match (null != null).
+    """
+    import pandas as pd
+
+    from rayforce_spark.datapipe.dedup import (
+        minhash_signature_from_hashes,
+        with_shingle_hashes,
+    )
+
+    rows_per_band = num_perm // bands
+    sig = with_shingle_hashes(
+        stream.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__text")),
+        "__text", shingle_k, "__bh",
+    ).select(
+        "__id",
+        minhash_signature_from_hashes(F.col("__bh"),
+                                      num_perm=num_perm).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(*[
+                F.hash(F.slice("__sig", b * rows_per_band + 1,
+                               rows_per_band), F.lit(b))
+                for b in range(bands)
+            ])
+        ).alias("__bucket"),
+    )
+
+    out_schema = "id_a long, id_b long, est_jaccard double"
+    # signatures ride flattened row-major (state structs keep to flat
+    # arrays — nested array<array> state is not worth the serde risk)
+    state_schema = "ids array<long>, sigs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
+        ids, sigs = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1]))
+        pairs = []
+        for pdf in pdfs:
+            for doc_id, sig_arr in zip(pdf["__id"], pdf["__sig"]):
+                s = [None if v is None or v != v else int(v)
+                     for v in sig_arr]
+                for j, other in enumerate(ids):
+                    if other == doc_id:
+                        continue
+                    o = sigs[j * num_perm:(j + 1) * num_perm]
+                    eq = sum(1 for a, b in zip(s, o)
+                             if a is not None and a == b)
+                    est = eq / num_perm
+                    if est >= threshold:
+                        pairs.append((min(doc_id, other),
+                                      max(doc_id, other), est))
+                ids.append(int(doc_id))
+                sigs.extend(-(2 ** 63) if v is None else v for v in s)
+        if len(ids) > max_per_bucket:  # evict oldest
+            drop = len(ids) - max_per_bucket
+            ids = ids[drop:]
+            sigs = sigs[drop * num_perm:]
+        state.update((ids, sigs))
+        state.setTimeoutDuration(state_ttl_sec * 1000)
+        if pairs:
+            yield pd.DataFrame(pairs,
+                               columns=["id_a", "id_b", "est_jaccard"])
+
+    return banded.groupBy("__bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -153,3 +153,54 @@ def test_stream_asof_join_dup_ts_last_arrival_wins(spark, tmp_path):
         assert vals == [2.0]
     finally:
         q.stop()
+
+
+def test_stream_neardup_within_and_across_batches(spark, tmp_path):
+    """Near-dup docs collide in a band bucket and emit an estimated-
+    jaccard pair; distinct docs don't; a doc arriving in a LATER batch
+    still matches state from the first batch."""
+    from rayforce_spark.streaming.stateful import stream_neardup
+
+    jpath = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest before nightfall")
+    near = base.replace("quiet", "silent")
+    other = ("completely different words about spark engines shuffling "
+             "columnar batches through whole stage codegen pipelines")
+    j = Journal(jpath, schema)
+    j.append([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": other},
+    ])
+    stream = read_journal_stream(spark, jpath, schema)
+    out = stream_neardup(stream, threshold=0.35, state_ttl_sec=600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("neardups").start()
+    )
+    try:
+        deadline = time.time() + 120
+        pairs = set()
+        while time.time() < deadline:
+            pairs = {(r.id_a, r.id_b) for r in
+                     spark.sql("SELECT * FROM neardups").collect()}
+            if (1, 2) in pairs:
+                break
+            time.sleep(0.5)
+        assert (1, 2) in pairs          # near-dups found
+        assert not any(3 in p for p in pairs)  # distinct doc clean
+        # second batch: a copy of doc 1 must match the STATE, not just
+        # its own batch
+        j.append([{"doc_id": 9, "text": base}])
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            pairs = {(r.id_a, r.id_b) for r in
+                     spark.sql("SELECT * FROM neardups").collect()}
+            if (1, 9) in pairs:
+                break
+            time.sleep(0.5)
+        assert (1, 9) in pairs
+    finally:
+        q.stop()
