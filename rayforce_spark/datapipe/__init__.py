@@ -45,6 +45,7 @@ from rayforce_spark.datapipe.similarity import (
     knn_ivf,
     knn_lsh,
 )
+from rayforce_spark.datapipe.pipeline import curate
 from rayforce_spark.datapipe.sessions import sessionize_batch
 from rayforce_spark.datapipe.text import (
     doc_fingerprint,
@@ -65,6 +66,7 @@ __all__ = [
     "sample_hash",
     "train_val_test_split",
     "dedup_clusters",
+    "curate",
     "dedup_exact",
     "dedup_keep_canonical",
     "extract_features",

@@ -555,3 +555,51 @@ def test_embedding_dup_pairs_lsh_recall(tables):
         emb, "embedding", "vec_id", threshold=0.4, dim=64,
         planes=1, tables=16).collect()}
     assert exact_cfg == exact
+
+
+def test_curate_end_to_end(tables):
+    """The full curation composition over the documents table:
+    deterministic, monotone reductions, dups actually gone."""
+    from rayforce_spark.datapipe import curate
+
+    d = tables["documents"]
+    n0 = d.count()
+    full = curate(
+        d,
+        neardup_threshold=0.8,
+        min_quality_quantile=0.2, quality_by="lang",
+        sample_fraction=0.5, sample_salt=7,
+        fold_salt=11,
+        cap_key="lang", cap_n=40,
+    )
+    rows = full.collect()
+    assert 0 < len(rows) < n0
+    assert {r.fold for r in rows} <= {"train", "val", "test"}
+    # per-key cap holds
+    from collections import Counter
+
+    by_lang = Counter(r.lang for r in rows)
+    assert max(by_lang.values()) <= 40
+    # deterministic: a second run is byte-identical
+    again = curate(
+        d,
+        neardup_threshold=0.8,
+        min_quality_quantile=0.2, quality_by="lang",
+        sample_fraction=0.5, sample_salt=7,
+        fold_salt=11,
+        cap_key="lang", cap_n=40,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # dedup-only pass: no exact-fingerprint dups survive
+    lean = curate(d, neardup_threshold=None, fold_col=None)
+    from rayforce_spark.datapipe import doc_fingerprint
+    from pyspark.sql import functions as F
+
+    fps = lean.select(doc_fingerprint(F.col("text")).alias("fp"))
+    assert fps.count() == fps.distinct().count()
+    # fold/sample salt collision is rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fold_salt"):
+        curate(d, neardup_threshold=None, sample_fraction=0.5,
+               sample_salt=3, fold_salt=3)

@@ -102,3 +102,44 @@ def test_ser_de_verbs(spark):
     # ser yields the reference's u8 vector (header bytes first)
     out = eval_str("(ser null)", spark)
     assert [int(b) for b in out[:4]] == [0xFA, 0xDE, 0xFA, 0xCE]
+
+
+# -- property fuzz: any §1.2-typed value round-trips ------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1),
+        st.floats(allow_nan=False),  # NaN breaks == comparison, not serde
+        st.text(max_size=40),
+        st.builds(SymVal, st.text(
+            alphabet=st.characters(codec="ascii",
+                                   exclude_characters="\x00"),
+            max_size=12)),
+        st.builds(TimeMs, st.integers(0, 86_399_999)),
+        st.builds(TsNs, st.integers(NS_2000 - 10 ** 18,
+                                    NS_2000 + 10 ** 18)),
+        st.dates(dt.date(1900, 1, 1), dt.date(2200, 1, 1)),
+    )
+    _values = st.recursive(
+        _scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=6),
+            st.dictionaries(st.text(
+                alphabet=st.characters(codec="ascii",
+                                       exclude_characters="\x00"),
+                max_size=8), inner, max_size=4),
+        ),
+        max_leaves=20,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_values)
+    def test_serde_roundtrip_fuzz(v):
+        assert S.de_obj(S.ser_obj(v)) == v
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
