@@ -549,16 +549,34 @@ class Interp:
             return self._type_of(args[0])
         if head == "ser" or head == "de":
             # binary wire format (ref core/serde.c:339 ser_obj / :365
-            # de_raw; tests/lang.c:3245): ser -> u8 vector of the full
-            # header+payload message, de parses it back
+            # de_raw; tests/lang.c:3245, docs serialization.md): ser ->
+            # u8 vector of the full header+payload message, de parses it
+            # back. Tables cross the wire as TYPE_TABLE column maps
+            # (driver-side, MAX_COLLECT-guarded like the value verb) and
+            # deserialize back to real tables.
             from . import serde as _serde
             from .reader import U8
 
             x = self.eval(args[0])
             if head == "ser":
+                if isinstance(x, DataFrame):
+                    n = x.count()
+                    if n > V.MAX_COLLECT:
+                        raise RayfallError(
+                            f"ser: table has {n} rows (> {V.MAX_COLLECT}); "
+                            "serialize a take/sample, or use parquet for "
+                            "bulk data")
+                    rows = x.collect()
+                    x = _serde.Table(
+                        (c, [r[i] for r in rows])
+                        for i, c in enumerate(x.columns))
                 return [U8(b) for b in _serde.ser_obj(x)]
             buf = bytes(x) if not isinstance(x, (bytes, bytearray)) else x
-            return _serde.de_obj(bytes(buf))
+            out = _serde.de_obj(bytes(buf))
+            if isinstance(out, _serde.Table):
+                return V.build_table(self.spark, list(out.keys()),
+                                     list(out.values()))
+            return out
         if head == "nil?":
             return self.eval(args[0]) is None
         if head == "resolve":

@@ -34,7 +34,8 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "RAYFALL_PARITY.md")
 
 # non-goals: process/IPC/env pages whose snippets drive the C runtime
-SKIP_PAGES = {"IPC.md", "REPL.md", "environment.md", "serialization.md"}
+SKIP_PAGES = {"IPC.md", "REPL.md", "environment.md"}  # host-language pages
+# serialization.md executes for real since r6's byte-compatible serde
 SKIP_PAT = re.compile(r"hopen|loadfn|\(system|\(timer|\(memstat|\(gc\)|\(env\)"
                       r"|\(sysinfo|\(internals|\(exit|\(load ")
 # quoted filesystem paths are redirected into a per-run sandbox so the

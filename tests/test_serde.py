@@ -104,6 +104,30 @@ def test_ser_de_verbs(spark):
     assert [int(b) for b in out[:4]] == [0xFA, 0xDE, 0xFA, 0xCE]
 
 
+def test_ser_de_doc_examples_bytes_and_tables(spark):
+    """docs serialization.md worked examples, incl. the EXACT published
+    byte prefixes (sizes 0x09 / 0x0f / 0x22) and full table/dict
+    round-trips through the wire."""
+    from rayforce_spark.rayfall import eval_str
+
+    def head(expr):
+        return [int(b) for b in eval_str(expr, spark)[:16]]
+
+    pre = [0xFA, 0xDE, 0xFA, 0xCE, 0x01, 0, 0, 0]
+    assert head("(ser 42)") == pre + [0x09, 0, 0, 0, 0, 0, 0, 0]
+    assert head('(ser "hello")') == pre + [0x0F, 0, 0, 0, 0, 0, 0, 0]
+    assert head("(ser [1 2 3])") == pre + [0x22, 0, 0, 0, 0, 0, 0, 0]
+    assert eval_str("(de (ser [150.25 300.50 125.75]))", spark) == [
+        150.25, 300.50, 125.75]
+    assert eval_str("(de (ser (dict ['a 'b] [1 2])))", spark) == {
+        "a": 1, "b": 2}
+    t = eval_str(
+        "(de (ser (table [symbol price]"
+        " (list ['AAPL 'MSFT] [150.25 300.50]))))", spark)
+    rows = {(r.symbol, r.price) for r in t.collect()}
+    assert rows == {("AAPL", 150.25), ("MSFT", 300.50)}
+
+
 # -- property fuzz: any §1.2-typed value round-trips ------------------------
 
 try:
