@@ -1,0 +1,48 @@
+"""The beyond-reference story: curate a document corpus for training.
+
+One deterministic plan chains the datapipe stages (exact dedup ->
+MinHash near-dup removal -> per-language quality floor -> 50%
+subsample + folds -> per-language cap), then an ANN query finds the
+nearest neighbors of a few embeddings — the two workloads a
+training-data pipeline runs daily.
+
+Run: python examples/curate.py [sf_dir]   (default /root/testdata/sf0.001)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rayforce_spark.datapipe import curate, knn_cosine
+from rayforce_spark.session import get_spark, load_tables
+
+
+def main():
+    sf = (sys.argv[1] if len(sys.argv) > 1
+          and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.001")
+    spark = get_spark("example_curate")
+    t = load_tables(spark, sf)
+
+    docs = t["documents"]
+    n0 = docs.count()
+    kept = curate(
+        docs,
+        neardup_threshold=0.8,
+        min_quality_quantile=0.2, quality_by="lang",
+        sample_fraction=0.5, sample_salt=7, fold_salt=11,
+        cap_key="lang", cap_n=100,
+    )
+    print(f"curated {n0} -> {kept.count()} docs")
+    kept.groupBy("lang", "fold").count().orderBy("lang", "fold").show()
+
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    print("top-3 cosine neighbors per query vector:")
+    knn_cosine(emb, queries, "embedding", "vec_id", k=3).show()
+
+
+if __name__ == "__main__":
+    main()
