@@ -871,18 +871,20 @@ def q_knn_recall(spark, sf):
     - hyperplane LSH, planes=2 / tables=8 (4 buckets per table at dim 64;
       the gate corpora's true top-5 cosines go as low as +0.26, so
       p_match = (1 - arccos(0.26)/pi)^2 ~ 0.34 per table and 8 tables
-      give ~0.96 per neighbor): measured 15/15 at sf0.01 AND sf0.1,
-      bound 85% (2-pair margin).
-    - IVF, nlist=8 / nprobe=4 (half the lists probed): measured 12/15 at
-      both SFs, bound 65% (2-pair margin).
+      give ~0.96 per neighbor): measured 50/50 at sf0.01 AND sf0.1 over
+      10 query vectors, bound 85% (7-pair margin).
+    - IVF, nlist=8 / nprobe=4 (half the lists probed): measured 38/50
+      (sf0.01) and 41/50 (sf0.1), bound 65% (5-pair margin).
 
-    A recall regression in either family empties the result and flips
-    this driver row red. The recall-EXACT configs (planes=1/tables=24,
+    10 query vectors x k=5 = 50 exact pairs, so the recall estimate is
+    flake-resistant if the driver regenerates the corpus. A recall
+    regression in either family empties the result and flips this
+    driver row red. The recall-EXACT configs (planes=1/tables=24,
     nprobe=nlist) remain pytest-covered in tests/test_datapipe.py."""
     from rayforce_spark.datapipe import knn_cosine, knn_ivf, knn_lsh
 
     (e,) = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 3)
+    q = e.filter(F.col("vec_id") < 10)
     exact = knn_cosine(e, q, "embedding", "vec_id", k=5).withColumn(
         "cos", F.round("cos", 6))
     lsh = knn_lsh(e, q, "embedding", "vec_id", k=5, dim=64,
@@ -1156,14 +1158,15 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{dot} / NULLIF(sqrt({na2} * {nb2}), 0.0)"
 
 
-# knn_lsh (planes=1, tables=16) and knn_ivf (nprobe=nlist) run in
-# recall-exact configurations (see the query docstrings), so all three
-# knn queries reproduce the brute-force top-k and share one oracle
-_KNN_ORACLE = f"""
+def _knn_oracle(n_queries: int) -> str:
+    """Brute-force top-5 oracle over the first ``n_queries`` vectors —
+    knn_cosine gates 3 queries; knn_recall uses 10 (50 exact pairs, so
+    the binomial recall estimate is flake-resistant to data regen)."""
+    return f"""
     WITH pc AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_cos_sql('q.embedding', 'c.embedding')} AS cos
-      FROM embeddings q JOIN embeddings c ON q.vec_id < 3
+      FROM embeddings q JOIN embeddings c ON q.vec_id < {n_queries}
     )
     SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
       SELECT query_id, neighbor_id, cos,
@@ -1172,6 +1175,9 @@ _KNN_ORACLE = f"""
       FROM pc
     ) WHERE rank <= 5
 """
+
+
+_KNN_ORACLE = _knn_oracle(3)
 
 
 ORACLE: dict[str, str] = {
@@ -1664,7 +1670,7 @@ ORACLE: dict[str, str] = {
         ) WHERE cos >= 0.4
     """,
     "knn_cosine": _KNN_ORACLE,
-    "knn_recall": _KNN_ORACLE,
+    "knn_recall": _knn_oracle(10),
     "text_quality": """
         -- language_id: distinct-stopword-overlap argmax, ties broken by
         -- the lexicographically greatest language code (Spark's
