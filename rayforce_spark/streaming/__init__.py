@@ -24,7 +24,11 @@ from rayforce_spark.streaming.ops import (
     stream_xbar_agg,
     timer,
 )
-from rayforce_spark.streaming.stateful import sessionize, stream_neardup
+from rayforce_spark.streaming.stateful import (
+    sessionize,
+    stream_embedding_neardup,
+    stream_neardup,
+)
 
 __all__ = [
     "Journal",
@@ -32,6 +36,7 @@ __all__ = [
     "replay_journal",
     "sessionize",
     "stream_dedup",
+    "stream_embedding_neardup",
     "stream_neardup",
     "stream_window_join",
     "stream_xbar_agg",

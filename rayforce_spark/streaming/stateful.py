@@ -357,3 +357,99 @@ def stream_neardup(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_embedding_neardup(
+    stream: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 2,
+    tables: int = 8,
+    seed: int = 42,
+    max_per_bucket: int = 256,
+    state_ttl_sec: int = 3600,
+) -> DataFrame:
+    """Streaming embedding near-dup — the streaming twin of
+    datapipe.similarity.embedding_dup_pairs_lsh: flag a vector that
+    near-duplicates one seen earlier in the stream, at ingest.
+
+    Plan: the hyperplane sign-bit bucket keys are the SAME pure-JVM
+    expressions as the batch operator (one (table, key) per row per
+    table, scan stage), then one applyInPandasWithState keyed by
+    (table, bucket) buffers recent vectors per bucket and emits
+    (id_a, id_b, cos) for EXACT cosine >= threshold (id_a < id_b) —
+    unlike the text minhash stream, the verify here is exact, since the
+    vector itself rides in state.
+
+    The batch recall math carries over unchanged (a pair collides in a
+    table with p = (1 - theta/pi)^planes; tables multiply). State is
+    bounded: ``max_per_bucket`` vectors per bucket (oldest evicted),
+    TTL'd on bucket inactivity — O(tables x buckets x cap x dim)
+    memory. A pair colliding in several tables emits once per table;
+    dedupe downstream on (id_a, id_b).
+    """
+    import math
+
+    import pandas as pd
+
+    from rayforce_spark.datapipe.similarity import _bucket_key, _hyperplanes
+
+    per_table = []
+    for t in range(tables):
+        hp = _hyperplanes(dim, planes, t, seed)
+        per_table.append(F.struct(
+            F.lit(t).alias("t"),
+            _bucket_key(F.col(vec_col), hp).alias("k"),
+        ))
+    bucketed = stream.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.array(*per_table)).alias("__tk"),
+    ).select(
+        "__id", "__v",
+        F.concat_ws(":", F.col("__tk.t"), F.col("__tk.k")).alias("__bucket"),
+    )
+
+    out_schema = "id_a long, id_b long, cos double"
+    state_schema = "ids array<long>, vecs array<double>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
+        ids, vecs = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1]))
+        pairs = []
+        for pdf in pdfs:
+            for doc_id, v in zip(pdf["__id"], pdf["__v"]):
+                v = [float(x) for x in v]
+                nv = math.sqrt(sum(x * x for x in v))
+                for j, other in enumerate(ids):
+                    if other == doc_id:
+                        continue
+                    o = vecs[j * dim:(j + 1) * dim]
+                    no = math.sqrt(sum(x * x for x in o))
+                    if nv == 0.0 or no == 0.0:
+                        continue
+                    cos = sum(a * b for a, b in zip(v, o)) / (nv * no)
+                    if cos >= threshold:
+                        pairs.append((min(doc_id, other),
+                                      max(doc_id, other), cos))
+                ids.append(int(doc_id))
+                vecs.extend(v)
+        if len(ids) > max_per_bucket:
+            drop = len(ids) - max_per_bucket
+            ids, vecs = ids[drop:], vecs[drop * dim:]
+        state.update((ids, vecs))
+        state.setTimeoutDuration(state_ttl_sec * 1000)
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b", "cos"])
+
+    return bucketed.groupBy("__bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

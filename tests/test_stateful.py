@@ -204,3 +204,65 @@ def test_stream_neardup_within_and_across_batches(spark, tmp_path):
         assert (1, 9) in pairs
     finally:
         q.stop()
+
+
+def test_stream_embedding_neardup(spark, tmp_path):
+    """Near-identical vectors collide in a hyperplane bucket and emit an
+    EXACT-cosine pair; an orthogonal vector stays clean; a later batch
+    matches first-batch state."""
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.streaming.stateful import stream_embedding_neardup
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.2]
+    near = [x * 1.01 + (0.002 if i == 0 else 0) for i, x in enumerate(base)]
+    ortho = [0.0, 0.0, 1.0, 0.0, -1.0, 0.0, 0.0, 1.0]
+    jpath = str(tmp_path / "vecs")
+    schema = "vec_id long, embedding array<double>"
+    j = Journal(jpath, schema)
+    j.append([
+        {"vec_id": 1, "embedding": base},
+        {"vec_id": 2, "embedding": near},
+        {"vec_id": 3, "embedding": ortho},
+    ])
+    stream = read_journal_stream(spark, jpath, schema)
+    out = stream_embedding_neardup(
+        stream, dim=dim, threshold=0.95, planes=2, tables=8,
+        state_ttl_sec=600,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("embdups").start()
+    )
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT DISTINCT id_a, id_b, cos FROM embdups").collect()
+            if any((r.id_a, r.id_b) == (1, 2) for r in rows):
+                break
+            time.sleep(0.5)
+        got = {(r.id_a, r.id_b) for r in rows}
+        assert (1, 2) in got
+        assert not any(3 in p for p in got)
+        # the emitted cosine is EXACT (verify against a direct compute)
+        import math
+        dot = sum(a * b for a, b in zip(base, near))
+        exact = dot / (math.sqrt(sum(a*a for a in base))
+                       * math.sqrt(sum(b*b for b in near)))
+        cos12 = next(r.cos for r in rows if (r.id_a, r.id_b) == (1, 2))
+        assert abs(cos12 - exact) < 1e-12
+        # cross-batch: a copy of vec 1 arriving later matches state
+        j.append([{"vec_id": 9, "embedding": list(base)}])
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {(r.id_a, r.id_b) for r in spark.sql(
+                "SELECT id_a, id_b FROM embdups").collect()}
+            if (1, 9) in got:
+                break
+            time.sleep(0.5)
+        assert (1, 9) in got
+    finally:
+        q.stop()
