@@ -1000,22 +1000,52 @@ def q_sample_pipeline(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """mapInPandas feature extraction over a binary media column.
+    """mapInPandas feature extraction over binary media columns — BOTH
+    decoder tiers in one gated row (r7):
 
-    Gated projection: media_id is the document key (not a synthetic id —
-    reproducible), and the feature vector is unpacked into f0..f7 scalar
-    doubles (the driver's canonicalizer can't hash array cells, r2 err).
-    Each f_i is one digest byte / 255.0 — a single IEEE division, so the
-    DuckDB oracle reproduces it bit-exactly from md5 hex."""
-    from rayforce_spark.datapipe.multimodal import attach_binary, extract_features
+    * fake tier: md5-twin features over utf-8 text bytes (f0..f7, each a
+      digest byte / 255.0 — one IEEE division, bit-exact in DuckDB).
+    * stdlib tier (REAL decode): per doc, a 24-bit BMP and an 8-bit PCM
+      WAV are synthesized from closed-form byte recipes
+      (synthesize_media), round-trip through the real encoders, and are
+      then REALLY parsed back (hand-rolled BMP parser / stdlib wave) by
+      extract_features(decoder="stdlib") — the oracle recomputes the
+      decoded width/height/mean and rate/frames/mean from the closed
+      forms, so a parser bug (stride, padding, BGR order, header offset)
+      flips this row red.
+
+    Gated projection: media_id is the document key (reproducible), all
+    vectors unpacked to scalar doubles (driver canonicalizer can't hash
+    array cells, r2 err)."""
+    from rayforce_spark.datapipe.multimodal import (
+        attach_binary, extract_features, synthesize_media)
 
     (d,) = _t(spark, sf, "documents")
     media = attach_binary(d, "text", kind="image", id_col="doc_id")
-    feats = extract_features(media, dim=8)
-    return feats.select(
+    feats = extract_features(media, dim=8).select(
         "media_id", "n_bytes",
         *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
     )
+    ids = d.select("doc_id")
+    bmp = extract_features(
+        synthesize_media(ids, "doc_id", kind="image"),
+        id_col="doc_id", dim=3, decoder="stdlib",
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at("features", 1).alias("bmp_w"),
+        F.element_at("features", 2).alias("bmp_h"),
+        F.element_at("features", 3).alias("bmp_mean"),
+    )
+    wav = extract_features(
+        synthesize_media(ids, "doc_id", kind="audio"),
+        id_col="doc_id", dim=3, decoder="stdlib",
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at("features", 1).alias("wav_rate"),
+        F.element_at("features", 2).alias("wav_n"),
+        F.element_at("features", 3).alias("wav_mean"),
+    )
+    return feats.join(bmp, "media_id").join(wav, "media_id")
 
 
 # -- iteration / UDF surface (SURVEY §2.8) ----------------------------------
@@ -1607,7 +1637,21 @@ ORACLE: dict[str, str] = {
                ('0x' || substring(md5(text || '0'),  9, 2))::INT / 255.0 AS f4,
                ('0x' || substring(md5(text || '0'), 11, 2))::INT / 255.0 AS f5,
                ('0x' || substring(md5(text || '0'), 13, 2))::INT / 255.0 AS f6,
-               ('0x' || substring(md5(text || '0'), 15, 2))::INT / 255.0 AS f7
+               ('0x' || substring(md5(text || '0'), 15, 2))::INT / 255.0 AS f7,
+               -- stdlib tier: the synthesized 4x6 24-bit BMP's pixel
+               -- stream is (doc_id*7 + i) % 256 for i in 0..71 and the
+               -- 50-sample 8-bit WAV is (doc_id*13 + i) % 256 — the Spark
+               -- side gets these numbers back by REALLY parsing the
+               -- encoded bytes; the oracle recomputes the closed forms
+               -- (integer sums are exact in f64, so AVG matches bit-for-bit)
+               4.0::DOUBLE AS bmp_w,
+               6.0::DOUBLE AS bmp_h,
+               (SELECT AVG((doc_id * 7 + i) % 256)
+                  FROM range(72) t(i)) AS bmp_mean,
+               8000.0::DOUBLE AS wav_rate,
+               50.0::DOUBLE AS wav_n,
+               (SELECT AVG((doc_id * 13 + i) % 256)
+                  FROM range(50) t(i)) AS wav_mean
         FROM documents
     """,
     "dedup_minhash": """

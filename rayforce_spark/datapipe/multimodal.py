@@ -6,11 +6,17 @@ feature-extraction / resize / frame-sampling run as Arrow-batched
 mapInPandas stages — the bytes never round-trip through the driver and
 each partition streams batch-by-batch.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT installed in this
-environment, so the decode step is stubbed: ``decoder="fake"`` produces a
-deterministic feature vector from the bytes (so the distributed plumbing —
-schema, batching, partitioning — is fully testable), and ``decoder="real"``
-raises NotImplementedError at the exact point a codec would plug in.
+Decoder tiers:
+* ``decoder="stdlib"`` — REAL decode for BMP (hand-rolled 24-bit parser)
+  and WAV (stdlib ``wave``), see :mod:`codecs` — actual pixel/sample
+  arrays flow through the Arrow batches; unrecognized bytes yield a null
+  feature row (a real pipeline quarantines, it doesn't crash the job).
+* ``decoder="fake"`` — deterministic md5-seeded vector from the raw
+  bytes (SQL-expressible, the oracle-twin path; also exercises the
+  plumbing for formats the container can't decode).
+* ``decoder="real"`` — the PIL/librosa/ffmpeg plug-point for formats
+  beyond BMP/WAV; those libs are NOT installed here, so it raises
+  NotImplementedError at the exact seam.
 """
 
 from __future__ import annotations
@@ -55,6 +61,58 @@ def attach_binary(df: DataFrame, source_col: str, *, kind: str = "image",
     )
 
 
+def synthesize_media(
+    df: DataFrame,
+    id_col: str,
+    *,
+    kind: str = "image",
+    image_wh: tuple[int, int] = (4, 6),
+    wav_n: int = 50,
+    wav_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL media bytes from an integer key, for gating the
+    stdlib decode path end-to-end without binary fixtures on disk:
+
+    * image — a (h, w, 3) 24-bit BMP whose pixel byte stream is
+      ``(id*7 + i) % 256`` (C-order RGB), i = 0..w*h*3-1.
+    * audio — 8-bit PCM WAV, ``wav_n`` samples of ``(id*13 + i) % 256``.
+
+    Both closed forms are plain-SQL expressible (AVG((id*k + i) % 256)
+    over a generated series), so a decode->feature pipeline over these
+    bytes has an exact DuckDB oracle — the bytes themselves round-trip
+    through a real encoder/parser (:mod:`codecs`), not a fake."""
+    if kind not in ("image", "audio"):
+        raise ValueError(f"synthesize_media: unknown kind {kind}")
+    w, h = image_wh
+    narrow = df.select(id_col)
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField("content", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from rayforce_spark.datapipe.codecs import encode_bmp, encode_wav
+
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if kind == "image":
+                    i = np.arange(w * h * 3, dtype=np.int64)
+                    px = ((mid * 7 + i) % 256).astype(np.uint8)
+                    out.append(encode_bmp(px.reshape(h, w, 3)))
+                else:
+                    i = np.arange(wav_n, dtype=np.int64)
+                    s = ((mid * 13 + i) % 256).astype(np.uint8)
+                    out.append(encode_wav(s, rate=wav_rate, sampwidth=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "content": out})
+
+    return narrow.mapInPandas(gen, out_schema)
+
+
 def _fake_features(content: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a decoder+encoder: md5-seeded values.
 
@@ -85,15 +143,18 @@ def extract_features(
     mapInPandas (Arrow batches; only id+content columns are shipped to
     Python — project before, join after, so the wide table stays JVM-side).
 
+    decoder="stdlib" really decodes BMP/WAV (:mod:`codecs`); a row whose
+    bytes parse as neither gets features=NULL (quarantine, don't crash).
     decoder="real" is the plug-point for PIL/librosa/ffmpeg pipelines —
     not available in this container, so it raises NotImplementedError.
     """
     if decoder == "real":
         raise NotImplementedError(
             "media codecs (PIL/librosa/ffmpeg) are not installed in this "
-            "environment; use decoder='fake' for plumbing tests"
+            "environment; decoder='stdlib' decodes BMP/WAV for real, "
+            "decoder='fake' covers plumbing for other formats"
         )
-    if decoder != "fake":
+    if decoder not in ("fake", "stdlib"):
         raise ValueError(f"unknown decoder: {decoder}")
 
     narrow = df.select(id_col, content_col)
@@ -106,11 +167,20 @@ def extract_features(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from rayforce_spark.datapipe.codecs import CodecError, media_features
+
+        def one(c):
+            if c is None:
+                return None
+            if decoder == "fake":
+                return _fake_features(bytes(c), dim)
+            try:
+                return media_features(bytes(c), dim)
+            except CodecError:
+                return None
+
         for pdf in batches:
-            feats = [
-                None if c is None else _fake_features(bytes(c), dim)
-                for c in pdf[content_col]
-            ]
+            feats = [one(c) for c in pdf[content_col]]
             nb = [None if c is None else len(c) for c in pdf[content_col]]
             yield pd.DataFrame({
                 id_col: pdf[id_col],
@@ -134,19 +204,23 @@ def resize_media(
     dimensions via mapInPandas — the same narrow-projection Arrow-batch
     shape as extract_features, so the wide table never ships to Python.
 
-    decoder="real" is the PIL/opencv plug-point (decode -> resample ->
-    re-encode), not available in this container. decoder="fake"
-    deterministically "resizes" by resampling the BYTE stream to a
-    length proportional to the pixel count (length = width*height bytes,
-    cycled from the source) — content-derived, order-free, and
-    reproducible, so partitioning/batching are fully testable.
+    decoder="stdlib" is a REAL resize for BMP bytes: decode (24-bit
+    parser) -> nearest-neighbor resample -> re-encode BMP; non-BMP bytes
+    yield NULL content (quarantine). decoder="real" is the PIL/opencv
+    plug-point for other formats, not available in this container.
+    decoder="fake" deterministically "resizes" by resampling the BYTE
+    stream to a length proportional to the pixel count (length =
+    width*height bytes, cycled from the source) — content-derived,
+    order-free, and reproducible, so partitioning/batching are fully
+    testable for undecodable formats too.
     """
     if decoder == "real":
         raise NotImplementedError(
             "media codecs (PIL/opencv) are not installed in this "
-            "environment; use decoder='fake' for plumbing tests"
+            "environment; decoder='stdlib' resizes BMP for real, "
+            "decoder='fake' covers plumbing for other formats"
         )
-    if decoder != "fake":
+    if decoder not in ("fake", "stdlib"):
         raise ValueError(f"unknown decoder: {decoder}")
 
     narrow = df.select(id_col, content_col)
@@ -161,6 +235,9 @@ def resize_media(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from rayforce_spark.datapipe.codecs import (
+            CodecError, decode_bmp, encode_bmp, resize_nearest)
+
         def fake_resize(c):
             if c is None:
                 return None
@@ -168,10 +245,20 @@ def resize_media(
             reps = -(-n_out // len(b))  # ceil
             return (b * reps)[:n_out]
 
+        def stdlib_resize(c):
+            if c is None:
+                return None
+            try:
+                px = decode_bmp(bytes(c))
+            except CodecError:
+                return None
+            return encode_bmp(resize_nearest(px, width, height))
+
+        fn = stdlib_resize if decoder == "stdlib" else fake_resize
         for pdf in batches:
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                content_col: [fake_resize(c) for c in pdf[content_col]],
+                content_col: [fn(c) for c in pdf[content_col]],
                 "width": width,
                 "height": height,
             })

@@ -44,15 +44,15 @@ _BIN_FIRST = 0xFA  # first wire byte of struct.pack('<I', 0xcefadefa)
 def _binable(v, max_rows: int = MAX_REPLY_ROWS):
     """Shape a reply value for the binary serde: DataFrames become the
     reference's TYPE_TABLE (column name -> column vector), capped."""
-    from rayforce_spark.rayfall.serde import Table
+    from rayforce_spark.rayfall.serde import Table, shape_cell
 
     if isinstance(v, DataFrame):
         rows = v.limit(max_rows).collect()
         return Table((c, [_binable(r[i]) for r in rows])
                      for i, c in enumerate(v.columns))
-    if isinstance(v, _dt.datetime):
-        return v.isoformat()  # plain datetimes aren't a wire scalar
-    return v
+    # one shared shaping helper with the `ser` verb (evalr.py) so the two
+    # binary surfaces agree: datetimes cross as TYPE_TIMESTAMP, not text
+    return shape_cell(v)
 
 
 def _read_bin_msg(rfile, first: bytes):
@@ -68,6 +68,11 @@ def _read_bin_msg(rfile, first: bytes):
     prefix, _v, _f, _e, msgtype, size = struct.unpack("<IBBBBq", header)
     if prefix != S.SERDE_PREFIX:
         raise S.SerdeError(f"ipc: bad prefix {prefix:#x}")
+    # reject suspect lengths before allocating (ref core/serde.c:703
+    # caps at 1 GB): a negative size would silently read b"" and
+    # misparse; a huge one is a corrupt/hostile frame, not a message
+    if size < 0 or size > S.MAX_MSG_SIZE:
+        raise S.SerdeError(f"ipc: suspect message size {size}")
     payload = rfile.read(size)
     if len(payload) < size:
         raise S.SerdeError("ipc: truncated payload")

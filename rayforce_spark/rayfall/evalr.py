@@ -568,9 +568,9 @@ class Interp:
                             "bulk data")
                     rows = x.collect()
                     x = _serde.Table(
-                        (c, [r[i] for r in rows])
+                        (c, [_serde.shape_cell(r[i]) for r in rows])
                         for i, c in enumerate(x.columns))
-                return [U8(b) for b in _serde.ser_obj(x)]
+                return [U8(b) for b in _serde.ser_obj(_serde.shape_cell(x))]
             buf = bytes(x) if not isinstance(x, (bytes, bytearray)) else x
             out = _serde.de_obj(bytes(buf))
             if isinstance(out, _serde.Table):

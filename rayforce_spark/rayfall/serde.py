@@ -38,6 +38,7 @@ from .reader import Char, I16, I32, QSym, Sym, TimeMs, TsNs, U8, Vec
 from .values import NS_2000, GuidVal, SymVal
 
 SERDE_PREFIX = 0xCEFADEFA  # ref core/serde.h:30
+MAX_MSG_SIZE = 1_000_000_000  # ref core/serde.c:703 (1 GB cap)
 VERSION = 0 >> 3 | 1  # ref core/def.h:29 (major 0, minor 1)
 
 # ref core/rayforce.h:50-95
@@ -74,6 +75,25 @@ def _vec_tag(xs) -> int:
     if len(kinds) == 1 and (t := kinds.pop()) is not None:
         return -t  # vector tag = positive of the atom tag
     return T_LIST
+
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def shape_cell(v):
+    """Shape one collected Spark cell for the wire: datetime.datetime ->
+    TsNs (ns since the unix epoch), so both binary surfaces (the `ser`
+    verb and the IPC reply path) agree and emit the reference's
+    TYPE_TIMESTAMP for real timestamp columns. Integer arithmetic on the
+    timedelta — float total_seconds() loses sub-ms precision at
+    2026-scale ns magnitudes (> 2^53). Everything else passes through."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        d = v - _EPOCH
+        return TsNs((d.days * 86_400 + d.seconds) * 10**9
+                    + d.microseconds * 1_000)
+    return v
 
 
 def _atom_tag(x, *, for_vec: bool = False):
@@ -300,6 +320,8 @@ def de_obj(buf: bytes):
         raise SerdeError(f"de: bad prefix {prefix:#x}")
     if endian != 0:
         raise SerdeError("de: big-endian payloads unsupported")
+    if size < 0 or size > MAX_MSG_SIZE:
+        raise SerdeError(f"de: suspect message size {size}")
     if len(buf) - 16 < size:
         raise SerdeError("de: truncated message")
     return _de_raw(_Cur(buf[16:16 + size]))

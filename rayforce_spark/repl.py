@@ -21,16 +21,24 @@ import sys
 
 
 def _balanced(s: str) -> bool:
+    """True when every ( [ { and string is closed — the continue-prompt
+    test. A quote is escaped only under an ODD run of backslashes
+    (``"a\\\\"`` IS closed); brackets/braces count like parens so
+    multi-line vector and dict literals continue instead of erroring."""
     depth, in_str = 0, False
     for i, c in enumerate(s):
         if in_str:
-            if c == '"' and (i == 0 or s[i - 1] != "\\"):
-                in_str = False
+            if c == '"':
+                bs = 0
+                while i - 1 - bs >= 0 and s[i - 1 - bs] == "\\":
+                    bs += 1
+                if bs % 2 == 0:
+                    in_str = False
         elif c == '"':
             in_str = True
-        elif c == "(":
+        elif c in "([{":
             depth += 1
-        elif c == ")":
+        elif c in ")]}":
             depth -= 1
     return depth <= 0 and not in_str
 

@@ -427,6 +427,11 @@ def stream_embedding_neardup(
         for pdf in pdfs:
             for doc_id, v in zip(pdf["__id"], pdf["__v"]):
                 v = [float(x) for x in v]
+                if len(v) != dim:
+                    # a malformed vector would misalign the flattened
+                    # per-bucket state and silently corrupt every later
+                    # cosine against this bucket — skip it
+                    continue
                 nv = math.sqrt(sum(x * x for x in v))
                 for j, other in enumerate(ids):
                     if other == doc_id:

@@ -185,6 +185,19 @@ def main():
              "(extends the min-of-reps methodology across JVM instances "
              "— measured ±15-20%% between JVMs from JIT/layout luck)",
     )
+    ap.add_argument(
+        "--only", type=str, default=None,
+        help="comma-separated query subset (e.g. gq3,gq6) — investigation "
+             "mode: runs just those queries on this fresh JVM, prints one "
+             "JSON line, and does NOT touch BASELINE_CMP.md or the merge "
+             "history",
+    )
+    ap.add_argument(
+        "--times-json", type=str, default=None,
+        help="with --only: also print per-rep times (not just min) so a "
+             "tail rep is distinguishable from a slow floor; value is a "
+             "label echoed into the JSON line",
+    )
     args = ap.parse_args()
 
     ensure_data()
@@ -248,27 +261,33 @@ def main():
                by=["id1_sym", "id2_sym", "id3_sym", "id4", "id5", "id6"]),
         "id1", "id2", "id3")
 
-    x = spark.read.parquet(os.path.join(DATA, "J1_x.parquet")).cache()
-    y = spark.read.parquet(os.path.join(DATA, "J1_big.parquet")).cache()
-    x.count(); y.count()
-    jkeys = ["id1", "id2"]
-    ydd = dedup_last(
-        y, jkeys, order_col=F.struct("id3", "v2"))  # deterministic last
-
-    # reference ij/lj route through the key->single-row index: right side
-    # deduped, output multiplicity = left rows (1e7), NOT the ~800M-row
-    # SQL multiplicity join that OOMed DuckDB/ClickHouse on the same box
-    def join_inner(): return inner_join(x, ydd, jkeys)
-    def join_left(): return left_join(x, y, jkeys,
-                                      order_col=F.struct("id3", "v2"))
+    only = set(args.only.split(",")) if args.only else None
 
     queries = {
         "gq1": gq1, "gq2": gq2, "gq3": gq3, "gq4": gq4, "gq5": gq5,
         "gq6": gq6, "gq7": gq7,
-        "join_inner": join_inner, "join_left": join_left,
     }
 
-    if not args.skip_window:
+    need_join = only is None or only & {"join_inner", "join_left"}
+    if need_join:
+        x = spark.read.parquet(os.path.join(DATA, "J1_x.parquet")).cache()
+        y = spark.read.parquet(os.path.join(DATA, "J1_big.parquet")).cache()
+        x.count(); y.count()
+        jkeys = ["id1", "id2"]
+        ydd = dedup_last(
+            y, jkeys, order_col=F.struct("id3", "v2"))  # deterministic last
+
+        # reference ij/lj route through the key->single-row index: right
+        # side deduped, output multiplicity = left rows (1e7), NOT the
+        # ~800M-row SQL multiplicity join that OOMed DuckDB/ClickHouse on
+        # the same box
+        def join_inner(): return inner_join(x, ydd, jkeys)
+        def join_left(): return left_join(x, y, jkeys,
+                                          order_col=F.struct("id3", "v2"))
+        queries["join_inner"] = join_inner
+        queries["join_left"] = join_left
+
+    if not args.skip_window and (only is None or "window_join" in only):
         trades = spark.read.parquet(os.path.join(DATA, "wj_trades.parquet")).cache()
         quotes = spark.read.parquet(os.path.join(DATA, "wj_quotes.parquet")).cache()
         trades.count(); quotes.count()
@@ -279,6 +298,12 @@ def main():
                 {"Bid": A.min_("Bid"), "Ask": A.max_("Ask")},
             )
         queries["window_join"] = window_join
+
+    if only is not None:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {sorted(unknown)}")
+        queries = {n: queries[n] for n in queries if n in only}
 
     # global JIT warmup: the first ~60-90s of query execution in a fresh
     # JVM runs interpreted/C1 codegen (measured 3-10x slower); run every
@@ -291,20 +316,36 @@ def main():
             pass
 
     times: dict[str, float] = {}
+    reps_ms: dict[str, list[float]] = {}
     for name, fn in queries.items():
         try:
             noop(fn())  # per-query warmup (plan + exchange reuse state)
             best = float("inf")
+            reps_ms[name] = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
                 noop(fn())
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                reps_ms[name].append(round(dt * 1000, 1))
+                best = min(best, dt)
             times[name] = round(best * 1000, 1)  # ms
             print(f"[h2o] {name}: {times[name]} ms "
                   f"(baseline {BASELINE_MS[name]} ms)", file=sys.stderr)
         except Exception as e:
             print(f"[h2o] {name} FAILED: {e}", file=sys.stderr)
             times[name] = -1.0
+
+    if only is not None:
+        # investigation mode: one JSON line, no file writes
+        print(json.dumps({
+            "metric": "h2o_investigate",
+            "label": args.times_json,
+            "unit": "ms",
+            "min_ms": times,
+            "reps_ms": reps_ms,
+            "baseline_ms": {n: BASELINE_MS[n] for n in times},
+        }))
+        return
 
     # keep this JVM's own numbers before min-merging: minima-of-history
     # can only improve, so a regression would be invisible without a
@@ -514,6 +555,27 @@ fresh (2x gate per BASELINE.json).
   deployment this is a one-line spark-defaults addition; published
   Comet/Gluten numbers show 2-4x on exactly these TPC-H/H2O aggregate
   shapes, which would bring every gq row under the 2x gate.
+  (Re-checked r7: still no accelerator jar on disk and still no egress —
+  the adjudication stands.)
+- **gq6 fresh-instance anomaly (r6) — investigated r7, verdict: N=1
+  tail, not a regression.** The r6 table published gq6 fresh = 1061 ms
+  (10.2x) vs 283.7 ms merged-min with no investigation. Re-measured on
+  4 fresh JVMs (3 isolated `--only gq1,gq3,gq6 --reps 5` runs + 1
+  full-context run, scripts/h2o_bench.py): gq6 min per instance =
+  356.6 / 421.8 / 431.1 / 559.0 ms — never within 2x of 1061 ms, and in
+  every instance gq6 tracked gq3 (the same id3_sym 100k-group shape:
+  362.2 / 499.1 / 431.2 / 613.4 ms) within noise, which rules out a
+  two-aggregate-path regression. All 15 isolated reps fell in
+  356-476 ms. Conclusion: the r6 number was a single-instance tail
+  (GC/JIT tier-up luck during the full-bench JVM, whose heap also
+  carries the ~4e7-row join/window caches); the fresh column is an N=1
+  sample by construction and should be read with the documented
+  ±15-20% (occasionally worse) inter-instance variance. Inter-instance
+  spread measured r7 is wider than r6's (same build, idle box, zero
+  steal ticks in /proc/stat sampling) — another reason the published
+  gate methodology stays min-of-instances with the fresh column as the
+  regression tripwire, now with the tripwire's false-positive mode
+  documented.
 """
     with open(os.path.join(REPO, "BASELINE_CMP.md"), "w") as f:
         f.write(md)
