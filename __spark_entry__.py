@@ -789,6 +789,12 @@ def q_dedup_minhash_bench(spark, sf):
     from rayforce_spark.datapipe import minhash_lsh_pairs
 
     (d,) = _t(spark, sf, "documents")
+    # the sf0.1 documents file is ONE parquet partition, so without this
+    # the whole signature+shingle pipeline runs on one of 32 cores; a
+    # production corpus arrives already partitioned, so the equivalent of
+    # this line is a no-op there (the shuffle moves only (id, text))
+    d = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism)
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
         threshold=0.5, sig_impl="numpy",

@@ -52,7 +52,10 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
-def main():
+def run(sf_dir, only=None, skip=None, smoke=True):
+    """Run the gate; returns {query: {"status", "rows", "secs", "detail"}}
+    where status is ok|rows_only|fail|skipped. Importable (scalecheck.py
+    reuses this at sf0.1)."""
     # a plain session, as the driver would create it (no engine configs)
     from pyspark.sql import SparkSession
 
@@ -67,41 +70,54 @@ def main():
 
     import __spark_entry__ as E
 
-    t0 = time.time()
-    res = E.entry(spark)
-    n = res.count()
-    print(f"[smoke] entry() -> {n} rows, schema={res.columns} ({time.time()-t0:.1f}s)")
-    assert n >= 0
+    if smoke:
+        t0 = time.time()
+        res = E.entry(spark)
+        n = res.count()
+        print(f"[smoke] entry() -> {n} rows, schema={res.columns} ({time.time()-t0:.1f}s)")
+        assert n >= 0
 
     con = duckdb.connect()
     for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
+        p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
-    failures = []
+    out = {}
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
+            continue
+        if skip and name in skip:
+            out[name] = {"status": "skipped", "rows": None, "secs": 0.0,
+                         "detail": skip[name]}
+            print(f"[skip] {name}: {skip[name]}")
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            failures.append(name)
+            out[name] = {"status": "fail", "rows": None,
+                         "secs": round(time.time() - t0, 1),
+                         "detail": f"spark error: {e}"}
             print(f"[FAIL] {name}: spark error: {e}")
             continue
+        secs = round(time.time() - t0, 1)
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            out[name] = {"status": "rows_only", "rows": len(s_rows),
+                         "secs": secs, "detail": ""}
+            print(f"[rows-only] {name}: {len(s_rows)} rows ({secs}s)")
             continue
+        t1 = time.time()
         try:
             r = con.execute(oracles[name])
             d_cols = [d[0] for d in r.description]
             d_rows = r.fetchall()
         except Exception as e:
-            failures.append(name)
+            out[name] = {"status": "fail", "rows": len(s_rows),
+                         "secs": secs, "detail": f"duckdb error: {e}"}
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
         problems = []
@@ -120,12 +136,22 @@ def main():
                 if a != b:
                     problems.append(f"  spark: {a}\n  duck : {b}")
                     break
+        secs = round(time.time() - t0, 1)
+        oracle_secs = round(time.time() - t1, 1)
         if problems:
-            failures.append(name)
+            out[name] = {"status": "fail", "rows": len(s_rows),
+                         "secs": secs, "detail": "; ".join(problems)}
             print(f"[FAIL] {name}: " + "; ".join(problems))
         else:
-            print(f"[OK]   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+            out[name] = {"status": "ok", "rows": len(s_rows), "secs": secs,
+                         "oracle_secs": oracle_secs, "detail": ""}
+            print(f"[OK]   {name}: {len(s_rows)} rows match ({secs}s)")
+    return out
 
+
+def main():
+    results = run(SF_DIR, only=ONLY or None)
+    failures = [n for n, r in results.items() if r["status"] == "fail"]
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         sys.exit(1)

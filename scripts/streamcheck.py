@@ -1,0 +1,452 @@
+"""Batch-vs-stream equivalence harness (STREAMCHECK).
+
+The streaming family (streaming/stateful.py, streaming/ops.py) cannot be
+oracle-gated through DuckDB — stateful micro-batch semantics aren't
+SQL-expressible — so this harness provides the equivalent evidence: feed
+the SAME sf0.01 rows through each streaming operator (journal file
+source, one file per micro-batch) AND through its batch twin, and assert
+exact multiset equality of the results.
+
+Per-operator equivalence contracts (how streaming-only semantics are
+made comparable):
+* sessionize — a stream emits only CLOSED sessions, so a per-key
+  sentinel event far beyond the gap is appended to the FEED (not the
+  batch input): every real session closes; sentinel sessions stay open
+  in state and are never emitted. Batch twin: sessions.sessionize_batch.
+* asof join — left rows emit once the event-time watermark passes them,
+  so a per-key right-side flush row at max_ts + 1 day is appended to the
+  feed; flush rows cannot match any real left row (asof takes <=).
+  Batch twin: joins.asof_join (right side pre-deduped to unique
+  (key, ts) so last-wins tie order can't differ between table order and
+  arrival order).
+* window join — stream-stream interval join emits matches as both sides
+  arrive; no flush needed for inner. Batch twin: the same interval-join
+  condition on static frames.
+* dedup — duplicates are fed as exact row copies within the watermark;
+  any surviving representative equals any other. Batch twin:
+  dropDuplicates on the keys.
+* minhash near-dup — state caps/TTL are sized so nothing evicts; the
+  stream scores each doc against every EARLIER doc in its band bucket,
+  so after (id_a, id_b)-dedup the pair set equals the batch all-pairs-
+  per-bucket rule computed with the SAME signature/band expressions.
+* embedding near-dup — same argument per (table, bucket); batch twin is
+  similarity.embedding_dup_pairs_lsh with identical
+  planes/tables/seed/threshold.
+* xbar agg — complete-mode memory sink vs a batch window groupBy.
+
+Floats are rounded to 6 dp on both sides before comparison (the stream
+sums in arrival order, the batch in partition order — same f64 math,
+different association). All inputs are replayed from the SAME journal
+files the stream reads, so both sides see bit-identical values.
+
+Usage: python scripts/streamcheck.py [sf_dir]
+Writes STREAMCHECK.json + STREAMCHECK.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+STABLE_SECS = 8
+TIMEOUT_SECS = 300
+
+
+def _stream_table(spark, out_df, name, mode="append"):
+    """Run a streaming DataFrame into a memory sink until the row count
+    is stable for STABLE_SECS (stateful ops never 'drain' — poll)."""
+    q = (out_df.writeStream.outputMode(mode)
+         .format("memory").queryName(name).start())
+    try:
+        last_n, last_change = -1, time.time()
+        deadline = time.time() + TIMEOUT_SECS
+        while time.time() < deadline:
+            n = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+            if n != last_n:
+                last_n, last_change = n, time.time()
+            elif time.time() - last_change > STABLE_SECS:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _canon(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+def _feed(tmp, name, schema, batches):
+    from rayforce_spark.streaming import Journal
+
+    path = os.path.join(tmp, name)
+    j = Journal(path, schema)
+    for rows in batches:
+        j.append(rows)
+        time.sleep(0.02)  # distinct mtimes -> deterministic file order
+    return path
+
+
+def _chunks(rows, n_files):
+    k = max(1, -(-len(rows) // n_files))
+    return [rows[i:i + k] for i in range(0, len(rows), k)]
+
+
+def _result(name, stream_df, batch_df, notes=""):
+    s, b = _canon(stream_df), _canon(batch_df)
+    match = s == b
+    extra = ""
+    if not match:
+        only_s = list((s - b).items())[:3]
+        only_b = list((b - s).items())[:3]
+        extra = f" stream-only={only_s} batch-only={only_b}"
+    return {
+        "op": name,
+        "match": match,
+        "stream_rows": sum(s.values()),
+        "batch_rows": sum(b.values()),
+        "notes": notes + extra,
+    }
+
+
+def check_sessionize(spark, t, tmp):
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.datapipe.sessions import sessionize_batch
+    from rayforce_spark.streaming import read_journal_stream
+    from rayforce_spark.streaming.stateful import sessionize
+
+    ev = t["events"].select(
+        "user_id", (F.col("ts") / 1e9).alias("ts_sec"), "value")
+    rows = sorted((r.asDict() for r in ev.collect()),
+                  key=lambda r: r["ts_sec"])
+    span = rows[-1]["ts_sec"] - rows[0]["ts_sec"]
+    gap = max(span / 50.0, 1.0)
+    sentinel_ts = rows[-1]["ts_sec"] + 100 * gap
+    users = sorted({r["user_id"] for r in rows})
+    sentinels = [{"user_id": u, "ts_sec": sentinel_ts, "value": 0.0}
+                 for u in users]
+    schema = "user_id long, ts_sec double, value double"
+    path = _feed(tmp, "sess", schema, _chunks(rows, 4) + [sentinels])
+
+    out = sessionize(read_journal_stream(spark, path, schema), gap_sec=gap)
+    stream = _stream_table(spark, out, "sc_sessions").select(
+        "user_id", F.round("session_start", 6).alias("s"),
+        F.round("session_end", 6).alias("e"), "n_events",
+        F.round("sum_value", 6).alias("v"))
+
+    batch = sessionize_batch(
+        ev, key_col="user_id", ts_col="ts_sec", gap=gap,
+        aggs={"sum_value": F.sum("value")},
+    ).select(
+        "user_id", F.round("session_start", 6).alias("s"),
+        F.round("session_end", 6).alias("e"), "n_events",
+        F.round("sum_value", 6).alias("v"))
+    return _result("sessionize", stream, batch,
+                   f"gap={gap:.1f}s, {len(users)} keys, sentinel-flushed")
+
+
+def check_asof(spark, t, tmp):
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.operators.joins import asof_join
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.stateful import stream_asof_join
+
+    left = t["events"].select("user_id", "ts", "event_id")
+    right = (t["events"].groupBy("user_id", "ts")
+             .agg(F.max("value").alias("value")))  # unique (key, ts)
+    lrows = sorted((r.asDict() for r in left.collect()),
+                   key=lambda r: r["ts"])
+    rrows = sorted((r.asDict() for r in right.collect()),
+                   key=lambda r: r["ts"])
+    flush_ts = max(lrows[-1]["ts"], rrows[-1]["ts"]) + 86_400 * 10**9
+    users = sorted({r["user_id"] for r in lrows})
+    flush = [{"user_id": u, "ts": flush_ts, "value": None} for u in users]
+    ls = "user_id long, ts long, event_id long"
+    rs = "user_id long, ts long, value double"
+    lpath = _feed(tmp, "asof_l", ls, _chunks(lrows, 3))
+    rpath = _feed(tmp, "asof_r", rs, _chunks(rrows, 3) + [flush])
+
+    out = stream_asof_join(
+        read_journal_stream(spark, lpath, ls),
+        read_journal_stream(spark, rpath, rs),
+        "user_id", "ts", right_cols=["value"],
+    )
+    stream = _stream_table(spark, out, "sc_asof").select(
+        "user_id", (F.unix_micros("ts")).alias("t_us"), "event_id",
+        F.round("value", 6).alias("v"))
+
+    batch = asof_join(
+        replay_journal(spark, lpath, ls),
+        replay_journal(spark, rpath, rs).filter(F.col("ts") < flush_ts),
+        "user_id", "ts", right_cols=["value"],
+    ).select(
+        "user_id", (F.col("ts") / 1000).cast("long").alias("t_us"),
+        "event_id", F.round("value", 6).alias("v"))
+    return _result("stream_asof_join", stream, batch,
+                   f"{len(lrows)} left rows, right flush-advanced watermark")
+
+
+def check_window_join(spark, t, tmp):
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.functions.kdb import ns_to_timestamp
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.ops import stream_window_join
+
+    left = t["events"].select("user_id", "ts", "event_id")
+    right = (t["events"].groupBy("user_id", "ts")
+             .agg(F.max("value").alias("value")))
+    lrows = sorted((r.asDict() for r in left.collect()),
+                   key=lambda r: r["ts"])
+    rrows = sorted((r.asDict() for r in right.collect()),
+                   key=lambda r: r["ts"])
+    ls = "user_id long, ts long, event_id long"
+    rs = "user_id long, ts long, value double"
+    lpath = _feed(tmp, "wj_l", ls, _chunks(lrows, 3))
+    rpath = _feed(tmp, "wj_r", rs, _chunks(rrows, 3))
+    lo, hi = -60.0, 60.0
+
+    out = stream_window_join(
+        read_journal_stream(spark, lpath, ls),
+        read_journal_stream(spark, rpath, rs),
+        "user_id", "ts", lo, hi,
+    )
+    stream = _stream_table(spark, out, "sc_wj").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "event_id",
+        F.unix_micros("r_ts").alias("rt_us"),
+        F.round("r_value", 6).alias("v"))
+
+    l = replay_journal(spark, lpath, ls).withColumn(
+        "ts", ns_to_timestamp("ts"))
+    r = replay_journal(spark, rpath, rs).withColumn(
+        "ts", ns_to_timestamp("ts"))
+    cond = (
+        (l["user_id"] == r["user_id"])
+        & r["ts"].between(l["ts"] + F.expr(f"INTERVAL {lo} SECONDS"),
+                          l["ts"] + F.expr(f"INTERVAL {hi} SECONDS"))
+    )
+    batch = l.join(r, cond, "inner").select(
+        l["user_id"], F.unix_micros(l["ts"]).alias("t_us"), "event_id",
+        F.unix_micros(r["ts"]).alias("rt_us"),
+        F.round(r["value"], 6).alias("v"))
+    return _result("stream_window_join", stream, batch,
+                   f"interval [{lo},{hi}]s")
+
+
+def check_dedup(spark, t, tmp):
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.ops import stream_dedup
+
+    ev = t["events"].select("event_id", "ts", "user_id", "value")
+    rows = sorted((r.asDict() for r in ev.collect()), key=lambda r: r["ts"])
+    # duplicate every row (exact copies, same batch AND later batch)
+    schema = "event_id long, ts long, user_id long, value double"
+    chunks = _chunks(rows, 3)
+    path = _feed(tmp, "dedup", schema, chunks + [chunks[0]])
+
+    out = stream_dedup(
+        read_journal_stream(spark, path, schema), ["event_id"],
+        ts_col="ts", watermark="1 hour")
+    stream = _stream_table(spark, out, "sc_dedup").select(
+        "event_id", "user_id", "value")  # ts projected to timestamp inside
+
+    batch = replay_journal(spark, path, schema).dropDuplicates(
+        ["event_id"]).select("event_id", "user_id", "value")
+    return _result("stream_dedup", stream, batch,
+                   f"{len(rows)} rows + {len(chunks[0])} replayed copies")
+
+
+def check_neardup(spark, t, tmp):
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.datapipe.dedup import (
+        minhash_signature_from_hashes, with_shingle_hashes)
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.stateful import stream_neardup
+
+    num_perm, bands, k, thr = 64, 16, 3, 0.5
+    docs = t["documents"].select("doc_id", "text")
+    rows = sorted((r.asDict() for r in docs.collect()),
+                  key=lambda r: r["doc_id"])
+    schema = "doc_id long, text string"
+    path = _feed(tmp, "neardup", schema, _chunks(rows, 3))
+
+    out = stream_neardup(
+        read_journal_stream(spark, path, schema),
+        num_perm=num_perm, bands=bands, shingle_k=k, threshold=thr,
+        max_per_bucket=10**6, state_ttl_sec=10**6)
+    stream = _stream_table(spark, out, "sc_neardup").select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est")
+    ).dropDuplicates(["id_a", "id_b"])
+
+    # batch twin: the SAME signature/band expressions, all pairs sharing
+    # any band bucket, est = matching coords / num_perm
+    rpb = num_perm // bands
+    d = replay_journal(spark, path, schema)
+    sig = with_shingle_hashes(
+        d.select(F.col("doc_id").alias("__id"), F.col("text").alias("__text")),
+        "__text", k, "__bh",
+    ).select("__id", minhash_signature_from_hashes(
+        F.col("__bh"), num_perm=num_perm).alias("__sig"))
+    banded = sig.select("__id", "__sig", F.explode(F.array(*[
+        F.hash(F.slice("__sig", b * rpb + 1, rpb), F.lit(b))
+        for b in range(bands)])).alias("__bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    est = F.size(F.filter(
+        F.zip_with("a.__sig", "b.__sig",
+                   lambda x, y: x.isNotNull() & y.isNotNull() & (x == y)),
+        lambda v: v)) / F.lit(float(num_perm))
+    batch = (
+        a.join(b, (F.col("a.__bucket") == F.col("b.__bucket"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                F.round(est, 6).alias("est"))
+        .filter(F.col("est") >= thr)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _result("stream_neardup", stream, batch,
+                   f"{len(rows)} docs, bands={bands}")
+
+
+def check_embedding_neardup(spark, t, tmp):
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.datapipe.similarity import embedding_dup_pairs_lsh
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.stateful import stream_embedding_neardup
+
+    dim, planes, tables, thr, seed = 64, 2, 8, 0.4, 42
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    rows = sorted(
+        ({"vec_id": r.vec_id, "embedding": list(r.embedding)}
+         for r in emb.collect()), key=lambda r: r["vec_id"])
+    schema = "vec_id long, embedding array<double>"
+    path = _feed(tmp, "embdup", schema, _chunks(rows, 3))
+
+    out = stream_embedding_neardup(
+        read_journal_stream(spark, path, schema),
+        dim=dim, threshold=thr, planes=planes, tables=tables, seed=seed,
+        max_per_bucket=10**6, state_ttl_sec=10**6)
+    stream = _stream_table(spark, out, "sc_embdup").select(
+        "id_a", "id_b", F.round("cos", 6).alias("c")
+    ).dropDuplicates(["id_a", "id_b"])
+
+    batch = embedding_dup_pairs_lsh(
+        replay_journal(spark, path, schema), "embedding", "vec_id",
+        threshold=thr, dim=dim, planes=planes, tables=tables, seed=seed,
+    ).select("id_a", "id_b", F.round("cos", 6).alias("c"))
+    return _result("stream_embedding_neardup", stream, batch,
+                   f"{len(rows)} vectors, planes={planes} tables={tables}")
+
+
+def check_xbar(spark, t, tmp):
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.functions.kdb import ns_to_timestamp
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.ops import stream_xbar_agg
+
+    ev = t["events"].select("user_id", "ts", "value")
+    rows = sorted((r.asDict() for r in ev.collect()), key=lambda r: r["ts"])
+    schema = "user_id long, ts long, value double"
+    path = _feed(tmp, "xbar", schema, _chunks(rows, 4))
+
+    out = stream_xbar_agg(
+        read_journal_stream(spark, path, schema), "ts", "1 hour",
+        {"n": F.count(F.lit(1)), "v": F.sum("value")})
+    stream = _stream_table(spark, out, "sc_xbar", mode="complete").select(
+        F.unix_micros("bar.start").alias("b"), "n",
+        F.round("v", 6).alias("v"))
+
+    batch = (replay_journal(spark, path, schema)
+             .withColumn("ts", ns_to_timestamp("ts"))
+             .groupBy(F.window("ts", "1 hour").alias("bar"))
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+             .select(F.unix_micros("bar.start").alias("b"), "n",
+                     F.round("v", 6).alias("v")))
+    return _result("stream_xbar_agg", stream, batch, "1-hour tumbling bars")
+
+
+CHECKS = [
+    check_sessionize,
+    check_asof,
+    check_window_join,
+    check_dedup,
+    check_neardup,
+    check_embedding_neardup,
+    check_xbar,
+]
+
+
+def main():
+    from rayforce_spark.session import get_spark, load_tables
+
+    spark = get_spark("streamcheck")
+    t = load_tables(spark, SF_DIR)
+    results = []
+    for fn in CHECKS:
+        tmp = tempfile.mkdtemp(prefix="streamcheck_")
+        t0 = time.time()
+        try:
+            r = fn(spark, t, tmp)
+        except Exception as e:  # record, keep going
+            r = {"op": fn.__name__.replace("check_", ""), "match": False,
+                 "stream_rows": -1, "batch_rows": -1,
+                 "notes": f"EXC: {type(e).__name__}: {e}"}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        r["sec"] = round(time.time() - t0, 1)
+        print(f"[streamcheck] {r['op']}: "
+              f"{'OK' if r['match'] else 'MISMATCH'} "
+              f"({r['stream_rows']} rows, {r['sec']}s) {r['notes']}",
+              file=sys.stderr)
+        results.append(r)
+
+    out = {
+        "metric": "stream_batch_equivalence",
+        "sf_dir": SF_DIR,
+        "ok": sum(1 for r in results if r["match"]),
+        "total": len(results),
+        "results": results,
+    }
+    with open(os.path.join(REPO, "STREAMCHECK.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    lines = "\n".join(
+        f"| {r['op']} | {'✅' if r['match'] else '❌'} | "
+        f"{r['stream_rows']} | {r['sec']} | {r['notes']} |"
+        for r in results)
+    with open(os.path.join(REPO, "STREAMCHECK.md"), "w") as f:
+        f.write(f"""# STREAMCHECK — batch-vs-stream equivalence
+
+Generated by `scripts/streamcheck.py` at `{SF_DIR}`. The same journaled
+rows are run through each streaming operator (file source, one file per
+micro-batch, memory sink polled to stability) AND its batch twin; rows
+are compared as exact multisets (floats rounded to 6 dp — see the module
+docstring for each operator's equivalence contract, e.g. sentinel events
+to close trailing sessions, a right-side flush row to advance the asof
+watermark).
+
+| operator | match | rows | sec | notes |
+|---|---|---|---|---|
+{lines}
+
+**{out['ok']}/{out['total']} equivalent.**
+""")
+    print(json.dumps(out))
+    return 0 if out["ok"] == out["total"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
