@@ -191,7 +191,8 @@ def check_asof(spark, t, tmp):
         replay_journal(spark, rpath, rs).filter(F.col("ts") < flush_ts),
         "user_id", "ts", right_cols=["value"],
     ).select(
-        "user_id", (F.col("ts") / 1000).cast("long").alias("t_us"),
+        # integer div: ts/1000 in double loses µs precision above 2^53 ns
+        "user_id", F.expr("ts div 1000").alias("t_us"),
         "event_id", F.round("value", 6).alias("v"))
     return _result("stream_asof_join", stream, batch,
                    f"{len(lrows)} left rows, right flush-advanced watermark")
@@ -393,10 +394,13 @@ CHECKS = [
 def main():
     from rayforce_spark.session import get_spark, load_tables
 
+    only = set(sys.argv[2:])
     spark = get_spark("streamcheck")
     t = load_tables(spark, SF_DIR)
     results = []
     for fn in CHECKS:
+        if only and fn.__name__.replace("check_", "") not in only:
+            continue
         tmp = tempfile.mkdtemp(prefix="streamcheck_")
         t0 = time.time()
         try:
@@ -421,6 +425,9 @@ def main():
         "total": len(results),
         "results": results,
     }
+    if only:  # partial run: report only, don't overwrite the record
+        print(json.dumps(out))
+        return 0 if out["ok"] == out["total"] else 1
     with open(os.path.join(REPO, "STREAMCHECK.json"), "w") as f:
         json.dump(out, f, indent=2)
     lines = "\n".join(
