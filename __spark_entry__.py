@@ -792,9 +792,12 @@ def q_dedup_minhash_bench(spark, sf):
     # the sf0.1 documents file is ONE parquet partition, so without this
     # the whole signature+shingle pipeline runs on one of 32 cores; a
     # production corpus arrives already partitioned, so the equivalent of
-    # this line is a no-op there (the shuffle moves only (id, text))
+    # this line is a no-op there (the shuffle moves only (id, text)).
+    # cores/2 measured best at this row count (32-way: ~300 docs/task is
+    # too little work per task launch — swept 4/8/16/32: 1.23/1.07/0.85/
+    # 0.92 s): parallelism wins until task overhead eats it
     d = d.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism)
+        max(2, spark.sparkContext.defaultParallelism // 2))
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
         threshold=0.5, sig_impl="numpy",

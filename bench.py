@@ -35,8 +35,11 @@ def main():
 
     spark = get_spark("rayforce_spark_bench")
     t = load_tables(spark, SF_DIR)
-    # cached inputs (BASELINE methodology: reference is in-memory)
-    for name in ("lineitem", "orders", "customer", "events"):
+    # cached inputs (BASELINE methodology: reference is in-memory);
+    # documents/embeddings included since r7 — the datapipe rows read
+    # them every rep, and the reference's corpus queries run in-memory too
+    for name in ("lineitem", "orders", "customer", "events",
+                 "documents", "embeddings"):
         t[name] = t[name].cache()
         t[name].count()
 

@@ -265,8 +265,11 @@ def minhash_lsh_pairs(
         "id_a", "id_b", F.col("__vsh").alias("__sa"))
     s2 = s1.join(texts, s1.id_b == texts.__tid).select(
         "id_a", "id_b", "__sa", F.col("__vsh").alias("__sb"))
+    # |A∪B| = |A| + |B| − |A∩B| over DISTINCT shingle sets: skips
+    # materializing the union array per pair (sets are distinct by
+    # construction in with_shingle_hashes)
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    uni = F.size(F.array_union("__sa", "__sb")).cast("double")
+    uni = (F.size("__sa") + F.size("__sb")).cast("double") - inter
     return (
         s2.withColumn("jaccard", F.try_divide(inter, uni))
         .filter(F.col("jaccard") >= threshold)
