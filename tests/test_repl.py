@@ -29,3 +29,20 @@ def test_repl_pipe_session():
     assert "[1, 2, 3]" in out
     assert "4" in out                       # loop survived the error
     assert "unknown verb" in p.stderr
+
+
+def test_balanced_tracks_brackets_braces_and_escapes():
+    from rayforce_spark.repl import _balanced
+
+    # brackets/braces continue like parens (multi-line vector/dict input)
+    assert not _balanced("[1 2")
+    assert not _balanced("{a: 1")
+    assert _balanced("[1 2]") and _balanced("{a: 1}")
+    assert not _balanced("(f [1 2")
+    # a quote after an ESCAPED backslash closes the string
+    assert _balanced(r'"a\\"')
+    assert not _balanced(r'"a\"')      # escaped quote: still open
+    assert not _balanced(r'"a\\\"')    # odd run: still open
+    assert _balanced(r'"a\\\\"')       # even run: closed
+    # brackets inside strings don't count
+    assert _balanced('"[["')

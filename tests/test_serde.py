@@ -167,3 +167,47 @@ try:
         assert S.de_obj(S.ser_obj(v)) == v
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
+
+
+def test_suspect_sizes_rejected():
+    # negative / huge header sizes are hostile frames (ref core/serde.c:703
+    # caps at 1 GB) — both de_obj and the IPC reader must refuse before
+    # allocating
+    good = S.ser_obj([1, 2, 3])
+    for bad_size in (-1, S.MAX_MSG_SIZE + 1):
+        hdr = good[:8] + struct.pack("<q", bad_size)
+        with pytest.raises(S.SerdeError):
+            S.de_obj(hdr + good[16:])
+
+
+def test_shape_cell_datetime_to_tsns():
+    # datetime cells (what Spark timestamp columns collect to) must map
+    # to TsNs ns-since-epoch via INTEGER arithmetic: at 2026-scale
+    # magnitudes float total_seconds() is off by whole microseconds
+    d = dt.datetime(2026, 8, 14, 12, 34, 56, 789123)
+    out = S.shape_cell(d)
+    assert isinstance(out, TsNs)
+    expect = (int(dt.datetime(2026, 8, 14, 12, 34, 56)
+                  .replace(tzinfo=dt.timezone.utc).timestamp()) * 10**9
+              + 789123 * 1000)
+    assert int(out) == expect
+    # round-trips on the wire as TYPE_TIMESTAMP
+    assert S.de_obj(S.ser_obj(out)) == out
+    # tz-aware input normalizes to UTC; non-datetimes pass through
+    aware = d.replace(tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    assert int(S.shape_cell(aware)) == expect - 2 * 3600 * 10**9
+    assert S.shape_cell("x") == "x" and S.shape_cell(None) is None
+
+
+def test_ser_verb_handles_timestamp_table_cells(spark):
+    # both binary surfaces (ser verb + IPC reply) share shape_cell, so a
+    # collected Spark timestamp column serializes as TYPE_TIMESTAMP
+    # instead of raising (ADVICE r6)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 3, 4, 5))], "id long, ts timestamp")
+    from rayforce_spark.rayfall import Interp
+
+    it = Interp(spark, {"tt": df})
+    out = it.eval_str("(de (ser tt))")
+    row = out.collect()[0]
+    assert row.id == 1
