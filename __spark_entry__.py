@@ -654,17 +654,22 @@ def q_cube_pivot(spark, sf):
 # -- storage (SURVEY §2.1) --------------------------------------------------
 
 def q_storage_roundtrip(spark, sf):
-    """set/get-splayed + set/get-parted in ONE gate (r6 consolidation):
-    write both layouts to temp dirs, read each back, and aggregate
-    integer-exactly (bigint key sums — no float accumulation order to
-    worry about) onto a harmonized (layout, key, n, sum_k) schema."""
+    """set/get-splayed + set/get-parted + read/write-csv in ONE gate
+    (r6 consolidation, csv added r7): write each layout to a temp dir,
+    read it back, and aggregate integer-exactly (bigint key sums — no
+    float accumulation order to worry about) onto a harmonized
+    (layout, key, n, sum_k) schema. The csv leg goes through the
+    reference's type-vector schema contract (sources/csv.py,
+    ref core/io.c:670/946), so a parse/format regression flips the row."""
     import tempfile
 
     from rayforce_spark.sources import (
         get_parted,
         get_splayed,
+        read_csv,
         set_parted,
         set_splayed,
+        write_csv,
     )
 
     o, ev = _t(spark, sf, "orders", "events")
@@ -688,7 +693,21 @@ def q_storage_roundtrip(spark, sf):
         F.lit("parted").alias("layout"),
         F.col("date").cast("string").alias("key"), "n", "sum_k",
     )
-    return s1.unionByName(s2)
+    (na,) = _t(spark, sf, "nation")
+    p3 = tempfile.mkdtemp(prefix="rf_csv_") + "/nation"
+    write_csv(na.select("n_nationkey", "n_regionkey", "n_name"), p3)
+    c = read_csv(
+        spark, p3,
+        ["n_nationkey", "n_regionkey", "n_name"], ["i64", "i64", "symbol"],
+    )
+    s3 = select(
+        c, {"n": A.count(), "sum_k": A.sum_("n_nationkey")},
+        by="n_regionkey",
+    ).select(
+        F.lit("csv").alias("layout"),
+        F.col("n_regionkey").cast("string").alias("key"), "n", "sum_k",
+    )
+    return s1.unionByName(s2).unionByName(s3)
 
 
 # -- datapipe: dedup / similarity / text / multimodal -----------------------
@@ -1506,6 +1525,10 @@ ORACLE: dict[str, str] = {
         SELECT 'parted', CAST(CAST(ts AS DATE) AS VARCHAR), count(*),
                CAST(sum(event_id) AS BIGINT)
         FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'csv', CAST(n_regionkey AS VARCHAR), count(*),
+               CAST(sum(n_nationkey) AS BIGINT)
+        FROM nation GROUP BY 2
     """,
     "dedup_exact": """
         SELECT doc_id, lang, source FROM (

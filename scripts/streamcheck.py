@@ -428,12 +428,18 @@ def main():
     if only:  # partial run: report only, don't overwrite the record
         print(json.dumps(out))
         return 0 if out["ok"] == out["total"] else 1
-    with open(os.path.join(REPO, "STREAMCHECK.json"), "w") as f:
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    fname = ("STREAMCHECK.json" if tag == "sf0.01"
+             else f"STREAMCHECK_{tag}.json")
+    with open(os.path.join(REPO, fname), "w") as f:
         json.dump(out, f, indent=2)
     lines = "\n".join(
         f"| {r['op']} | {'✅' if r['match'] else '❌'} | "
         f"{r['stream_rows']} | {r['sec']} | {r['notes']} |"
         for r in results)
+    if tag != "sf0.01":  # canonical .md tracks the gate scale only
+        print(json.dumps(out))
+        return 0 if out["ok"] == out["total"] else 1
     with open(os.path.join(REPO, "STREAMCHECK.md"), "w") as f:
         f.write(f"""# STREAMCHECK — batch-vs-stream equivalence
 
