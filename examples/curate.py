@@ -43,6 +43,22 @@ def main():
     print("top-3 cosine neighbors per query vector:")
     knn_cosine(emb, queries, "embedding", "vec_id", k=3).show()
 
+    # multimodal leg: REAL decode through the stdlib codecs — each kept
+    # doc gets a synthesized BMP (a real 24-bit file, parsed back by the
+    # hand-rolled parser) whose decoded stats become feature columns
+    from rayforce_spark.datapipe.multimodal import (
+        extract_features, synthesize_media)
+
+    media = synthesize_media(kept.select("doc_id"), "doc_id", kind="image")
+    feats = extract_features(media, id_col="doc_id", dim=4,
+                             decoder="stdlib")
+    print("decoded image features (w, h, mean, std) for 5 curated docs:")
+    feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).alias(n)
+          for i, n in enumerate(("w", "h", "mean", "std"))],
+    ).orderBy("doc_id").show(5)
+
 
 if __name__ == "__main__":
     main()

@@ -38,9 +38,19 @@ SKIP = {
 }
 
 
+def _current_round() -> str:
+    """Latest driver round + 1 (CORRECTNESS_r{N}.json is written at the
+    END of round N, so during round N+1 the newest file is N)."""
+    import re
+
+    ns = [int(m.group(1)) for f in os.listdir(REPO)
+          if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))]
+    return f"{max(ns) + 1:02d}" if ns else "00"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    rnd = sys.argv[2] if len(sys.argv) > 2 else "07"
+    rnd = sys.argv[2] if len(sys.argv) > 2 else _current_round()
     from driver_sim import run
 
     t0 = time.time()
