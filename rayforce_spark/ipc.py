@@ -129,7 +129,8 @@ class RayfallServer:
                     if not first:
                         return
                     if first[0] == _BIN_FIRST:
-                        self._handle_binary(first)
+                        if self._handle_binary(first) is False:
+                            return  # unsynced stream: close connection
                     else:
                         raw = first + self.rfile.readline()
                         if not raw.strip():
@@ -157,8 +158,10 @@ class RayfallServer:
                 from rayforce_spark.rayfall import serde as S
 
                 msgtype = 1
+                framed = False
                 try:
                     msg, msgtype = _read_bin_msg(self.rfile, first)
+                    framed = True
                     with lock:
                         # string message = a Rayfall program (the
                         # reference evals the de'd object; a data value
@@ -180,6 +183,11 @@ class RayfallServer:
                         len(payload)) + payload
                 self.wfile.write(reply)
                 self.wfile.flush()
+                # a framing failure (bad prefix / suspect size /
+                # truncation) leaves the byte stream unsynchronized — the
+                # remaining bytes would cascade as garbage "messages".
+                # Reply once, then have handle() drop the connection.
+                return framed
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

@@ -111,3 +111,41 @@ def test_media_features_pads_to_dim():
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     f = media_features(encode_bmp(px), 16)
     assert len(f) == 16 and f[9:] == [0.0] * 7
+
+
+# ---------------------------------------------------------- fuzz
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+        wh=st.integers(1, 8), hh=st.integers(1, 8),
+    )
+    def test_bmp_roundtrip_and_resize_fuzz(h, w, seed, wh, hh):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+        r = resize_nearest(px, wh, hh)
+        assert r.shape == (hh, wh, 3)
+        # every output pixel must exist at its mapped source position
+        yi = (np.arange(hh) * h) // hh
+        xi = (np.arange(wh) * w) // wh
+        assert (r == px[yi][:, xi]).all()
+        # resized image re-encodes and re-decodes losslessly too
+        assert (decode_bmp(encode_bmp(r)) == r).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.binary(max_size=200))
+    def test_decoders_never_crash_on_garbage(data):
+        # arbitrary bytes either parse or raise CodecError — nothing else
+        for fn in (decode_bmp, decode_wav):
+            try:
+                fn(data)
+            except CodecError:
+                pass
+except ImportError:  # hypothesis is expected in this env, but stay soft
+    pass

@@ -121,3 +121,42 @@ def test_binary_wire_sync_async_and_error(server):
     finally:
         hb.close()
         hj.close()
+
+
+def test_hostile_binary_frame_rejected_and_connection_dropped(server):
+    """A frame with a suspect size (negative or > the reference's 1 GB
+    cap, core/serde.c:703) must get ONE error reply and then a closed
+    connection — the byte stream is unsynchronized after a bad header, so
+    continuing would cascade garbage messages. The server itself must
+    survive for new connections."""
+    import socket
+    import struct
+
+    from rayforce_spark.rayfall import serde as S
+
+    host, port = server.address.split(":")
+    for bad_size in (2**62, -5):
+        with socket.create_connection((host, int(port)), timeout=30) as s:
+            s.settimeout(30)
+            s.sendall(struct.pack("<IBBBBq", S.SERDE_PREFIX, S.VERSION,
+                                  0, 0, 1, bad_size) + b"junk")
+            buf = b""
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break  # server closed after replying
+                buf += chunk
+            # exactly one error reply (flags=1), then EOF
+            assert len(buf) >= 16
+            prefix, _v, flags, _e, msgtype, size = struct.unpack(
+                "<IBBBBq", buf[:16])
+            assert prefix == S.SERDE_PREFIX and flags == 1 and msgtype == 2
+            assert "suspect message size" in S._de_raw(S._Cur(buf[16:16 + size]))
+            assert buf[16 + size:] == b""
+
+    # server still serves fresh connections
+    h = hopen(server.address)
+    try:
+        assert h.write("(+ 20 22)") == 42
+    finally:
+        h.close()
