@@ -819,7 +819,7 @@ def q_dedup_minhash_bench(spark, sf):
         max(2, spark.sparkContext.defaultParallelism // 2))
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
-        threshold=0.5, sig_impl="numpy",
+        threshold=0.5, sig_impl="numpy", reuse_shingles=True,
     )
 
 

@@ -179,6 +179,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
     sig_impl: str = "expr",
+    reuse_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
     Jaccard over the shingle sets.
@@ -194,12 +195,23 @@ def minhash_lsh_pairs(
     :func:`minhash_signature_numpy` (Arrow batches, 3x faster stage,
     measured) — the recall bounds are family-independent, so both
     produce the same verified pair set at bands=num_perm.
-    """
+
+    ``reuse_shingles``: the signature path and the verify path both need
+    the shingle-hash arrays. Default (False) computes them twice — two
+    scan-stage passes, NO array shuffle, the right trade at corpus scale
+    where recompute is cheaper than moving every document's shingle set
+    over the network. True inserts one repartition exchange after the
+    shingle pass so both consumers hang off the SAME subtree and Spark
+    plans a ReusedExchange — shingles are computed once and shuffled
+    once. The right trade for modest corpora (and the bench path)."""
     rows_per_band = num_perm // bands
     shingled_in = with_shingle_hashes(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         "__text", shingle_k, "__bh",
-    )
+    ).select("__id", "__bh")
+    if reuse_shingles:
+        shingled_in = shingled_in.repartition(
+            df.sparkSession.sparkContext.defaultParallelism // 2 or 1)
     if sig_impl == "numpy":
         sig_col = minhash_signature_numpy(num_perm)(F.col("__bh"))
     else:
@@ -251,10 +263,17 @@ def minhash_lsh_pairs(
     # the candidate id set here — that would reference `cand` three times
     # and Spark re-executes the whole candidate subtree per reference;
     # re-shingling all docs once is the cheaper, single-pass plan.
-    texts = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__t")),
-        "__t", shingle_k, "__vsh",
-    ).select("__tid", "__vsh")
+    if reuse_shingles:
+        # byte-identical subtree to the signature path's input, ending in
+        # the same exchange -> ReusedExchange, shingles computed once
+        texts = shingled_in.select(F.col("__id").alias("__tid"),
+                                   F.col("__bh").alias("__vsh"))
+    else:
+        texts = with_shingle_hashes(
+            df.select(F.col(id_col).alias("__tid"),
+                      F.col(text_col).alias("__t")),
+            "__t", shingle_k, "__vsh",
+        ).select("__tid", "__vsh")
     # resolve each pair's two shingle sets with two joins against the SAME
     # texts subtree: the exchanges/broadcasts are byte-identical, so Spark
     # plans a ReusedExchange for the second join — texts is computed and
