@@ -221,7 +221,16 @@ class Interp:
                 return self.env[str(ast)]
             raise RayfallError(f"unbound name: {ast}")
         if isinstance(ast, Vec):
-            return [V.SymVal(e) if isinstance(e, QSym) else self.eval(e) if isinstance(e, (list, Sym)) else e for e in ast]
+            out = [V.SymVal(e) if isinstance(e, QSym) else self.eval(e) if isinstance(e, (list, Sym)) else e for e in ast]
+            # the reference's reader types a vector literal as F64 when ANY
+            # element is a float (ref tests/lang.c test_lang_query:
+            # [0 1 2 3 4 5 6.0] is an all-float Price column) — promote
+            # plain ints; exact `type is` checks keep bools and the typed
+            # wrappers (I16/I32/U8/TimeMs, all int subclasses) untouched
+            if (any(type(e) is float for e in out)
+                    and all(type(e) in (int, float) for e in out)):
+                out = [float(e) for e in out]
+            return out
         if isinstance(ast, DictLit):
             return {k: self.eval(v) for k, v in ast}
         if isinstance(ast, list):

@@ -634,3 +634,19 @@ def test_write_read_csv_roundtrip(it, tmp_path):
               .orderBy("id").collect()
     assert [(r.id, r.sym, r.val) for r in rows2] == [
         (1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+
+
+def test_mixed_numeric_vector_literal_promotes_to_f64(spark):
+    """[0 1 2.0] is an all-float vector in the reference's reader (the
+    r7 fix that closed the last lang.c holdout — tests/lang.c
+    test_lang_query's [0 1 2 3 4 5 6.0] Price column)."""
+    from rayforce_spark.rayfall import eval_str
+
+    v = eval_str("[0 1 2.5]", spark)
+    assert v == [0.0, 1.0, 2.5]
+    assert all(type(x) is float for x in v)
+    # no promotion without a float, for bools, or for non-numeric mixes
+    assert [type(x) for x in eval_str("[0 1 2]", spark)] == [int] * 3
+    assert eval_str("[true false]", spark) == [True, False]
+    mixed = eval_str('[1 "a"]', spark)
+    assert mixed[0] == 1 and type(mixed[0]) is int
