@@ -241,6 +241,28 @@ def main():
     if not ok_l:
         failures.append("dedup_lsh.bucket_join")
 
+    # minhash verify stage (r7 restructure): candidates dedup BEFORE the
+    # verify joins, both joins hash joins (no cartesian/BNLJ), and NO
+    # post-join aggregate carrying shingle arrays (the pre-r7 plan's
+    # 781 MB shuffle)
+    from rayforce_spark.datapipe import minhash_lsh_pairs
+
+    pmh = plan_of(minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
+        threshold=0.5))
+    # the pre-r7 plan re-paired legs with max(CASE WHEN ...) over the
+    # shingle arrays — a whole extra array-carrying exchange (781 MB at
+    # sf0.1); its signature must never reappear
+    ok_m = ("CartesianProduct" not in pmh
+            and "BroadcastNestedLoopJoin" not in pmh
+            and "max(CASE WHEN" not in pmh
+            and "array_intersect" in pmh)
+    print(f"[{'ok' if ok_m else 'VIOLATION'}] minhash.verify_no_array_agg: "
+          f"cartesian={'CartesianProduct' in pmh}, "
+          f"legacy_max_case={'max(CASE WHEN' in pmh}")
+    if not ok_m:
+        failures.append("minhash.verify_no_array_agg")
+
     # 8. no driver-gated query plans a GLOBAL window (empty partition
     # spec = Exchange SinglePartition + full sort — a scale-killer).
     # Walk the optimized logical plan and check Window.partitionSpec
