@@ -128,8 +128,12 @@ def decode_wav(b: bytes):
             sampwidth = wf.getsampwidth()
             n = wf.getnframes()
             raw = wf.readframes(n)
-    except (wave.Error, EOFError) as e:
-        raise CodecError(f"decode_wav: {e}") from e
+    # catch-all, not just wave.Error: the stdlib wave module leaks bare
+    # RuntimeError from Chunk.skip() on truncated chunk data (and could
+    # plausibly raise struct/OS errors on other malformed streams) — the
+    # quarantine contract is "parse or CodecError, nothing else"
+    except Exception as e:
+        raise CodecError(f"decode_wav: {type(e).__name__}: {e}") from e
     if sampwidth == 1:
         arr = np.frombuffer(raw, dtype=np.uint8)
     elif sampwidth == 2:

@@ -86,13 +86,17 @@ def shape_cell(v):
     verb and the IPC reply path) agree and emit the reference's
     TYPE_TIMESTAMP for real timestamp columns. Integer arithmetic on the
     timedelta — float total_seconds() loses sub-ms precision at
-    2026-scale ns magnitudes (> 2^53). Everything else passes through."""
+    2026-scale ns magnitudes (> 2^53). Recurses into list/tuple cells
+    (array<timestamp> columns collect to lists of datetimes). Everything
+    else passes through."""
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         d = v - _EPOCH
         return TsNs((d.days * 86_400 + d.seconds) * 10**9
                     + d.microseconds * 1_000)
+    if isinstance(v, (list, tuple)):
+        return [shape_cell(x) for x in v]
     return v
 
 

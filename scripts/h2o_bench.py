@@ -194,9 +194,8 @@ def main():
     )
     ap.add_argument(
         "--times-json", type=str, default=None,
-        help="with --only: also print per-rep times (not just min) so a "
-             "tail rep is distinguishable from a slow floor; value is a "
-             "label echoed into the JSON line",
+        help="with --only: a label echoed into the investigation JSON "
+             "line (per-rep times are always included there)",
     )
     args = ap.parse_args()
 
@@ -354,21 +353,24 @@ def main():
     fresh = dict(times)
     fresh_history: list[dict] = []
     merged_runs = 1
-    if args.merge:
-        prev_path = os.path.join(DATA, "h2o_bench.json")
-        if not os.path.exists(prev_path):
-            # .h2o/ does not survive workspace resets: re-seed the merge
-            # history from the COMMITTED table so the published
-            # min-of-instances methodology stays continuous (those minima
-            # were measured; losing the scratch json doesn't unmeasure
-            # them)
-            seeded = _seed_from_md()
-            if seeded:
-                with open(prev_path, "w") as f:
-                    json.dump(seeded, f)
-        if os.path.exists(prev_path):
-            with open(prev_path) as f:
-                prev = json.load(f)
+    prev_path = os.path.join(DATA, "h2o_bench.json")
+    if args.merge and not os.path.exists(prev_path):
+        # .h2o/ does not survive workspace resets: re-seed the merge
+        # history from the COMMITTED table so the published
+        # min-of-instances methodology stays continuous (those minima
+        # were measured; losing the scratch json doesn't unmeasure them)
+        seeded = _seed_from_md()
+        if seeded:
+            with open(prev_path, "w") as f:
+                json.dump(seeded, f)
+    if os.path.exists(prev_path):
+        # ALWAYS carry the recorded state forward — the output json is
+        # rewritten unconditionally below, so a run without --merge must
+        # not erase the accumulated fresh_history/minima
+        with open(prev_path) as f:
+            prev = json.load(f)
+        fresh_history = prev.get("fresh_history", [])
+        if args.merge:
             # only fold in a prior minimum when THIS run also succeeded:
             # a query that regressed to outright failure must publish as
             # failed, not silently inherit a stale green time.
@@ -376,7 +378,6 @@ def main():
                 if n in times and ms > 0 and 0 < times[n] and ms < times[n]:
                     times[n] = ms
             merged_runs = prev.get("merged_runs", 1) + 1
-            fresh_history = prev.get("fresh_history", [])
     # per-instance fresh results accumulate (capped to the last 8) so
     # the published fresh column can be a MEDIAN across instances — a
     # single-JVM tail (r6's gq6 at 10.2x) no longer prints as the fresh
@@ -390,10 +391,14 @@ def main():
     # fresh column = per-query MEDIAN across the recorded fresh
     # instances (the r6 gq6 lesson: a single JVM's tail is not a
     # regression signal; the median of several is)
+    import statistics
+
     fresh_med = {}
     for n in fresh:
         vals = sorted(h[n] for h in fresh_history if h.get(n, -1) > 0)
-        fresh_med[n] = vals[len(vals) // 2] if vals else fresh[n]
+        # true median (midpoint average for even counts — the table
+        # legend says MEDIAN, so compute one)
+        fresh_med[n] = round(statistics.median(vals), 1) if vals else fresh[n]
     out = {
         "metric": "h2o_10m_vs_baseline",
         "unit": "ms",
@@ -419,9 +424,15 @@ def main():
     if gq_fresh:
         out["fresh_median_groupby_ratio"] = round(
             gq_fresh[len(gq_fresh) // 2], 2)
-    with open(os.path.join(DATA, "h2o_bench.json"), "w") as f:
-        json.dump(out, f, indent=2)
-    write_md(out)
+    if args.merge:
+        with open(os.path.join(DATA, "h2o_bench.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        write_md(out)
+    else:
+        # report-only: a run without --merge must not overwrite the
+        # recorded instance history or the published BASELINE_CMP table
+        print("[h2o] report-only run (no --merge): state files untouched",
+              file=sys.stderr)
     print(json.dumps(out))
 
 

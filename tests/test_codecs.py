@@ -149,3 +149,14 @@ try:
                 pass
 except ImportError:  # hypothesis is expected in this env, but stay soft
     pass
+
+
+def test_wav_truncated_chunk_raises_codec_error_not_runtimeerror():
+    # stdlib wave leaks bare RuntimeError from Chunk.skip() on truncated
+    # chunk data (r7 review repro) — the quarantine contract is "parse or
+    # CodecError, nothing else", or one bad row kills a whole Spark task
+    hostile = b"RIFF\x9a\x00\x00\x00WAVE" + b"\x01" * 50
+    with pytest.raises(CodecError):
+        decode_wav(hostile)
+    with pytest.raises(CodecError):
+        media_features(hostile, 4)

@@ -211,3 +211,13 @@ def test_ser_verb_handles_timestamp_table_cells(spark):
     out = it.eval_str("(de (ser tt))")
     row = out.collect()[0]
     assert row.id == 1
+
+
+def test_shape_cell_recurses_into_array_cells():
+    # array<timestamp> columns collect to LISTS of datetimes — shaping
+    # must reach inside so both binary surfaces emit TYPE_TIMESTAMP
+    # vectors instead of raising (r7 review repro)
+    cell = [dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)]
+    shaped = S.shape_cell(cell)
+    assert all(isinstance(x, TsNs) for x in shaped)
+    assert S.de_obj(S.ser_obj(shaped)) == shaped
