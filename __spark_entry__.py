@@ -707,7 +707,27 @@ def q_storage_roundtrip(spark, sf):
         F.lit("csv").alias("layout"),
         F.col("n_regionkey").cast("string").alias("key"), "n", "sum_k",
     )
-    return s1.unionByName(s2).unionByName(s3)
+    # bucketed leg (r7): the co-located-join layout goes through the
+    # catalog writer/reader; the aggregation on the bucket key runs on
+    # the bucket-pre-shuffled scan (zero-Exchange plan pinned by
+    # test_bucketed_join_no_exchange — here the VALUES are gated too)
+    from rayforce_spark.sources import get_bucketed, set_bucketed
+
+    (cu,) = _t(spark, sf, "customer")
+    p4 = tempfile.mkdtemp(prefix="rf_bkt_") + "/customer"
+    set_bucketed(
+        cu.select("c_custkey", "c_mktsegment"), "rf_gate_bucketed_customer",
+        "c_mktsegment", n_buckets=4, path=p4,
+    )
+    s4 = select(
+        get_bucketed(spark, "rf_gate_bucketed_customer"),
+        {"n": A.count(), "sum_k": A.sum_("c_custkey")},
+        by="c_mktsegment",
+    ).select(
+        F.lit("bucketed").alias("layout"),
+        F.col("c_mktsegment").alias("key"), "n", "sum_k",
+    )
+    return s1.unionByName(s2).unionByName(s3).unionByName(s4)
 
 
 # -- datapipe: dedup / similarity / text / multimodal -----------------------
@@ -1529,6 +1549,10 @@ ORACLE: dict[str, str] = {
         SELECT 'csv', CAST(n_regionkey AS VARCHAR), count(*),
                CAST(sum(n_nationkey) AS BIGINT)
         FROM nation GROUP BY 2
+        UNION ALL
+        SELECT 'bucketed', c_mktsegment, count(*),
+               CAST(sum(c_custkey) AS BIGINT)
+        FROM customer GROUP BY 2
     """,
     "dedup_exact": """
         SELECT doc_id, lang, source FROM (
