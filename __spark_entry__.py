@@ -727,7 +727,23 @@ def q_storage_roundtrip(spark, sf):
         F.lit("bucketed").alias("layout"),
         F.col("c_mktsegment").alias("key"), "n", "sum_k",
     )
-    return s1.unionByName(s2).unionByName(s3).unionByName(s4)
+    # journal leg (r7): append-only JSON-lines log, distributed write +
+    # batch replay (the reference's hopen+write / read loop)
+    from rayforce_spark.streaming import Journal, replay_journal
+
+    p5 = tempfile.mkdtemp(prefix="rf_jrnl_") + "/events"
+    jschema = "event_id long, event_type string"
+    Journal(p5, jschema).append_df(ev.select("event_id", "event_type"))
+    s5 = select(
+        replay_journal(spark, p5, jschema),
+        {"n": A.count(), "sum_k": A.sum_("event_id")},
+        by="event_type",
+    ).select(
+        F.lit("journal").alias("layout"),
+        F.col("event_type").alias("key"), "n", "sum_k",
+    )
+    return (s1.unionByName(s2).unionByName(s3)
+            .unionByName(s4).unionByName(s5))
 
 
 # -- datapipe: dedup / similarity / text / multimodal -----------------------
@@ -1553,6 +1569,10 @@ ORACLE: dict[str, str] = {
         SELECT 'bucketed', c_mktsegment, count(*),
                CAST(sum(c_custkey) AS BIGINT)
         FROM customer GROUP BY 2
+        UNION ALL
+        SELECT 'journal', event_type, count(*),
+               CAST(sum(event_id) AS BIGINT)
+        FROM events GROUP BY 2
     """,
     "dedup_exact": """
         SELECT doc_id, lang, source FROM (
