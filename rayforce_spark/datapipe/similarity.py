@@ -183,6 +183,11 @@ def ivf_train(
         [float(x) for x in r["__v"]]
         for r in sample.limit(nlist).collect()
     ]
+    if not centroids:
+        # empty corpus: no centroids to train — callers (knn_ivf) handle
+        # [] by returning no neighbors; running Lloyd's would build a
+        # zero-column F.array() whose element type cannot resolve
+        return centroids
     # per-cluster mean as ONE vector aggregate (ml.stat.Summarizer over
     # array_to_vector), not a per-dimension F.avg column: a 768-dim
     # embedding would otherwise plan 768 aggregate expressions per
@@ -236,6 +241,18 @@ def knn_ivf(
     if centroids is None:
         centroids = ivf_train(
             corpus, vec_col, id_col, nlist=nlist, iters=iters
+        )
+    if not centroids:
+        # empty corpus trains zero centroids; F.array() of no columns has
+        # no element type and breaks _nearest — the correct result is
+        # simply no neighbors, with the contract schema (dtypes derived
+        # from the inputs, not hardcoded)
+        return (
+            queries.select(F.col(qid).alias("query_id")).limit(0)
+            .withColumn("neighbor_id",
+                        F.lit(None).cast(corpus.schema[id_col].dataType))
+            .withColumn("cos", F.lit(0.0))
+            .withColumn("rank", F.lit(1))
         )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")

@@ -36,10 +36,15 @@ def set_parted(
     out = df
     if part_expr is not None:
         out = out.withColumn(part_col, part_expr)
+    from rayforce_spark.sources._sidecar import write_schema_sidecar
+
     writer = out.repartition(part_col).write.partitionBy(part_col)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path, mode=mode)
+    # partitionBy writes NO files at all for a zero-row frame — record
+    # the schema (partition column included) so the read side still works
+    write_schema_sidecar(out, path)
 
 
 def get_parted(spark: SparkSession, path: str) -> DataFrame:
@@ -47,5 +52,15 @@ def get_parted(spark: SparkSession, path: str) -> DataFrame:
     derived), and filters on it prune directories before any IO —
     the Spark analog of the reference skipping empty partition entries
     (ref core/index.c:2203-2221)."""
+    from pyspark.errors import AnalysisException
+
+    from rayforce_spark.sources._sidecar import read_schema_sidecar
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.option("basePath", path).parquet(path)
+    try:
+        return spark.read.option("basePath", path).parquet(path)
+    except AnalysisException:
+        schema = read_schema_sidecar(spark, path)
+        if schema is None:
+            raise
+        return spark.read.schema(schema).option("basePath", path).parquet(path)

@@ -23,13 +23,29 @@ def set_splayed(df: DataFrame, path: str, *, mode: str = "overwrite",
     time-sorted splays (better run-length/dictionary compression + rowgroup
     min/max pruning on the sort key at read time).
     """
+    from rayforce_spark.sources._sidecar import write_schema_sidecar
+
     out = df
     if sort_within_partitions_by:
         out = out.sortWithinPartitions(*sort_within_partitions_by)
     out.write.parquet(path, mode=mode)
+    # the `.d` analog (ref core/io.c:1194): a zero-row write still reads
+    # back with the right schema
+    write_schema_sidecar(out, path)
 
 
 def get_splayed(spark: SparkSession, path: str) -> DataFrame:
-    """Load a splayed (Parquet) table — lazy, column-pruned, mmap-free."""
+    """Load a splayed (Parquet) table — lazy, column-pruned, mmap-free.
+    An empty splay (no data files) reads back via the schema sidecar."""
+    from pyspark.errors import AnalysisException
+
+    from rayforce_spark.sources._sidecar import read_schema_sidecar
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path)
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        schema = read_schema_sidecar(spark, path)
+        if schema is None:
+            raise
+        return spark.read.schema(schema).parquet(path)

@@ -281,3 +281,37 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert [r.doc_id for r in rows] == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_empty_parted_and_splayed_read_back(spark, tmp_path):
+    """A zero-row write is legal (aggressive filter, fresh ingest dir);
+    partitionBy writes no files at all for it, so the readers fall back
+    to the schema sidecar (the reference's .d analog) — r7 EDGECHECK."""
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.sources import (
+        get_parted, get_splayed, set_parted, set_splayed)
+
+    empty = spark.createDataFrame([], "k long, v double, ts timestamp")
+    p1 = str(tmp_path / "splay")
+    set_splayed(empty, p1)
+    back = get_splayed(spark, p1)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["k", "v", "ts"]
+
+    p2 = str(tmp_path / "part")
+    set_parted(empty, p2, "date", part_expr=F.to_date("ts"))
+    back2 = get_parted(spark, p2)
+    assert back2.count() == 0
+    assert "date" in back2.columns
+
+
+def test_ivf_on_empty_corpus_returns_no_neighbors(spark):
+    from rayforce_spark.datapipe.similarity import ivf_train, knn_ivf
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_train(empty, "embedding", "vec_id", nlist=4, iters=2) == []
+    out = knn_ivf(empty, empty, "embedding", "vec_id", k=3,
+                  nlist=4, nprobe=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
