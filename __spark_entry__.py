@@ -715,6 +715,9 @@ def q_storage_roundtrip(spark, sf):
 
     (cu,) = _t(spark, sf, "customer")
     p4 = tempfile.mkdtemp(prefix="rf_bkt_") + "/customer"
+    # re-entrancy: each call writes a fresh temp location, so drop any
+    # prior catalog entry pointing at the old one before overwriting
+    spark.sql("DROP TABLE IF EXISTS rf_gate_bucketed_customer")
     set_bucketed(
         cu.select("c_custkey", "c_mktsegment"), "rf_gate_bucketed_customer",
         "c_mktsegment", n_buckets=4, path=p4,
