@@ -904,7 +904,8 @@ def q_dedup_embedding(spark, sf):
         e, "embedding", "vec_id", threshold=0.4, impl="pandas"
     ).withColumn("cos", F.round("cos", 6))
     prod = embedding_dup_pairs_lsh(
-        e, "embedding", "vec_id", threshold=0.4, dim=64, planes=2, tables=12
+        e, "embedding", "vec_id", threshold=0.4, dim=64, planes=2, tables=12,
+        impl="pandas",
     )
     return _recall_gate(exact, prod, ["id_a", "id_b"], 90)
 

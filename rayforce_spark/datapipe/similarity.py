@@ -295,13 +295,18 @@ def knn_lsh(
     """Approximate top-k: random-hyperplane LSH candidate retrieval +
     exact cosine re-rank. Each side computes ``tables`` bucket keys; the
     join is on (table, key) — a plain shuffle join Catalyst/AQE can
-    broadcast or skew-split. Returns (query_id, neighbor_id, cos, rank)."""
+    broadcast or skew-split. Candidate retrieval and the multi-table
+    dropDuplicates are SLIM (id pairs only); vectors re-attach after the
+    dedup via per-side hash joins, so vector bytes move O(n) per side,
+    not O(candidate pairs). Returns (query_id, neighbor_id, cos, rank)."""
     qid = query_id_col or id_col
 
-    def with_buckets(df, idc, out_id):
-        sel = df.select(
+    def payload(df, idc, out_id):
+        return df.select(
             F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_v")
         ).withColumn(f"__{out_id}_n", norm_units(F.col(f"__{out_id}_v")))
+
+    def slim_buckets(sel, out_id):
         buckets = F.array(*[
             F.struct(
                 F.lit(t).alias("tbl"),
@@ -310,16 +315,17 @@ def knn_lsh(
             )
             for t in range(tables)
         ])
-        return sel.select(
-            out_id, f"__{out_id}_v", f"__{out_id}_n",
-            F.explode(buckets).alias("bk"),
-        ).select(out_id, f"__{out_id}_v", f"__{out_id}_n", "bk.tbl", "bk.key")
+        return sel.select(out_id, F.explode(buckets).alias("bk")) \
+                  .select(out_id, "bk.tbl", "bk.key")
 
-    qb = with_buckets(queries, qid, "query_id")
-    cb = with_buckets(corpus, id_col, "neighbor_id")
+    qp = payload(queries, qid, "query_id")
+    cp = payload(corpus, id_col, "neighbor_id")
     cand = (
-        qb.join(cb, ["tbl", "key"])
+        slim_buckets(qp, "query_id")
+        .join(slim_buckets(cp, "neighbor_id"), ["tbl", "key"])
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(qp, "query_id").join(cp, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
             cosine_from_units(
@@ -347,11 +353,18 @@ def embedding_dup_pairs_lsh(
     planes: int = 4,
     tables: int = 8,
     seed: int = 42,
+    impl: str = "expr",
 ) -> DataFrame:
     """Corpus-scale embedding near-duplicate pairs: hyperplane-LSH
     candidate buckets + exact cosine verification — the scale path for
     ``dedup.embedding_dup_pairs`` (which is the O(n²) all-pairs
     verifier). Returns (id_a, id_b, cos), cos >= threshold.
+
+    ``impl="pandas"`` scores candidates with the Arrow-vectorized
+    fixed-point scorer (bit-identical to the expression fold — pinned
+    by test_embedding_pandas_impl_bit_equal): Spark evaluates
+    higher-order array lambdas interpreted per element, so at millions
+    of candidate pairs the numpy batch math is ~10× cheaper per pair.
 
     Recall: a pair at angle θ = acos(threshold) collides in one table
     with probability (1 - θ/π)^planes; the overall miss probability is
@@ -360,12 +373,16 @@ def embedding_dup_pairs_lsh(
     4-plane/8-table default trades a few-per-mille miss rate for ~16×
     smaller candidate buckets.
 
-    Scale: the shuffle carries (id, 8-byte bucket key, vector) — one
-    exchange per side on (table, key), then exact cosine only on
-    candidates. Hot buckets ARE near-duplicate mass (the pairs we want),
-    so bucket skew is signal; AQE splits oversized partitions, and the
-    pair-level dropDuplicates keeps multi-table collisions from
-    re-verifying the same pair.
+    Scale: candidate generation is SLIM — the bucket self-join and the
+    multi-table dropDuplicates move only (id_a, id_b) 16-byte rows (the
+    r7 minhash lesson: deduping pairs that still carry their payload
+    shuffles O(candidates × vector) bytes — measured 550 MB at sf0.1,
+    ~37× the slim plan). Vectors re-attach AFTER the dedup via two hash
+    joins against ONE (id, vector, norm) subtree (ReusedExchange /
+    runtime broadcast), so vector bytes cross the wire O(n) — once per
+    side — not O(candidate pairs). Hot buckets ARE near-duplicate mass
+    (the pairs we want), so bucket skew is signal; AQE splits oversized
+    partitions.
     """
     sel = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
@@ -378,8 +395,11 @@ def embedding_dup_pairs_lsh(
         )
         for t in range(tables)
     ])
-    b = sel.select("__id", "__v", "__nu", F.explode(buckets).alias("bk")) \
-           .select("__id", "__v", "__nu", "bk.tbl", "bk.key")
+    # slim candidate ids: the vector column is pruned before the
+    # self-join, so the (tbl, key) exchange and the pair-level
+    # dropDuplicates carry ids only
+    b = sel.select("__id", F.explode(buckets).alias("bk")) \
+           .select("__id", "bk.tbl", "bk.key")
     cand = (
         b.alias("a")
         .join(
@@ -388,17 +408,35 @@ def embedding_dup_pairs_lsh(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb"),
-            F.col("a.__nu").alias("__na"), F.col("b.__nu").alias("__nb"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b",
-        cosine_from_units(
-            dot_units(F.col("__va"), F.col("__vb")),
-            F.col("__na"), F.col("__nb"),
-        ).alias("cos"),
-    ).filter(F.col("cos") >= threshold)
+    if impl == "pandas":
+        from rayforce_spark.datapipe.dedup import _cosine_units_pandas
+
+        cos_fn = _cosine_units_pandas()
+        pa = sel.select(F.col("__id").alias("id_a"),
+                        F.col("__v").alias("__va"))
+        pb = sel.select(F.col("__id").alias("id_b"),
+                        F.col("__v").alias("__vb"))
+        return (
+            cand.join(pa, "id_a").join(pb, "id_b")
+            .select("id_a", "id_b",
+                    cos_fn(F.col("__va"), F.col("__vb")).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+    pa = sel.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                    F.col("__nu").alias("__na"))
+    pb = sel.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                    F.col("__nu").alias("__nb"))
+    return (
+        cand.join(pa, "id_a").join(pb, "id_b")
+        .select(
+            "id_a", "id_b",
+            cosine_from_units(
+                dot_units(F.col("__va"), F.col("__vb")),
+                F.col("__na"), F.col("__nb"),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -233,11 +233,18 @@ def main():
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     plsh = plan_of(embedding_dup_pairs_lsh(
         emb, "embedding", "vec_id", threshold=0.9, dim=64))
+    # slim-pair candidates (r7): the multi-table dropDuplicates must NOT
+    # carry vectors/norms through its aggregate (the pre-fix plan's
+    # first(__va)/first(__nu) signature — 550 MB shuffle at sf0.1);
+    # vectors re-attach via hash joins after the dedup
     ok_l = ("CartesianProduct" not in plsh
-            and "BroadcastNestedLoopJoin" not in plsh)
+            and "BroadcastNestedLoopJoin" not in plsh
+            and "first(__v" not in plsh
+            and "first(__n" not in plsh)
     print(f"[{'ok' if ok_l else 'VIOLATION'}] dedup_lsh.bucket_join: "
           f"cartesian={'CartesianProduct' in plsh}, "
-          f"bnlj={'BroadcastNestedLoopJoin' in plsh}")
+          f"bnlj={'BroadcastNestedLoopJoin' in plsh}, "
+          f"fat_dedup={'first(__v' in plsh or 'first(__n' in plsh}")
     if not ok_l:
         failures.append("dedup_lsh.bucket_join")
 
