@@ -55,6 +55,15 @@ def main():
 
     t0 = time.time()
     results = run(sf_dir, skip=SKIP, smoke=False)
+    if "dedup_clusters" in results:
+        # Replace the skip row with the split verifier's real result:
+        # clustering over the full sf0.1 pair graph vs a DuckDB
+        # label-propagation twin (pair generation has separate
+        # prefix==brute property-test evidence; only DuckDB's raw
+        # word-level oracle is intractable here).
+        import scalecheck_clusters
+
+        results["dedup_clusters"] = scalecheck_clusters.run(sf_dir)
     by_status: dict[str, int] = {}
     for r in results.values():
         by_status[r["status"]] = by_status.get(r["status"], 0) + 1
