@@ -124,10 +124,27 @@ class RayfallServer:
 
         class _Handler(socketserver.StreamRequestHandler):
             def handle(self):
+                fresh = True
                 while True:
                     first = self.rfile.read(1)
                     if not first:
                         return
+                    if fresh and first[0] not in (_BIN_FIRST, 0x7B):
+                        # reference clients open with a 2-byte handshake
+                        # [version, 0x00] and expect one version byte
+                        # back (core/ipc.c ipc_open / ipc_read_handshake)
+                        # — never valid JSON ('{' = 0x7b) or a binary
+                        # frame (0xfa first)
+                        from rayforce_spark.rayfall import serde as S
+
+                        nul = self.rfile.read(1)
+                        if nul != b"\x00":
+                            return  # junk opener: drop the connection
+                        self.wfile.write(bytes([S.VERSION]))
+                        self.wfile.flush()
+                        fresh = False
+                        continue
+                    fresh = False
                     if first[0] == _BIN_FIRST:
                         if self._handle_binary(first) is False:
                             return  # unsynced stream: close connection
@@ -174,8 +191,11 @@ class RayfallServer:
                 except Exception as e:  # noqa: BLE001 - reply, don't die
                     if msgtype == 0:
                         return
-                    # flags=1 marks an error reply; payload is the message
-                    payload = S.ser_raw(f"{type(e).__name__}: {e}")
+                    # flags=1 marks an error reply; the payload is a
+                    # TYPE_ERR object so the reference's own client can
+                    # decode it too (it ignores flags)
+                    payload = S.ser_raw(
+                        S.ErrVal.user(f"{type(e).__name__}: {e}"))
                     import struct
 
                     reply = struct.pack(
@@ -230,6 +250,18 @@ class Handle:
             timeout=(timeout_ms / 1000 if timeout_ms else None),
         )
         self._rfile = self._sock.makefile("rb")
+        if binary:
+            # the reference's connection handshake (core/ipc.c ipc_open,
+            # Unix path): client sends [version, 0x00], server replies
+            # one version byte. Interop-tested against the real binary
+            # (tests/test_ref_interop.py).
+            from rayforce_spark.rayfall import serde as S
+
+            self._sock.sendall(bytes([S.VERSION, 0]))
+            resp = self._rfile.read(1)
+            if len(resp) != 1:
+                raise RuntimeError("ipc: connection closed in handshake")
+            self.server_version = resp[0]
 
     def write(self, expr: str):
         """Sync eval: block for the reply (docs IPC.md "Sync Messages")."""
@@ -244,7 +276,10 @@ class Handle:
                 raise RuntimeError("ipc: connection closed mid-reply")
             _p, _v, flags, _e, _mt, size = struct.unpack("<IBBBBq", header)
             val = S.de_obj(header + self._rfile.read(size))
-            if flags & 1:
+            # two error conventions on the wire: our server marks errors
+            # in the header flags; the reference replies a TYPE_ERR
+            # object (core/serde.c:319) with flags clear
+            if flags & 1 or isinstance(val, S.ErrVal):
                 raise RuntimeError(f"remote error: {val}")
             return val
         self._sock.sendall(json.dumps({"q": expr}).encode() + b"\n")

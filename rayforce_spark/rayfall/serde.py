@@ -45,6 +45,12 @@ VERSION = 0 >> 3 | 1  # ref core/def.h:29 (major 0, minor 1)
 T_LIST, T_B8, T_U8, T_I16, T_I32, T_I64, T_SYMBOL = 0, 1, 2, 3, 4, 5, 6
 T_DATE, T_TIME, T_TIMESTAMP, T_F64, T_GUID, T_C8 = 7, 8, 9, 10, 11, 12
 T_TABLE, T_DICT, T_NULL = 98, 99, 126
+T_ERR = 127  # ref core/rayforce.h:95
+
+# ref core/error.h err_code_t
+EC_NAMES = ("ok", "type", "arity", "length", "domain", "index", "value",
+            "limit", "os", "parse", "nyi", "user")
+EC_USER = 11
 
 _DATE0 = _dt.date(2000, 1, 1)
 
@@ -58,7 +64,36 @@ class Table(dict):
     TYPE_TABLE tag (98) instead of TYPE_DICT (99) — the reference's
     table-on-the-wire shape (ref core/serde.c:302: a table IS its
     keys object + values object, same layout as dict, different tag)."""
+
     __slots__ = ()
+
+
+class ErrVal:
+    """An error object on the wire (TYPE_ERR=127, ref core/serde.c:319):
+    code byte + 8-byte context + NUL-terminated message iff EC_USER.
+    The reference replies to a failed sync eval with one of these —
+    interop-tested live against the built binary."""
+
+    __slots__ = ("code", "ctx", "msg")
+
+    def __init__(self, code: int, ctx: int = 0, msg: str | None = None):
+        self.code, self.ctx, self.msg = code, ctx, msg
+
+    @classmethod
+    def user(cls, msg: str) -> "ErrVal":
+        return cls(EC_USER, 0, msg)
+
+    def __str__(self):
+        name = (EC_NAMES[self.code] if 0 <= self.code < len(EC_NAMES)
+                else str(self.code))
+        return f"'{self.msg}" if self.code == EC_USER else f"'{name}"
+
+    def __repr__(self):
+        return f"ErrVal({self.code}, {self.ctx}, {self.msg!r})"
+
+    def __eq__(self, other):
+        return (isinstance(other, ErrVal) and self.code == other.code
+                and self.ctx == other.ctx and self.msg == other.msg)
 
 
 # -- ser --------------------------------------------------------------------
@@ -165,6 +200,11 @@ def ser_raw(x) -> bytes:
     """One object -> tag-length-payload bytes (ref core/serde.c:166)."""
     if x is None:
         return struct.pack("<b", T_NULL)
+    if isinstance(x, ErrVal):
+        out = struct.pack("<bBq", T_ERR, x.code & 0xFF, x.ctx)
+        if x.code == EC_USER:
+            out += (x.msg or "").encode("utf-8") + b"\x00"
+        return out
     if isinstance(x, dict):
         # DICT/TABLE = serialized keys object + values object (serde.c:302)
         keys = [SymVal(k) if isinstance(k, str) else k for k in x.keys()]
@@ -241,6 +281,10 @@ def _de_raw(c: _Cur):
     (tag,) = struct.unpack("<b", c.take(1))
     if tag == T_NULL:
         return None
+    if tag == T_ERR:
+        code = c.take(1)[0]
+        (ctx,) = struct.unpack("<q", c.take(8))
+        return ErrVal(code, ctx, c.cstr() if code == EC_USER else None)
     if tag < 0:  # atom
         if tag == -T_B8:
             return c.take(1) != b"\x00"

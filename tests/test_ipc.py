@@ -151,7 +151,11 @@ def test_hostile_binary_frame_rejected_and_connection_dropped(server):
             prefix, _v, flags, _e, msgtype, size = struct.unpack(
                 "<IBBBBq", buf[:16])
             assert prefix == S.SERDE_PREFIX and flags == 1 and msgtype == 2
-            assert "suspect message size" in S._de_raw(S._Cur(buf[16:16 + size]))
+            # error replies carry a TYPE_ERR object (decodable by the
+            # reference's own client too)
+            err = S._de_raw(S._Cur(buf[16:16 + size]))
+            assert isinstance(err, S.ErrVal)
+            assert "suspect message size" in (err.msg or "")
             assert buf[16 + size:] == b""
 
     # server still serves fresh connections

@@ -221,3 +221,21 @@ def test_shape_cell_recurses_into_array_cells():
     shaped = S.shape_cell(cell)
     assert all(isinstance(x, TsNs) for x in shaped)
     assert S.de_obj(S.ser_obj(shaped)) == shaped
+
+
+def test_errval_wire_layout_and_roundtrip():
+    # TYPE_ERR=127 (ref core/serde.c:319): tag + code byte + 8-byte
+    # context + NUL-terminated message iff EC_USER. Live-decode against
+    # the real binary is in test_ref_interop.py; this pins the layout.
+    import struct
+
+    e = S.ErrVal.user("boom")
+    raw = S.ser_raw(e)
+    assert raw[0] == 127 and raw[1] == S.EC_USER
+    assert struct.unpack("<q", raw[2:10])[0] == 0
+    assert raw[10:] == b"boom\x00"
+    assert S.de_obj(S.ser_obj(e)) == e
+    # non-USER codes carry no message
+    ev = S.ErrVal(6, 42)  # EC_VALUE with context
+    assert S.de_obj(S.ser_obj(ev)) == ev
+    assert str(ev) == "'value"
