@@ -80,7 +80,8 @@ def spawn_reference_server(port: int | None = None,
     port = port or _free_port()
     master, slave = pty.openpty()
     proc = subprocess.Popen([REFERENCE_BIN, "-p", str(port)],
-                            stdin=slave, stdout=slave, stderr=slave)
+                            stdin=slave, stdout=slave, stderr=slave,
+                            cwd="/tmp")  # its REPL drops .rayhist.dat in cwd
     os.close(slave)
     deadline = time.time() + timeout
     while time.time() < deadline:

@@ -659,6 +659,8 @@ class Interp:
             fn = self._fn_arg(args[0])
             x = self.eval(args[1])
             if fn is not None:
+                if not x:
+                    return x  # (fold f []) -> [] (live-probed)
                 out = x[0]
                 for v in x[1:]:
                     out = fn(out, v)
@@ -667,6 +669,26 @@ class Interp:
             if fname in ("min", "max"):
                 return V.vagg(fname, x)
             raise RayfallError(f"fold: unsupported verb {fname}")
+        if head == "scan":
+            # seedless running fold: (scan (fn [a x] (+ a x)) [1 2 3])
+            # -> [1 3 6] — live-probed against the built binary (the
+            # verb is registered in ref core/env.c but has no lang.c or
+            # docs coverage; scripts/ref_diff.py pins the behavior)
+            fn = self._fn_arg(args[0])
+            x = self.eval(args[1])
+            if fn is not None:
+                out, acc = [], None
+                for i, v in enumerate(x):
+                    acc = v if i == 0 else fn(acc, v)
+                    out.append(acc)
+                return out
+            fname = str(args[0])
+            if fname in ("min", "max"):
+                # the binary's (scan max v) returns the AGGREGATE (its
+                # min/max dispatch to the vector form before scan sees
+                # them) — mirror that quirk for parity
+                return V.vagg(fname, x)
+            raise RayfallError(f"scan: unsupported verb {fname}")
         if head == "alter":
             return self._eval_alter(args)
 

@@ -323,13 +323,18 @@ def reverse_(x) -> list:
 
 
 def distinct_(x):
-    """Distinct (ref tests/lang.c): nulls drop; u8/char values come back
-    in ascending bucket order (the reference's 256-entry table), wider
-    types keep first-occurrence order."""
+    """Distinct (ref tests/lang.c): nulls drop; numeric/temporal values
+    come back in ASCENDING order — live-probed against the built binary
+    (scripts/ref_diff.py): (distinct [3 1 2 1]) -> [1 2 3], bools/dates
+    sort too, matching the lang.c u8 fixture [0x10 0x12]. Symbols keep
+    first-occurrence order (the reference sorts by intern id, which
+    equals appearance order), as do lists/strings-as-elements."""
     if isinstance(x, str) and not isinstance(x, SymVal):
         return "".join(sorted(dict.fromkeys(x)))
     vals = [v for v in x if v is not None]
-    if vals and all(isinstance(v, U8) for v in vals):
+    if vals and not any(isinstance(v, SymVal) for v in vals) and (
+            all(isinstance(v, (bool, int, float)) for v in vals)
+            or all(isinstance(v, _dt.date) for v in vals)):
         return sorted(dict.fromkeys(vals))
     seen = {}
     for v in vals:
@@ -672,12 +677,18 @@ def except_(a, b) -> list:
 
 
 def union_(a: list, b: list) -> list:
-    return list(dict.fromkeys(list(a) + list(b)))
+    # union IS distinct-of-concat in the reference: numeric unions sort
+    # ((union [3 1] [2 1]) -> [1 2 3], live-probed), symbol unions keep
+    # appearance order (lang.c: (union ['a 'b] ['b 'c]) -> [a b c])
+    return distinct_(list(a) + list(b))
 
 
 def sect_(a: list, b: list) -> list:
+    # dup-preserving, appearance-ordered: (sect [5 10 -1 3 5 2]
+    # [3 5 0 -1]) -> [5 -1 3 5] (live-probed; lang.c's sect fixtures
+    # are dup-free so both readings pass them)
     bs = set(b)
-    return list(dict.fromkeys(v for v in a if v in bs))
+    return [v for v in a if v in bs]
 
 
 def in_(a, b):
@@ -808,21 +819,44 @@ def xbar_vals(n, x):
     ((xbar 2020.01.01 2i) -> 2019.12.31)."""
     import math
 
+    def ibar(v, nn):
+        # ref ops.h XBARI64: y==0 -> null; ((x<0) ? (x+1-y) : x)/y*y
+        # with C TRUNCATING division ((xbar 1 -2) -> 0, (xbar -5 3) ->
+        # -6 — live-probed + lang.c:2411)
+        if nn == 0:
+            return None
+        a = v + 1 - nn if v < 0 else v
+        q = abs(a) // abs(nn)
+        if (a < 0) != (nn < 0):
+            q = -q
+        return nn * q
+
     def one(v, nn):
         if v is None or nn is None:
             return None
         if isinstance(v, _dt.date):
+            if int(nn) == 0:
+                return None
             d2k = (v - _dt.date(2000, 1, 1)).days
             return _dt.date(2000, 1, 1) + _dt.timedelta(
                 days=(d2k // int(nn)) * int(nn))
         if isinstance(v, TimeMs):
+            if int(nn) == 0:
+                return None
             return TimeMs((int(v) // int(nn)) * int(nn))
         if isinstance(v, TsNs):
             step = int(nn) * (1_000_000 if isinstance(nn, TimeMs) else 1)
+            if step == 0:
+                return None
             return TsNs((int(v) // step) * step)
         if isinstance(nn, float):
+            # ref ops.h XBARF64: FLOOR(x/y)*y, nan -> null
+            if nn == 0.0 or v != v:
+                return None
             return float(nn * math.floor(v / nn))
-        q = int(nn) * (int(v) // int(nn))
+        q = ibar(int(v), int(nn))
+        if q is None:
+            return None
         if isinstance(nn, I32):
             return I32(q)
         if isinstance(nn, I16):

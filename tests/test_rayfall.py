@@ -650,3 +650,49 @@ def test_mixed_numeric_vector_literal_promotes_to_f64(spark):
     assert eval_str("[true false]", spark) == [True, False]
     mixed = eval_str('[1 "a"]', spark)
     assert mixed[0] == 1 and type(mixed[0]) is int
+
+
+# -- live-probed reference semantics (scripts/ref_diff.py, r7) --------------
+# pinned here so they hold without the built binary present
+
+
+def test_distinct_union_numeric_sorted():
+    v = Interp(None)
+    # (distinct [3 1 2 1]) -> [1 2 3]: numeric distinct SORTS (matches
+    # lang.c's u8 fixture [0x10 0x12]; live-probed for i64/bool/date)
+    assert v.eval_str("(distinct [3 1 2 1])") == [1, 2, 3]
+    assert v.eval_str("(distinct [false true false])") == [False, True]
+    assert v.eval_str("(union [3 1] [2 1])") == [1, 2, 3]
+    # symbols keep appearance order (intern-id order == appearance)
+    assert [str(s) for s in v.eval_str("(distinct ['b 'a 'c 'b])")] == [
+        "b", "a", "c"]
+    assert [str(s) for s in v.eval_str("(union ['a 'b] ['b 'c])")] == [
+        "a", "b", "c"]
+
+
+def test_sect_preserves_left_duplicates():
+    v = Interp(None)
+    assert v.eval_str("(sect [5 10 -1 3 5 2] [3 5 0 -1])") == [5, -1, 3, 5]
+    assert v.eval_str("(sect [1 2 3] [4 5 6])") == []
+
+
+def test_xbar_zero_width_null_and_trunc_division():
+    v = Interp(None)
+    # ref ops.h XBARI64: y==0 -> null; ((x<0)?(x+1-y):x)/y*y, C-trunc
+    assert v.eval_str("(xbar 3 (til 7))") == [None, 3, 2, 3, 0, 0, 0]
+    assert v.eval_str("(xbar 1 [3 -2 0 10])") == [0, 0, None, 0]
+    assert v.eval_str("(xbar (- (til 10) 5) 3)") == [
+        -6, -6, -3, -3, -3, 0, 0, 0, 3, 3]
+
+
+def test_scan_seedless_running_fold():
+    v = Interp(None)
+    assert v.eval_str("(scan (fn [a x] (+ a x)) [1 2 3])") == [1, 3, 6]
+    assert v.eval_str("(scan (fn [a x] (+ a x)) [])") == []
+    # the binary's (scan max v) dispatches min/max to the vector form
+    assert v.eval_str("(scan max [1 5 2 4])") == 5
+
+
+def test_fold_empty_returns_empty():
+    v = Interp(None)
+    assert v.eval_str("(fold (fn [a x] (+ a x)) [])") == []

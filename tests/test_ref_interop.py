@@ -101,7 +101,7 @@ def test_reference_client_connects_to_our_server():
     srv = RayfallServer(None).start()  # pure-value evals need no Spark
     master, slave = pty.openpty()
     proc = subprocess.Popen([REFERENCE_BIN], stdin=slave,
-                            stdout=slave, stderr=slave)
+                            stdout=slave, stderr=slave, cwd="/tmp")
     os.close(slave)
 
     def read_until(needle: bytes, timeout: float = 20.0) -> bytes:
