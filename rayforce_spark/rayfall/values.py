@@ -318,7 +318,11 @@ def concat(a, b):
     return av + bv
 
 
-def reverse_(x) -> list:
+def reverse_(x):
+    # a string is a CHAR VECTOR: (reverse "abc") -> "cba" (live-probed;
+    # same convention as distinct_)
+    if isinstance(x, str) and not isinstance(x, SymVal):
+        return x[::-1]
     return list(reversed(x))
 
 
@@ -760,7 +764,10 @@ def within_vals(x, bounds: list):
     lo, hi = bounds
     if _is_vec(x):
         return [lo <= v <= hi for v in x]
-    return lo <= x <= hi
+    # an atom comes back as a one-element boolean vector, same as the
+    # reference ((within 15 [10 20]) -> [true], live-probed; lang.c
+    # only pins the vector forms)
+    return [lo <= x <= hi]
 
 
 # ---------------------------------------------------------------------------

@@ -95,7 +95,11 @@ def g_scalar_expr(r, depth):
         f"(neg {a})", f"(floor {g_float(r)})", f"(ceil {g_float(r)})",
         f"(round {g_float(r)})",
         f"(sum {v})", f"(avg {v})", f"(count {v})",
-        f"(first {v})", f"(last {v})", f"(med {v})",
+        f"(first {v})", f"(last {v})",
+        # med only over int vectors: the reference rejects F64 med with
+        # 'type (ours accepts — documented superset, kept out of the
+        # fuzz to preserve signal)
+        f"(med {g_ivec(r, max(0, depth - 1))})",
         f"(min {v})", f"(max {v})",
     ])
 
@@ -132,12 +136,63 @@ def g_vec_expr(r, depth):
     ])
 
 
+_STRS = ['"hello"', '"a,b,c"', '"test"', '"xyx"', '"Spark SQL"', '""',
+         '"aab,ba"']
+_PATS = ['"h*"', '"*a*"', '"t?st"', '"*"', '"x*x"']
+
+
+def g_str_expr(r):
+    s = r.choice(_STRS)
+    return r.choice([
+        f"(reverse {s})",
+        f"(concat {s} {r.choice(_STRS)})",
+        f"(split {s} \",\")",
+        f"(like {s} {r.choice(_PATS)})",
+        f"(count {s})",
+        f"(distinct {s})",
+        f'(format "%-%" {g_int(r)} {s})',
+        f"(take {s} {r.randint(1, 9)})",
+        f"(at {s} {r.randint(0, 3)})",
+    ])
+
+
+def g_misc_expr(r):
+    w = g_ivec(r, 1)
+    sorted_lit = "[" + " ".join(
+        str(v) for v in sorted(r.sample(range(-5, 40), r.randint(2, 5)))
+    ) + "]"
+    lo = r.randint(-5, 10)
+    t = r.choice(["09:00:00", "10:20:30.400", "23:59:59.999"])
+    d = r.choice(["2020.01.05", "2012.12.12", "1999.12.31"])
+    return r.choice([
+        f"(bin {sorted_lit} {g_int(r)})",
+        f"(binr {sorted_lit} {g_int(r)})",
+        f"(within {w} [{lo} {lo + r.randint(0, 20)}])",
+        f"(group {w})",
+        f"(group (concat {w} {w}))",
+        f"(key (dict [a b c] (list {g_int(r)} {g_int(r)} {g_int(r)})))",
+        f"(value (dict [a b] (list {g_num(r)} {g_ivec(r, 0)})))",
+        f"(at (concat {w} {w}) [0 1])",
+        f"(enlist {g_num(r)})",
+        f"(raze (list {g_ivec(r, 0)} {g_num(r)}))",
+        f"(+ {t} {r.randint(0, 100000)})",
+        f"(- {d} {r.randint(0, 1000)})",
+        f"(- {d} {r.choice(['2020.01.01', '2012.12.01'])})",
+        f"(xbar [{t}] {r.choice([1000, 60000, 500])})",
+        f"(xbar [{d}] {r.randint(1, 7)})",
+    ])
+
+
 def gen_expr(r):
     roll = r.random()
-    if roll < 0.35:
+    if roll < 0.30:
         return g_scalar_expr(r, 2)
-    if roll < 0.55:
+    if roll < 0.45:
         return g_bool_expr(r, 2)
+    if roll < 0.60:
+        return g_str_expr(r)
+    if roll < 0.75:
+        return g_misc_expr(r)
     return g_vec_expr(r, 2)
 
 
@@ -167,6 +222,11 @@ def _nullify(v):
     if isinstance(v, float) and (v != v or v in (I64_NULL, I32_NULL)):
         return None
     if isinstance(v, int) and v in (I64_NULL, I32_NULL):
+        return None
+    if v == "\x00" or v == "":
+        # the reference's typed nulls for OOB gather: NUL char / empty
+        # symbol ((at "x" 9) -> '\0', (at ['a] 9) -> '') — our engine
+        # answers None for all of them
         return None
     if isinstance(v, list):
         return [_nullify(x) for x in v]
