@@ -158,6 +158,23 @@ def xbar_i(n, x: ColumnOrName) -> Column:
     return (ediv(x_c, n_c) * n_c.cast("long")).cast("long")
 
 
+def xbar_ic(n: ColumnOrName, x: ColumnOrName) -> Column:
+    """Integer xbar with a COLUMN bucket width: the reference's raw
+    XBARI64 formula ``((x<0) ? x+1-n : x)/n*n`` in C truncating division
+    (ref core/ops.h:193-197). For positive n this equals floor(x/n)*n
+    (:func:`xbar_i`); for NEGATIVE n the C truncation shows through —
+    live-pinned by scripts/ref_diff_tables.py: (xbar 2 -3) = 0 where
+    floor would give 3. Decimal-exact (trunc = floor + 1 on inexact
+    sign-mixed division); n == 0 -> null via the ediv pair."""
+    x_c, n_c = _col(x), _col(n)
+    adj = F.when(x_c < 0, x_c + 1 - n_c).otherwise(x_c)
+    q_floor = ediv(adj, n_c)
+    r = emod(adj, n_c)
+    sign_mix = ((adj < 0) & (n_c > 0)) | ((adj > 0) & (n_c < 0))
+    q = q_floor + F.when(sign_mix & (r != 0), F.lit(1)).otherwise(F.lit(0))
+    return (q * n_c.cast("long")).cast("long")
+
+
 def xbar_time(seconds: int, ts: ColumnOrName, dtype: DataType | None = None) -> Column:
     """xbar over a temporal column: bucket to ``seconds``-wide bars.
 

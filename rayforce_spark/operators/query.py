@@ -20,7 +20,7 @@ from typing import Mapping, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from rayforce_spark.functions.aggregates import AggExpr
+from rayforce_spark.functions.aggregates import AggExpr, min_ as _agg_min
 
 ColumnOrName = Union[Column, str]
 ExprLike = Union[Column, str, AggExpr]
@@ -62,6 +62,7 @@ def select(
     where: Column | None = None,
     by=None,
     take: int | tuple[int, int] | None = None,
+    appearance_order: bool = False,
 ) -> DataFrame:
     """The reference's ``(select {cols… from: t where: … by: … take: …})``
     (ref core/query.c:607, docs queries/select.md).
@@ -83,7 +84,19 @@ def select(
     keys = _normalize_by(by)
 
     if keys:
+        # appearance_order: groups come back in FIRST-APPEARANCE row
+        # order (the reference's by semantics, live-pinned by
+        # ref_diff_tables) — a min-position agg + sort. Off by default:
+        # the batch operator surface is order-free (the driver gate
+        # hashes order-insensitively) and the extra sort is not free at
+        # scale; the Rayfall front-end passes True (order is semantics
+        # there).
+        if appearance_order:
+            out = out.withColumn(
+                "__rford", F.monotonically_increasing_id())
         if cols:
+            if appearance_order:
+                cols = {**cols, "__rford": _agg_min("__rford")}
             aggs = []
             for name, e in cols.items():
                 if isinstance(e, AggExpr):
@@ -93,15 +106,20 @@ def select(
                     aggs.append(F.collect_list(_as_col(e)).alias(name))
             med_split = _split_median(out, cols, keys)
             if med_split is not None:
+                if appearance_order:
+                    med_split = med_split.orderBy("__rford").drop("__rford")
                 return med_split if take is None else _take(med_split, take)
         else:
             # default columns: first per remaining column
             # (ref core/query.c:474 select_collect_fields)
             key_names = {n for n, _ in keys}
             aggs = [
-                F.first(c).alias(c) for c in out.columns if c not in key_names
+                (F.min(c) if c == "__rford" else F.first(c)).alias(c)
+                for c in out.columns if c not in key_names
             ]
         out = out.groupBy(*[c for _, c in keys]).agg(*aggs)
+        if appearance_order:
+            out = out.orderBy("__rford").drop("__rford")
     elif cols:
         has_agg = any(isinstance(e, AggExpr) for e in cols.values())
         if has_agg:
@@ -185,6 +203,35 @@ def _take(df: DataFrame, take) -> DataFrame:
     return ranked.filter(
         (F.col("__rn") > start) & (F.col("__rn") <= start + n)
     ).drop("__rn")
+
+
+def take_cyclic(df: DataFrame, n: int) -> DataFrame:
+    """Reference ``take:`` semantics for positive n: when n exceeds the
+    row count, rows CYCLE (live-pinned by ref_diff_tables: take: 3 on a
+    1-row result repeats the row 3x — kdb take, same as the vector verb).
+
+    The shortfall check counts the LIMITED frame (at most n rows — cheap
+    and scale-safe), so the common n <= count case stays a plain
+    LocalLimit. The cycling join itself is n-row-bounded driver work.
+    Used by the Rayfall front-end; the batch operator surface keeps
+    ``select(take=n)`` = limit (a training pipeline never wants silent
+    row duplication)."""
+    if n <= 0:
+        return _take(df, n)
+    head = df.limit(n)
+    c = head.count()
+    if c == 0 or c >= n:
+        return head
+    spark = df.sparkSession
+    w = Window.orderBy(F.monotonically_increasing_id())
+    pos = head.withColumn("__rfp", F.row_number().over(w) - 1)
+    reps = spark.range(n).select(
+        F.col("id").alias("__rfi"),
+        (F.col("id") % c).alias("__rfk"))
+    out = (reps.join(pos, reps.__rfk == pos.__rfp)
+           .orderBy("__rfi")
+           .drop("__rfi", "__rfk", "__rfp"))
+    return out
 
 
 def update(

@@ -133,6 +133,21 @@ class Closure:
 
 _QUERY_RESERVED = {"from", "where", "by", "take"}
 
+# order verbs usable INSIDE query maps (whole-column semantics, zipped
+# back by row position — see Interp._order_verb_col)
+_ORDER_COL_VERBS = ("asc", "desc", "iasc", "idesc", "rank")
+
+
+def _has_order_verbs(ast) -> bool:
+    if isinstance(ast, (Vec, DictLit)):
+        return False
+    if isinstance(ast, list):
+        if (ast and isinstance(ast[0], Sym)
+                and str(ast[0]) in _ORDER_COL_VERBS):
+            return True
+        return any(_has_order_verbs(e) for e in ast)
+    return False
+
 _AGG_VERBS = {
     "sum": A.sum_,
     "avg": A.avg,
@@ -308,10 +323,15 @@ class Interp:
         if head in ("left-join", "inner-join", "asof-join"):
             keys = self._key_names(args[0])
             left, right = self.eval(args[1]), self.eval(args[2])
-            if head == "left-join":
-                return J.left_join(left, right, keys)
-            if head == "inner-join":
-                return J.inner_join(left, right, keys)
+            if head in ("left-join", "inner-join"):
+                # the reference preserves the LEFT table's row order
+                # (live-pinned by ref_diff_tables; a hash join clusters
+                # by key) — same staging as asof below
+                lt = left.withColumn(
+                    "__rf_ord", F.monotonically_increasing_id())
+                fn = J.left_join if head == "left-join" else J.inner_join
+                return (fn(lt, right, keys)
+                        .orderBy("__rf_ord").drop("__rf_ord"))
             if len(keys) < 2:
                 raise RayfallError("asof-join needs at least [key time] columns")
             # keep the left table's row order (see _eval_window_join)
@@ -426,12 +446,22 @@ class Interp:
                 return list(x.keys())
             return list(range(len(x)))  # key of a vector = its indices
 
-        # table sorting (docs operations/order.md "Table Sorting Functions")
+        # table sorting. The LIVE reference signature is (xasc TABLE keys)
+        # with keys a bare quoted symbol or a [vector] — its docs' keys-
+        # first spelling `(xasc [price] trades)` is rejected by the binary
+        # with 'type (pinned by scripts/ref_diff_tables.py); the keys-
+        # first form is kept for back-compat with our earlier API.
         if head in ("xasc", "xdesc"):
             from rayforce_spark.operators import order as O
 
-            cols = self._key_names(args[0])
-            df = self.eval(args[1])
+            if isinstance(args[0], Vec):
+                cols = self._sort_keys(args[0])
+                df = self.eval(args[1])
+            else:
+                df = self.eval(args[0])
+                cols = self._sort_keys(args[1])
+            if not isinstance(df, DataFrame):
+                raise RayfallError(f"{head}: expected a table")
             return (O.xasc if head == "xasc" else O.xdesc)(df, cols)
 
         # vector verbs (docs operations/order.md, iterable.md, math.md) —
@@ -475,7 +505,11 @@ class Interp:
                 # (first table) -> the first row as a dict (ref
                 # tests/lang.c: (at (first (table …)) 'a) -> scalar)
                 rows = x.head(1) if head == "first" else x.tail(1)
-                return dict(rows[0].asDict()) if rows else None
+                if rows:
+                    return dict(rows[0].asDict())
+                # (first EMPTY-table) -> a typed-null row, not nothing
+                # (live-pinned: {'a': 0Nl, 'b': 0n, ...})
+                return {c: None for c in x.columns}
             return V.vagg(head, x)
         if head == "neg":
             x = self.eval(args[0])
@@ -885,9 +919,34 @@ class Interp:
             df = self.eval(clauses["from"])
         if not isinstance(df, DataFrame):
             raise RayfallError(f"{verb}: from: must be a table")
+        # -- order-verb staging + row-order preservation --------------
+        # asc/desc/iasc/idesc/rank inside query maps operate on the WHOLE
+        # column vector and zip back by position (pinned live by
+        # ref_diff_tables: (select {x: (asc b) i: (iasc b)}),
+        # (+ (asc b) 1), (update {r: (rank b)})). They compile to
+        # window expressions over a staged row-position column. A grouped
+        # update must also RETURN rows in the original order (the
+        # reference broadcasts the aggregate in place; our window rewrite
+        # clusters rows by group) — the same staging restores it.
+        order_maps = [n for n in out_names if _has_order_verbs(clauses[n])]
+        where_order = "where" in clauses and _has_order_verbs(clauses["where"])
+        has_by = clauses.get("by") is not None
+        if (order_maps or where_order) and has_by:
+            raise RayfallError(
+                "asc/desc/iasc/idesc/rank under by: is not supported")
+        if update and order_maps and "where" in clauses:
+            raise RayfallError(
+                "order verbs with where: in update are not supported")
+        staged = bool(order_maps or where_order) or (update and has_by)
+        if staged:
+            df = df.withColumn("__rfmono", F.monotonically_increasing_id())
         where = None
         if "where" in clauses:
-            where = self.compile_col(clauses["where"], df)
+            w_ast = clauses["where"]
+            if where_order:
+                df = self._with_pos(df)
+                df, (w_ast,) = self._stage_order_verbs(df, [w_ast])
+            where = self.compile_col(w_ast, df)
             if isinstance(where, A.AggExpr):
                 raise RayfallError("where: must be a row predicate, not an aggregate")
         by = self._compile_by(clauses.get("by"), df)
@@ -901,18 +960,32 @@ class Interp:
             )
             kept = [n for n in out_names if n not in key_names]
             if out_names and not kept:
-                # every requested column is a group key: distinct keys
+                # every requested column is a group key: distinct keys,
+                # in first-appearance order (live-pinned ref semantics)
                 out = df.filter(where) if where is not None else df
-                if isinstance(by, dict):
-                    out = out.select(*[c.alias(n) for n, c in by.items()])
-                else:
-                    out = out.select(*key_names)
-                out = out.distinct()
-                if "take" in clauses:
-                    out = out.limit(int(self.eval(clauses["take"])))
-                return out
+                out = out.withColumn(
+                    "__rford", F.monotonically_increasing_id())
+                keysel = ([c.alias(n) for n, c in by.items()]
+                          if isinstance(by, dict) else key_names)
+                out = (out.groupBy(*keysel)
+                       .agg(F.min("__rford").alias("__rford"))
+                       .orderBy("__rford").drop("__rford"))
+                take_v = (self.eval(clauses["take"])
+                          if "take" in clauses else None)
+                return self._apply_take(out, take_v)
             out_names = kept
-        cols = {n: self.compile_col(clauses[n], df) for n in out_names}
+        map_asts = [clauses[n] for n in out_names]
+        if order_maps:
+            # ref pipeline is from -> where -> maps: the order verbs see
+            # the FILTERED vectors, so consume the filter first and
+            # re-stage positions over the surviving rows
+            if where is not None:
+                df = df.filter(where)
+                where = None
+            df = self._with_pos(df)
+            df, map_asts = self._stage_order_verbs(df, map_asts)
+        cols = {n: self.compile_col(a, df)
+                for n, a in zip(out_names, map_asts)}
         if update:
             if "take" in clauses:
                 raise RayfallError("update has no take:")
@@ -927,11 +1000,127 @@ class Interp:
                             if n in orig and isinstance(c, Column) else c)
                         for n, c in cols.items()}
             out = Q.update(df, cols, where=where, by=by)
+            if staged:
+                out = self._unstage(out)
             if mut_name:
                 self.env[mut_name] = out
             return out
         take = self.eval(clauses["take"]) if "take" in clauses else None
-        return Q.select(df, cols or None, where=where, by=by, take=take)
+        if staged:
+            if any(isinstance(c, A.AggExpr) for c in cols.values()):
+                # flat aggregates over staged columns: one row, no
+                # order to preserve — Q.select's agg path handles it
+                return Q.select(df, cols or None, where=where, take=take)
+            out = df.select(
+                *[self._plain(c).alias(n) for n, c in cols.items()],
+                F.col("__rfmono"),
+            ).orderBy("__rfmono").drop("__rfmono")
+            return self._apply_take(out, take)
+        if cols and by is None:
+            # constant-map semantics (live-pinned by ref_diff_tables):
+            # a map with NO column references is a length-1 vector — an
+            # all-constant select returns ONE row (even on an empty
+            # table), and constants zip with aggregates as single cells
+            aggs = {n: c for n, c in cols.items()
+                    if isinstance(c, A.AggExpr)}
+            consts = [n for n in out_names if n not in aggs
+                      and not self._uses_columns(clauses[n], df)]
+            if len(consts) == len(cols):
+                one = self.spark.range(1).select(
+                    *[self._plain(cols[n]).alias(n) for n in out_names])
+                return self._apply_take(one, take)
+            if aggs and len(aggs) + len(consts) == len(cols):
+                res = Q.select(df, aggs, where=where)
+                for n in consts:
+                    res = res.withColumn(n, self._plain(cols[n]))
+                return self._apply_take(res.select(*out_names), take)
+        if isinstance(take, int) and take > 0:
+            out = Q.select(df, cols or None, where=where, by=by,
+                           appearance_order=by is not None)
+            return Q.take_cyclic(out, take)
+        return Q.select(df, cols or None, where=where, by=by, take=take,
+                        appearance_order=by is not None)
+
+    # -- order-verb staging helpers ------------------------------------
+
+    def _with_pos(self, df: DataFrame) -> DataFrame:
+        """Materialize a contiguous 1-based row-position column over the
+        staged __rfmono order (window results can't nest, so asc/iasc
+        need the position as a REAL column before their own window)."""
+        from pyspark.sql.window import Window as _W
+
+        if "__rfpos" in df.columns:
+            df = df.drop("__rfpos")
+        return df.withColumn(
+            "__rfpos", F.row_number().over(_W.orderBy("__rfmono")))
+
+    def _stage_order_verbs(self, df: DataFrame, asts: list):
+        """Bottom-up rewrite: each (asc|desc|iasc|idesc|rank inner)
+        subtree is materialized as a window column __rfovN and replaced
+        by that name, so arbitrary composition ((+ (asc b) 1),
+        (sum (asc b)), nested verbs) compiles through the normal paths.
+        Returns (staged df, rewritten asts)."""
+        counter = [sum(1 for c in df.columns if c.startswith("__rfov"))]
+
+        def rewrite(a):
+            nonlocal df
+            if isinstance(a, (Vec, DictLit)):
+                return a
+            if (isinstance(a, list) and a and isinstance(a[0], Sym)
+                    and str(a[0]) in _ORDER_COL_VERBS and len(a) == 2):
+                inner = rewrite(a[1])
+                x = self._plain(self.compile_col(inner, df))
+                name = f"__rfov{counter[0]}"
+                counter[0] += 1
+                df = df.withColumn(name, self._order_verb_col(str(a[0]), x))
+                return Sym(name)
+            if isinstance(a, list):
+                return [rewrite(e) for e in a]
+            return a
+
+        new = [rewrite(a) for a in asts]
+        return df, new
+
+    @staticmethod
+    def _order_verb_col(head: str, x: Column) -> Column:
+        """One order verb as a window Column (these are total-order ops —
+        a global window by construction; Rayfall-surface scale, same
+        contract as the MAX_COLLECT-guarded literal paths). Semantics
+        pinned live against the reference by scripts/ref_diff_tables.py:
+        rank is row-aligned ((update {r: (rank b)}) -> [2 0 1 3] for
+        [3.0 1.0 2.0 5.0]); asc/desc/iasc/idesc zip by row position."""
+        from pyspark.sql.window import Window as _W
+
+        mono = F.col("__rfmono")
+        pos = F.col("__rfpos")
+        if head == "rank":
+            # stable ties via the original position
+            return F.row_number().over(_W.orderBy(x, mono)) - 1
+        whole = (_W.orderBy(mono)
+                 .rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing))
+        if head in ("asc", "desc"):
+            arr = F.sort_array(F.collect_list(x).over(whole),
+                               asc=(head == "asc"))
+            return F.element_at(arr, pos)
+        key = x if head == "iasc" else -x
+        pairs = F.sort_array(
+            F.collect_list(
+                F.struct(key.alias("v"), (pos - 1).alias("p"))).over(whole))
+        return F.element_at(pairs, pos)["p"]
+
+    @staticmethod
+    def _unstage(df: DataFrame) -> DataFrame:
+        """Restore original row order and drop every staged column."""
+        out = df.orderBy("__rfmono")
+        return out.drop(*[c for c in out.columns if c.startswith("__rf")])
+
+    def _apply_take(self, df: DataFrame, take):
+        """take: with the reference's cyclic positive-n semantics."""
+        if take is None:
+            return df
+        if isinstance(take, int) and take > 0:
+            return Q.take_cyclic(df, take)
+        return Q.select(df, None, take=take)
 
     def _compile_by(self, ast, df):
         if ast is None:
@@ -983,6 +1172,16 @@ class Interp:
         if not isinstance(ast, Vec):
             raise RayfallError("join columns must be a [vector] of symbols")
         return [str(s) for s in ast]
+
+    def _sort_keys(self, ast) -> list[str]:
+        """xasc/xdesc key spec: a [vector] of symbols or one bare/quoted
+        symbol (the live reference accepts both: (xasc t 'b) and
+        (xasc t [b]))."""
+        if isinstance(ast, Vec):
+            return [str(s) for s in ast]
+        if isinstance(ast, (Sym, QSym)):
+            return [str(ast)]
+        raise RayfallError("sort keys must be a symbol or [vector] of symbols")
 
     def _rows_df(self, target: DataFrame, data) -> DataFrame:
         """insert/upsert payload -> DataFrame in the target's schema
@@ -1284,8 +1483,14 @@ class Interp:
                                   self.compile_col(a, df))
             return out
         if head == "%":
+            # runtime-typed like `/`: integer operands -> exact i64
+            # floor-mod (emod); any float operand -> MODF64 (emod_f,
+            # double) — pinned live by ref_diff_tables: (% -1 2.5) = 1.5,
+            # (% 7 -2) = -1
+            fn = (K.emod if all(self._is_inty(a, df) for a in args[:2])
+                  else K.emod_f)
             return self._arith(
-                K.emod, self.compile_col(args[0], df), self.compile_col(args[1], df)
+                fn, self.compile_col(args[0], df), self.compile_col(args[1], df)
             )
 
         if head in _CMP_VERBS:
@@ -1307,9 +1512,23 @@ class Interp:
             # by verbs (docs queries/select.md "Column Name Conflicts")
             return F.col(str(self.eval(args[1])))
         if head == "xbar":
-            # reference order is (xbar x n) — ref tests/lang.c:2411
-            n = self.eval(args[1])
-            return K.xbar(n, self._plain(self.compile_col(args[0], df)))
+            # reference order is (xbar x n) — ref tests/lang.c:2411.
+            # BOTH operands vectorize (pinned live: (xbar 3 h) buckets
+            # the scalar 3 by per-row widths h); when n references a
+            # column, spell xbar = x - (x mod n) so the emod pair keeps
+            # n=0 -> null and the i64-exact decimal path
+            x = self._plain(self.compile_col(args[0], df))
+            if self._uses_columns(args[1], df):
+                n = self._plain(self.compile_col(args[1], df))
+                if all(self._is_inty(a, df) for a in args[:2]):
+                    return K.xbar_ic(n, x)  # raw XBARI64, trunc division
+                return K.xbar(n, x)  # XBARF64 floor form
+            nval = self.eval(args[1])
+            if type(nval) is int and self._is_inty(args[0], df):
+                # exact XBARI64 for integer scalar widths too (negative
+                # widths truncate, they don't floor)
+                return K.xbar_ic(F.lit(nval), x)
+            return K.xbar(nval, x)
         if head == "like":
             return K.like(self._plain(self.compile_col(args[0], df)), self.eval(args[1]))
         if head == "within":
@@ -1344,6 +1563,18 @@ class Interp:
             bc = b.col if isinstance(b, A.AggExpr) else b
             return A.agg(op(ac, bc))
         return op(a, b)
+
+    def _uses_columns(self, ast, df) -> bool:
+        """Does this column-context AST reference any df column?"""
+        if isinstance(ast, Sym):
+            return str(ast) in df.columns
+        if isinstance(ast, list):
+            # (at TABLE 'col) compiles to F.col(col) — a column ref even
+            # though neither arg is a bare df column symbol
+            if ast and isinstance(ast[0], Sym) and str(ast[0]) == "at":
+                return True
+            return any(self._uses_columns(a, df) for a in ast[1:])
+        return False
 
     def _is_inty(self, ast, df) -> bool:
         """Static integer-ness for `/`: the reference's `/` floors on

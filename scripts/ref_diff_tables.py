@@ -1,0 +1,355 @@
+"""Differential fuzzing of the TABLE-QUERY surface vs the live reference.
+
+scripts/ref_diff.py fuzzes the scalar/vector verb surface; this harness
+fuzzes the §2.2/§2.3 QUERY surface — random tables pushed into BOTH
+engines with the same ``(set t (table …))`` program, then random
+select / update / sort / join / accessor programs evaluated in both:
+
+  ours      — rayforce_spark.rayfall.Interp over a live SparkSession
+              (tables are DataFrames; select/update/joins run the same
+              operators the driver gate exercises)
+  reference — a live ``rayforce -p`` server through our byte-compatible
+              serde (every reply is simultaneously a wire-format check)
+
+The grammar sticks to forms BOTH engines define (probed live):
+  * select {maps / where / by: <sym> / take}
+  * update {maps / where / by}
+  * xasc / xdesc on a distinct-valued column (ties would make row order
+    implementation-defined, so the sort key is the unique float column)
+  * left-join / inner-join [g] with a unique-keyed right table
+    (missing keys exercise null backfill on the wire)
+  * first / last / count / at on query results; concat
+Known one-sided restrictions (e.g. the reference's ``med`` rejects F64
+with 'type) surface as ref_error rows, same bookkeeping as ref_diff.
+
+Row order is compared EXACTLY (order is semantics in this data model);
+column order is normalized (dict keys sorted) because the engines
+differ benignly on join/by output column placement.
+
+Writes REF_DIFF_TABLES.md. Usage:
+  python scripts/ref_diff_tables.py [--blocks N] [--per-block M] [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ref_diff import _nullify, values_eq  # shared value space
+from rayfall_langc_sweep import _norm
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "REF_DIFF_TABLES.md")
+
+SYM_POOL = ["aa", "bb", "cc", "dd"]
+AGGS_NUM = ["sum", "avg", "min", "max", "count", "first", "last", "dev", "var"]
+AGGS_INT = AGGS_NUM + ["med"]  # ref med rejects F64 ('type) — int cols only
+CMPS = [">", "<", ">=", "<=", "==", "!="]
+
+
+def fmt_f(x: float) -> str:
+    s = f"{x:.2f}"
+    return s
+
+
+def gen_tables(r: random.Random):
+    """One (t, u) pair as Rayfall source; u is unique-keyed for joins."""
+    n = r.randint(1, 8)
+    a = [r.randint(-5, 9) for _ in range(n)]
+    h = [r.randint(-3, 3) for _ in range(n)]
+    # b: distinct floats -> xasc/xdesc row order is well-defined
+    b = r.sample([x / 4 for x in range(-20, 40)], n)
+    g = [r.choice(SYM_POOL) for _ in range(n)]
+    t = ("(set t (table [a b g h] (list "
+         f"[{' '.join(map(str, a))}] "
+         f"[{' '.join(map(fmt_f, b))}] "
+         f"[{' '.join(chr(39) + s for s in g)}] "
+         f"[{' '.join(map(str, h))}])))")
+    # u: 2-4 unique keys, some outside t's pool usage -> null backfill
+    keys = r.sample(SYM_POOL, r.randint(2, 4))
+    c = [r.randint(0, 99) for _ in keys]
+    u = ("(set u (table [g c] (list "
+         f"[{' '.join(chr(39) + s for s in keys)}] "
+         f"[{' '.join(map(str, c))}])))")
+    return t, u, n
+
+
+def g_scalar(r: random.Random) -> str:
+    return str(r.choice([0, 1, 2, 3, -1, -2, 5]))
+
+
+def g_colexpr(r: random.Random, depth: int = 0, order_ok: bool = False) -> str:
+    """Numeric expression over t's columns."""
+    if order_ok and depth == 0 and r.random() < 0.2:
+        verb = r.choice(["asc", "desc", "iasc", "idesc", "rank"])
+        return f"({verb} {r.choice(['a', 'b', 'h'])})"
+    if depth > 1 or r.random() < 0.4:
+        return r.choice(["a", "b", "h", g_scalar(r)])
+    op = r.choice(["+", "-", "*", "%", "/", "xbar"])
+    if op == "xbar":
+        return f"(xbar {r.choice(['2', '3'])} {r.choice(['a', 'h'])})"
+    return f"({op} {g_colexpr(r, depth + 1)} {g_colexpr(r, depth + 1)})"
+
+
+def g_pred(r: random.Random, depth: int = 0) -> str:
+    cmp_ = r.choice(CMPS)
+    col = r.choice(["a", "b", "h"])
+    rhs = fmt_f(r.uniform(-3, 6)) if col == "b" else g_scalar(r)
+    base = f"({cmp_} {col} {rhs})"
+    if depth == 0 and r.random() < 0.35:
+        combo = r.choice(["and", "or"])
+        return f"({combo} {base} {g_pred(r, 1)})"
+    if depth == 0 and r.random() < 0.1:
+        return f"(not {base})"
+    return base
+
+
+def g_aggmap(r: random.Random, k: int) -> str:
+    parts = []
+    for i in range(k):
+        col = r.choice(["a", "b", "h"])
+        agg = r.choice(AGGS_INT if col in ("a", "h") else AGGS_NUM)
+        parts.append(f"s{i}: ({agg} {col})")
+    return " ".join(parts)
+
+
+def g_query(r: random.Random) -> str:
+    kind = r.randint(0, 11)
+    if kind == 0:
+        return f"(select {{from: t where: {g_pred(r)}}})"
+    if kind == 1:
+        return f"(select {{x: {g_colexpr(r, order_ok=True)} from: t}})"
+    if kind == 2:
+        return (f"(select {{x: {g_colexpr(r, order_ok=True)} from: t "
+                f"where: {g_pred(r)} take: {r.randint(1, 5)}}})")
+    if kind == 3:
+        return f"(select {{{g_aggmap(r, r.randint(1, 3))} from: t}})"
+    if kind == 4:
+        by = r.choice(["g", "a", "h"])
+        return f"(select {{{g_aggmap(r, r.randint(1, 2))} from: t by: {by}}})"
+    if kind == 5:
+        by = r.choice(["g", "a"])
+        return f"(select {{from: t by: {by}}})"
+    if kind == 6:
+        with_where = r.random() < 0.5
+        w = f" where: {g_pred(r)}" if with_where else ""
+        tgt = r.choice(["a", "b", "x"])
+        # order verbs under a where-update are restricted on our side
+        # (the ref computes them over the subset; documented gap)
+        e = g_colexpr(r, order_ok=not with_where)
+        return f"(update {{from: t {tgt}: {e}{w}}})"
+    if kind == 7:
+        return f"(update {{from: t x: (sum {r.choice(['a', 'b'])}) by: g}})"
+    if kind == 8:
+        verb = r.choice(["xasc", "xdesc"])
+        inner = "t" if r.random() < 0.6 else f"(select {{from: t where: {g_pred(r)}}})"
+        return f"({verb} {inner} 'b)"
+    if kind == 9:
+        jv = r.choice(["left-join", "inner-join"])
+        q = f"({jv} [g] t u)"
+        if r.random() < 0.4:
+            q = f"(select {{s0: (sum a) from: {q} by: g}})"
+        return q
+    if kind == 10:
+        acc = r.choice(["first", "last", "count"])
+        return f"({acc} (select {{from: t where: {g_pred(r)}}}))"
+    return r.choice([
+        "(at t 'b)",
+        "(at t 0)",
+        "(concat t t)",
+        f"(select {{r: (rank b) from: t}})",
+        f"(xasc (update {{from: t x: (* a 2)}}) 'b)",
+    ])
+
+
+import re as _re
+
+_MEDDEV_RE = _re.compile(r"\((med|dev) ")
+
+
+def ref_nan_group_agg(q: str, ours, theirs) -> bool:
+    """The reference returns NaN for med/dev under by: (live-probed:
+    even clean multi-row groups — grouped median/stddev are simply not
+    implemented there); ours computes them. Classified as a documented
+    reference limitation (our engine is a correct superset), not a
+    mismatch — provided everything ELSE in the row agrees."""
+    if "by:" not in q or not _MEDDEV_RE.search(q):
+        return False
+    if not isinstance(ours, dict) or not isinstance(theirs, dict):
+        return False
+    if set(ours) != set(theirs):
+        return False
+    drop = [k for k in theirs
+            if isinstance(theirs.get(k), list) and theirs[k]
+            and all(v is None for v in theirs[k])
+            and isinstance(ours.get(k), list)
+            and any(v is not None for v in ours[k])]
+    if not drop:
+        return False
+    return values_eq({k: v for k, v in ours.items() if k not in drop},
+                     {k: v for k, v in theirs.items() if k not in drop})
+
+
+def ours_to_value(v):
+    """Our result -> plain python (tables/DataFrames -> dict of column
+    lists in ROW order; column order normalized by the comparer)."""
+    if hasattr(v, "sparkSession"):
+        rows = v.collect()
+        return {c: [r[c] for r in rows] for c in v.columns}
+    return v
+
+
+def tnorm(v):
+    """Shared normalization + column-order canonicalization."""
+    v = _nullify(_norm(v))
+    if isinstance(v, dict):
+        return {k: tnorm(v[k]) for k in sorted(v, key=str)}
+    if isinstance(v, list):
+        return [tnorm(x) for x in v]
+    return v
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=40)
+    ap.add_argument("--per-block", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--list", type=int, default=25)
+    args = ap.parse_args()
+
+    from rayforce_spark.interop import reference_eval, spawn_reference_server
+    from rayforce_spark.rayfall import Interp
+    from rayforce_spark.rayfall.serde import Table
+    from rayforce_spark.session import get_spark
+
+    spark = get_spark("ref_diff_tables")
+    r = random.Random(args.seed)
+    srv = spawn_reference_server()
+    counts = {"match": 0, "both_error": 0, "mismatch": 0,
+              "ours_error": 0, "ref_error": 0, "ref_crash": 0,
+              "ref_nan_group_agg": 0}
+    diverge = []
+    crashes = []
+    total = 0
+    try:
+        for blk in range(args.blocks):
+            t_src, u_src, _ = gen_tables(r)
+            interp = Interp(spark)
+            ok = True
+            for setter in (t_src, u_src):
+                try:
+                    interp.eval_str(setter)
+                    reference_eval(srv, setter)
+                except Exception as ex:  # noqa: BLE001
+                    print(f"[skip block {blk}] setter failed: {ex}",
+                          file=sys.stderr)
+                    ok = False
+                    break
+            if not ok:
+                continue
+            qs = set()
+            while len(qs) < args.per_block:
+                qs.add(g_query(r))
+            for q in sorted(qs):
+                total += 1
+                ours = theirs = None
+                ours_err = theirs_err = None
+                try:
+                    ours = tnorm(ours_to_value(interp.eval_str(q)))
+                except Exception as ex:  # noqa: BLE001
+                    ours_err = f"{type(ex).__name__}: {ex}"
+                try:
+                    tv = reference_eval(srv, q)
+                    if isinstance(tv, Table):
+                        tv = dict(tv)
+                    theirs = tnorm(tv)
+                except (ConnectionError, OSError):
+                    counts["ref_crash"] += 1
+                    crashes.append(q)
+                    srv.stop()
+                    srv = spawn_reference_server()
+                    # re-seed its state for the rest of the block
+                    reference_eval(srv, t_src)
+                    reference_eval(srv, u_src)
+                    continue
+                except Exception as ex:  # noqa: BLE001
+                    theirs_err = str(ex)
+                if ours_err and theirs_err:
+                    counts["both_error"] += 1
+                elif ours_err:
+                    counts["ours_error"] += 1
+                    diverge.append((q, t_src, f"ours errored: {ours_err}",
+                                    f"ref: {theirs!r}"))
+                elif theirs_err:
+                    counts["ref_error"] += 1
+                    diverge.append((q, t_src, f"ours: {ours!r}",
+                                    f"ref errored: {theirs_err}"))
+                elif values_eq(ours, theirs):
+                    counts["match"] += 1
+                elif ref_nan_group_agg(q, ours, theirs):
+                    counts["ref_nan_group_agg"] += 1
+                else:
+                    counts["mismatch"] += 1
+                    diverge.insert(0, (q, t_src, f"ours: {ours!r}",
+                                       f"ref: {theirs!r}"))
+            if (blk + 1) % 5 == 0:
+                print(f"[block {blk + 1}/{args.blocks}] {counts}",
+                      file=sys.stderr)
+    finally:
+        srv.stop()
+
+    lines = [
+        "# REF_DIFF_TABLES — table-query differential fuzzing vs the "
+        "live reference\n",
+        f"{total} seeded-random TABLE programs (seed {args.seed}; "
+        f"{args.blocks} random (t,u) table pairs x {args.per_block} "
+        "queries over select/update/where/by/take, xasc/xdesc, "
+        "left-join/inner-join, first/last/count/at/concat/rank) "
+        "evaluated in BOTH engines — ours via `rayfall.Interp` over a "
+        "live SparkSession (tables are DataFrames, the same operator "
+        "code the driver gate runs), the reference via a live "
+        "`rayforce -p` server through our byte-compatible serde. "
+        "Produced by scripts/ref_diff_tables.py; exits nonzero on any "
+        "value mismatch. Row ORDER is compared exactly; column order "
+        "is canonicalized (the engines differ benignly on join/by "
+        "column placement).\n",
+        "| outcome | count |",
+        "|---|---|",
+    ]
+    for k, v in counts.items():
+        mark = "**" if k == "mismatch" else ""
+        lines.append(f"| {mark}{k}{mark} | {mark}{v}{mark} |")
+    denom = max(1, total)
+    lines.append(
+        f"\nAgreement: {counts['match'] + counts['both_error']}/{denom} "
+        f"({100.0 * (counts['match'] + counts['both_error']) / denom:.1f}%)."
+        "\n")
+    lines.append(
+        "`ref_nan_group_agg` rows are a documented reference limitation: "
+        "med/dev under by: return NaN there (live-probed on clean "
+        "multi-row groups — grouped median/stddev are not implemented in "
+        "the reference) while our engine computes them; every other "
+        "column in those rows agrees. `ref_error` rows are one-sided "
+        "reference restrictions (e.g. med rejects F64 with 'type) — our "
+        "engine is a documented superset.\n")
+    if crashes:
+        lines.append("## Inputs that crashed the reference process\n")
+        lines += [f"* `{c}`" for c in crashes] + [""]
+    if diverge:
+        lines.append(f"## Divergences (first {args.list})\n")
+        for q, src, a, b in diverge[:args.list]:
+            lines.append(f"* `{q}`  (tables: `{src}`)\n  * {a}\n  * {b}")
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"n": total, "seed": args.seed, **counts}))
+    return 1 if counts["mismatch"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -696,3 +696,86 @@ def test_scan_seedless_running_fold():
 def test_fold_empty_returns_empty():
     v = Interp(None)
     assert v.eval_str("(fold (fn [a x] (+ a x)) [])") == []
+
+
+# ---------------------------------------------------------------------------
+# r7 parity fixes found by scripts/ref_diff_tables.py (live-binary pinned)
+# ---------------------------------------------------------------------------
+
+
+def _cols(df):
+    rows = df.collect()
+    return {c: [r[c] for r in rows] for c in df.columns}
+
+
+@pytest.fixture()
+def t4(it):
+    it.eval_str("(set t (table [a b g h] (list [3 1 2 1] "
+                "[4.0 5.0 6.0 7.0] ['x 'y 'x 'y] [-1 -3 2 0])))")
+    return it
+
+
+def test_update_by_preserves_row_order(t4):
+    # the reference broadcasts the group aggregate IN PLACE; rows keep
+    # their original order (live-pinned — our window rewrite used to
+    # return rows clustered by group)
+    out = _cols(t4.eval_str("(update {from: t x: (sum b) by: g})"))
+    assert out["a"] == [3, 1, 2, 1]
+    assert out["g"] == ["x", "y", "x", "y"]
+    assert out["x"] == [10.0, 12.0, 10.0, 12.0]
+
+
+def test_float_mod_column_context(t4):
+    # (% x y) with any float operand is MODF64 (floor-mod, keeps the
+    # fraction): live-pinned (% -1 2.5) = 1.5 — the column path used to
+    # floor operands into the i64 verb
+    out = _cols(t4.eval_str("(select {x: (% h b) from: t})"))
+    assert out["x"] == [3.0, 2.0, 2.0, 0.0]
+    v = Interp(None)
+    assert v.eval_str("(% -1 2.5)") == 1.5
+    assert v.eval_str("(% 7 -2)") == -1
+
+
+def test_xbar_column_width(t4):
+    # (xbar x n): BOTH operands vectorize; n==0 -> null (live-pinned
+    # (xbar 3 h) with h=[-1 -3 2 0] -> [3 3 2 null])
+    out = _cols(t4.eval_str("(update {from: t b: (xbar 3 h)})"))
+    assert out["b"] == [3, 3, 2, None]
+
+
+def test_xasc_table_first_and_keys_first(t4):
+    # live reference signature is (xasc TABLE 'key); the docs' keys-first
+    # vector form is kept for back-compat with our earlier API
+    ref = t4.eval_str("(xasc t 'b)")
+    legacy = t4.eval_str("(xasc [b] t)")
+    assert _cols(ref)["b"] == [4.0, 5.0, 6.0, 7.0]
+    assert _cols(ref) == _cols(legacy)
+    desc = _cols(t4.eval_str("(xdesc t 'b)"))
+    assert desc["b"] == [7.0, 6.0, 5.0, 4.0]
+    assert desc["a"] == [1, 2, 1, 3]
+
+
+def test_order_verbs_in_query_maps(t4):
+    # whole-column semantics zipped by row position, composable —
+    # live-pinned shapes from ref_diff_tables
+    assert _cols(t4.eval_str("(select {r: (rank b) from: t})"))["r"] == [
+        0, 1, 2, 3]
+    out = _cols(t4.eval_str(
+        "(select {x: (desc b) i: (idesc b) from: t})"))
+    assert out["x"] == [7.0, 6.0, 5.0, 4.0]
+    assert out["i"] == [3, 2, 1, 0]
+    assert _cols(t4.eval_str(
+        "(select {x: (+ (asc b) 1) from: t})"))["x"] == [5.0, 6.0, 7.0, 8.0]
+    assert _cols(t4.eval_str(
+        "(select {s: (sum (asc b)) from: t})"))["s"] == [22.0]
+    # where filters BEFORE the order verbs see the vector
+    assert _cols(t4.eval_str(
+        "(select {x: (asc b) from: t where: (> a 1)})"))["x"] == [4.0, 6.0]
+    # rank in update is row-aligned and keeps the original row order
+    upd = _cols(t4.eval_str("(update {from: t r: (rank b)})"))
+    assert upd["r"] == [0, 1, 2, 3] and upd["a"] == [3, 1, 2, 1]
+
+
+def test_order_verbs_under_by_rejected(t4):
+    with pytest.raises(RayfallError):
+        t4.eval_str("(select {r: (rank b) from: t by: g})")
