@@ -61,21 +61,60 @@ def dedup_last(df: DataFrame, keys: Sequence[str], order_col: Column | None = No
 
 
 def left_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
-              *, dedup: bool = True, order_col: Column | None = None) -> DataFrame:
+              *, dedup: bool = True, order_col: Column | None = None,
+              overwrite: bool = False) -> DataFrame:
     """Left outer equi-join with reference dedup semantics
     (ref core/join.c:158, core/index.c:2886).
 
     ``dedup=True`` reproduces the reference's key->single-row index (last
     match wins); pass False for standard SQL multiplicity.
-    """
+
+    ``overwrite=True`` applies the reference's (kdb lj) rule for non-key
+    columns present on BOTH sides: on a matched row the RIGHT value
+    replaces the left one; unmatched rows keep the left value
+    (live-pinned vs the reference binary by scripts/ref_diff_tables.py).
+    The default keeps Spark's SQL behavior (duplicate columns error),
+    which the batch operator surface has always had; the Rayfall
+    front-end passes True."""
     keys = _keys(on)
     r = dedup_last(right, keys, order_col) if dedup else right
-    return left.join(r, keys, "left")
+    if not overwrite:
+        return left.join(r, keys, "left")
+    overlap = [c for c in r.columns if c in left.columns and c not in keys]
+    ren = {c: f"__rf_o_{c}" for c in overlap}
+    r = r.select(*keys,
+                 *[F.col(c).alias(ren.get(c, c))
+                   for c in r.columns if c not in keys],
+                 F.lit(1).alias("__rf_m"))
+    j = left.join(r, keys, "left")
+    matched = F.col("__rf_m").isNotNull()
+    out = [F.when(matched, F.col(ren[c])).otherwise(left[c]).alias(c)
+           if c in ren else left[c] for c in left.columns]
+    extra = [F.col(c) for c in r.columns
+             if c not in keys and c not in ren.values() and c != "__rf_m"]
+    return j.select(*out, *extra)
 
 
-def inner_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]]) -> DataFrame:
-    """Inner equi-join (ref core/join.c:200, core/index.c:2930)."""
-    return left.join(right, _keys(on), "inner")
+def inner_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
+               *, overwrite: bool = False) -> DataFrame:
+    """Inner equi-join (ref core/join.c:200, core/index.c:2930).
+
+    ``overwrite=True``: non-key columns on both sides take the RIGHT
+    value (every row is matched) — see :func:`left_join`."""
+    keys = _keys(on)
+    if not overwrite:
+        return left.join(right, keys, "inner")
+    overlap = [c for c in right.columns if c in left.columns and c not in keys]
+    ren = {c: f"__rf_o_{c}" for c in overlap}
+    r = right.select(*keys,
+                     *[F.col(c).alias(ren.get(c, c))
+                       for c in right.columns if c not in keys])
+    j = left.join(r, keys, "inner")
+    out = [F.col(ren[c]).alias(c) if c in ren else left[c]
+           for c in left.columns]
+    extra = [F.col(c) for c in r.columns
+             if c not in keys and c not in ren.values()]
+    return j.select(*out, *extra)
 
 
 def asof_join(
@@ -87,6 +126,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     strict: bool = False,
     suffix: str = "_r",
+    overwrite: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, the right row with the greatest
     ``asof`` value <= the left's (< if ``strict``), matching exactly on the
@@ -107,7 +147,16 @@ def asof_join(
     keys = _keys(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != asof]
-    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    # overwrite=True: reference (kdb aj) rule — a right column that also
+    # exists on the left REPLACES the left value on matched rows and
+    # keeps the left value where no right row qualifies (live-pinned by
+    # scripts/ref_diff_tables.py). Default keeps the suffixing batch API.
+    if overwrite:
+        out_names = {c: (f"__rf_v_{c}" if c in left.columns else c)
+                     for c in right_cols}
+    else:
+        out_names = {c: (c + suffix if c in left.columns else c)
+                     for c in right_cols}
 
     # right row order for duplicate-timestamp last-wins. __rf_t goes
     # through to_ns so i64-ns-long and Timestamp(NTZ) asof columns — even
@@ -120,6 +169,8 @@ def asof_join(
         F.monotonically_increasing_id().alias(_RID),
         *[F.col(c).alias(out_names[c]) for c in right_cols],
     ).withColumn(_LEFT_TAG, F.lit(0))
+    if overwrite:
+        r = r.withColumn("__rf_m", F.lit(1))
 
     l = left.withColumn(
         "__rf_t", to_ns(F.col(asof), left.schema[asof].dataType)
@@ -140,14 +191,25 @@ def asof_join(
         .orderBy(F.col("__rf_t").asc(), side_order, F.col(_RID).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carry = list(out_names.values()) + (["__rf_m"] if overwrite else [])
     filled = u.select(
-        *[c for c in u.columns if c not in out_names.values()],
-        *[F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c]) for c in right_cols],
+        *[c for c in u.columns if c not in carry],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
     )
-    return (
-        filled.filter(F.col(_LEFT_TAG) == 1)
-        .drop(_LEFT_TAG, _RID, "__rf_t")
-    )
+    out = filled.filter(F.col(_LEFT_TAG) == 1).drop(_LEFT_TAG, _RID, "__rf_t")
+    if overwrite:
+        matched = F.col("__rf_m").isNotNull()
+        sel = []
+        for c in out.columns:
+            if c in ("__rf_m",) or c.startswith("__rf_v_"):
+                continue
+            if f"__rf_v_{c}" in out.columns:
+                sel.append(F.when(matched, F.col(f"__rf_v_{c}"))
+                           .otherwise(F.col(c)).alias(c))
+            else:
+                sel.append(F.col(c))
+        out = out.select(*sel)
+    return out
 
 
 def window_join(
@@ -233,16 +295,21 @@ def window_join(
     # aggregate right columns per left row; aggs reference right column
     # names — remap them onto the aliased right side.
     agg_cols = []
+    # rows-in-window count: the reference's wj NULLS every aggregate
+    # except count on an EMPTY window (ref core/aggr.c:150-153 Null
+    # branch; live-pinned by scripts/ref_diff_tables.py — sum/avg/min/max
+    # null, count 0), so the kdb 0-identity wrap (A.sum_) applies only
+    # when at least one right row is in range
+    n_in = F.count(rt[rt_names[time_col]])
     for name, a in aggs.items():
         if not isinstance(a, AggExpr) or a.fn is None or a.arg_name is None:
             raise ValueError(
                 "window_join aggs must be A.* verbs over right column names"
             )
         out_c = a.fn(F.col(rt_names.get(a.arg_name, a.arg_name)))
-        # keep the verb's post-aggregation wrap (e.g. sum's kdb 0 identity,
-        # A.sum_'s coalesce) — a left row with no right rows in range must
-        # agree with the select/update paths
-        agg_cols.append((a.wrap(out_c) if a.wrap else out_c).alias(name))
+        if a.wrap:
+            out_c = F.when(n_in > 0, a.wrap(out_c)).otherwise(out_c)
+        agg_cols.append(out_c.alias(name))
 
     left_cols = [c for c in left.columns]
     out = (
@@ -475,8 +542,14 @@ def window_join_fixed(
         p = [F.col(f"__pre_{name}_{i}") for i in range(len(fns))]
         s = [F.col(f"__suf_{name}_{i}") for i in range(len(fns))]
         out = comb(p, s)
-        a = aggs[name]
-        out_cols.append((a.wrap(out) if a.wrap else out).alias(name))
+        # NO a.wrap here: sum's combine already yields null on an empty
+        # window, which IS the reference's wj semantics (empty window ->
+        # null for sum/avg/min/max, 0 for count — ref core/aggr.c:150-153,
+        # live-pinned by scripts/ref_diff_tables.py); the kdb 0-identity
+        # coalesce would undo it. (Sub-edge: an in-range right row whose
+        # VALUE is null also reads as empty here — the generic plan
+        # distinguishes; this fast path trades that for the no-pair plan.)
+        out_cols.append(out.alias(name))
     return per_lid.select(
         *[F.col(f"__rf_pay.{c}").alias(c) for c in left.columns], *out_cols
     )
@@ -572,11 +645,17 @@ def window_join_wj(
         elif fn is F.max:
             e = F.greatest(F.col(name), p)
         elif fn is F.sum:
-            e = F.col(name) + F.coalesce(p, F.lit(0))  # A.sum_ already coalesces to 0
+            # in-window sum is null on an empty window (ref wj semantics,
+            # see window_join); fold the prevailing row in without
+            # resurrecting a 0 when BOTH sides are absent
+            e = (F.when(F.col(name).isNull() & p.isNull(), F.lit(None))
+                 .otherwise(F.coalesce(F.col(name), F.lit(0))
+                            + F.coalesce(p, F.lit(0))))
         elif fn is F.count:
             e = F.col(name) + F.when(p.isNull(), F.lit(0)).otherwise(F.lit(1))
         elif fn is F.avg:
-            s = F.col(f"__wj_s_{name}") + F.coalesce(p, F.lit(0))
+            s = (F.coalesce(F.col(f"__wj_s_{name}"), F.lit(0))
+                 + F.coalesce(p, F.lit(0)))
             c = F.col(f"__wj_c_{name}") + F.when(p.isNull(), F.lit(0)).otherwise(F.lit(1))
             e = F.when(c > 0, s / c)
         elif fn is F.first:

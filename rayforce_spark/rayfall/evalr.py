@@ -330,13 +330,17 @@ class Interp:
                 lt = left.withColumn(
                     "__rf_ord", F.monotonically_increasing_id())
                 fn = J.left_join if head == "left-join" else J.inner_join
-                return (fn(lt, right, keys)
+                # overwrite: shared non-key columns take the RIGHT value
+                # on matched rows (kdb lj/ij rule, live-pinned by
+                # ref_diff_tables)
+                return (fn(lt, right, keys, overwrite=True)
                         .orderBy("__rf_ord").drop("__rf_ord"))
             if len(keys) < 2:
                 raise RayfallError("asof-join needs at least [key time] columns")
             # keep the left table's row order (see _eval_window_join)
             lt = left.withColumn("__rf_ord", F.monotonically_increasing_id())
-            out = J.asof_join(lt, right, keys[:-1], keys[-1])
+            out = J.asof_join(lt, right, keys[:-1], keys[-1],
+                              overwrite=True)
             return out.orderBy("__rf_ord").drop("__rf_ord")
         if head in ("window-join", "window-join1"):
             return self._eval_window_join(args, wj=(head == "window-join"))
@@ -1350,7 +1354,8 @@ class Interp:
                 raise RayfallError("(alter table fn 'col val)")
             col, val = str(rest[0]), rest[1]
             ops = {"+": lambda c: c + val, "-": lambda c: c - val,
-                   "*": lambda c: c * val, "/": lambda c: c / val}
+                   "*": lambda c: c * val,
+                   "/": lambda c: F.try_divide(c, F.lit(val))}
             if fname not in ops:
                 raise RayfallError(f"alter: unsupported verb {fname} on tables")
             out = obj.withColumn(col, ops[fname](F.col(col)))
@@ -1473,13 +1478,17 @@ class Interp:
                     out = self._arith(K.ediv, out, rhs)
                 else:
                     cast = "long" if left_inty else "double"
+                    # try_divide: /0 -> null (ref core/ops.h:169; Spark
+                    # 4's default ANSI mode would throw — found live by
+                    # ref_diff_tables)
                     out = self._arith(
-                        lambda x, y: F.floor(x / y).cast(cast), out, rhs)
+                        lambda x, y: F.floor(F.try_divide(x, y)).cast(cast),
+                        out, rhs)
             return out
         if head == "div":
             out = self.compile_col(args[0], df)
             for a in args[1:]:
-                out = self._arith(lambda x, y: x / y, out,
+                out = self._arith(F.try_divide, out,
                                   self.compile_col(a, df))
             return out
         if head == "%":

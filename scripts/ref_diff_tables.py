@@ -18,6 +18,10 @@ The grammar sticks to forms BOTH engines define (probed live):
     implementation-defined, so the sort key is the unique float column)
   * left-join / inner-join [g] with a unique-keyed right table
     (missing keys exercise null backfill on the wire)
+  * asof-join [g ts] on a trades/quotes pair (dup timestamps, one-
+    sided symbols -> null backfill; optionally composed under select)
+  * window-join / window-join1 [g ts] with map-left +-K intervals and
+    random {min max sum count avg} aggregate maps (kdb wj/wj1)
   * first / last / count / at on query results; concat
 Known one-sided restrictions (e.g. the reference's ``med`` rejects F64
 with 'type) surface as ref_error rows, same bookkeeping as ref_diff.
@@ -80,6 +84,45 @@ def gen_tables(r: random.Random):
     return t, u, n
 
 
+def gen_ts_tables(r: random.Random):
+    """A trades/quotes-style pair for asof/window joins: shared [g ts]
+    columns, ts ascending ints WITH duplicates (dup-ts last-wins on the
+    right side is reference semantics worth pinning), and symbols drawn
+    so some groups exist on only one side (null backfill)."""
+
+    def ts_vec(k):
+        out, cur = [], r.randint(0, 3)
+        for _ in range(k):
+            out.append(cur)
+            cur += r.choice([0, 1, 1, 2, 3])
+        return out
+
+    n, m = r.randint(2, 7), r.randint(2, 9)
+    tg = [r.choice(SYM_POOL[:3]) for _ in range(n)]
+    ug = [r.choice(SYM_POOL[1:]) for _ in range(m)]
+    t_ts, u_ts = ts_vec(n), ts_vec(m)
+    # v distinct -> xasc/xdesc row order on it is well-defined
+    v = r.sample(range(-20, 40), n)
+    w = [r.randint(-5, 9) for _ in range(m)]
+    # ts twice: as I64 (asof-join — ref lang.c:4169 pins I64 support)
+    # and as TIME/i32 `tm` (window-join: the reference's wj reads the
+    # window bounds and right time column through AS_I32, ref
+    # core/aggr.c:141-148, so it silently mis-answers on I64 time —
+    # live-probed; ours is typed-generic, so the fuzz sticks to the
+    # reference's supported i32 domain for wj)
+    t2 = ("(set t2 (table [g ts tm v] (list "
+          f"[{' '.join(chr(39) + s for s in tg)}] "
+          f"[{' '.join(map(str, t_ts))}] "
+          f"(as 'TIME [{' '.join(map(str, t_ts))}]) "
+          f"[{' '.join(map(str, v))}])))")
+    u2 = ("(set u2 (table [g ts tm w] (list "
+          f"[{' '.join(chr(39) + s for s in ug)}] "
+          f"[{' '.join(map(str, u_ts))}] "
+          f"(as 'TIME [{' '.join(map(str, u_ts))}]) "
+          f"[{' '.join(map(str, w))}])))")
+    return t2, u2
+
+
 def g_scalar(r: random.Random) -> str:
     return str(r.choice([0, 1, 2, 3, -1, -2, 5]))
 
@@ -110,6 +153,13 @@ def g_pred(r: random.Random, depth: int = 0) -> str:
     return base
 
 
+def g_pred_ts(r: random.Random) -> str:
+    """Predicate over the time-series pair's never-null left columns."""
+    col = r.choice(["ts", "v"])
+    lo, hi = (0, 8) if col == "ts" else (-10, 20)
+    return f"({r.choice(CMPS)} {col} {r.randint(lo, hi)})"
+
+
 def g_aggmap(r: random.Random, k: int) -> str:
     parts = []
     for i in range(k):
@@ -120,7 +170,36 @@ def g_aggmap(r: random.Random, k: int) -> str:
 
 
 def g_query(r: random.Random) -> str:
-    kind = r.randint(0, 11)
+    kind = r.randint(0, 14)
+    if kind == 12:
+        # §2.3 asof-join (greatest <=, null backfill, dup-ts last-wins)
+        q = "(asof-join [g ts] t2 u2)"
+        roll = r.random()
+        if roll < 0.25:
+            q = f"(select {{s0: (sum w) s1: (count v) from: {q} by: g}})"
+        elif roll < 0.45:
+            q = f"(select {{x: (+ v w) from: {q} where: {g_pred_ts(r)}}})"
+        return q
+    if kind == 13:
+        # §2.3 window-join / window-join1 (kdb wj/wj1): +-K window
+        # around each left ts via the docs' map-left interval idiom
+        k = r.randint(1, 3)
+        jv = r.choice(["window-join", "window-join1"])
+        aggs = " ".join(
+            f"m{i}: ({a} w)"
+            for i, a in enumerate(r.sample(
+                ["min", "max", "sum", "count", "avg"], r.randint(1, 2))))
+        return (f"({jv} [g tm] (map-left + [-{k} {k}] (at t2 'tm)) "
+                f"t2 u2 {{{aggs}}})")
+    if kind == 14:
+        # sorts/accessors over the time-series pair
+        return r.choice([
+            "(count (asof-join [g ts] t2 u2))",
+            "(xdesc t2 'v)",
+            "(last (asof-join [g ts] t2 u2))",
+            f"(select {{from: t2 where: {g_pred_ts(r)}}})",
+            "(select {mx: (max w) from: (asof-join [g ts] t2 u2)})",
+        ])
     if kind == 0:
         return f"(select {{from: t where: {g_pred(r)}}})"
     if kind == 1:
@@ -240,9 +319,11 @@ def main():
     try:
         for blk in range(args.blocks):
             t_src, u_src, _ = gen_tables(r)
+            t2_src, u2_src = gen_ts_tables(r)
+            setters = (t_src, u_src, t2_src, u2_src)
             interp = Interp(spark)
             ok = True
-            for setter in (t_src, u_src):
+            for setter in setters:
                 try:
                     interp.eval_str(setter)
                     reference_eval(srv, setter)
@@ -275,20 +356,22 @@ def main():
                     srv.stop()
                     srv = spawn_reference_server()
                     # re-seed its state for the rest of the block
-                    reference_eval(srv, t_src)
-                    reference_eval(srv, u_src)
+                    for setter in setters:
+                        reference_eval(srv, setter)
                     continue
                 except Exception as ex:  # noqa: BLE001
                     theirs_err = str(ex)
+                src = (f"{t2_src} {u2_src}" if "t2" in q
+                       else t_src)
                 if ours_err and theirs_err:
                     counts["both_error"] += 1
                 elif ours_err:
                     counts["ours_error"] += 1
-                    diverge.append((q, t_src, f"ours errored: {ours_err}",
+                    diverge.append((q, src, f"ours errored: {ours_err}",
                                     f"ref: {theirs!r}"))
                 elif theirs_err:
                     counts["ref_error"] += 1
-                    diverge.append((q, t_src, f"ours: {ours!r}",
+                    diverge.append((q, src, f"ours: {ours!r}",
                                     f"ref errored: {theirs_err}"))
                 elif values_eq(ours, theirs):
                     counts["match"] += 1
@@ -296,7 +379,7 @@ def main():
                     counts["ref_nan_group_agg"] += 1
                 else:
                     counts["mismatch"] += 1
-                    diverge.insert(0, (q, t_src, f"ours: {ours!r}",
+                    diverge.insert(0, (q, src, f"ours: {ours!r}",
                                        f"ref: {theirs!r}"))
             if (blk + 1) % 5 == 0:
                 print(f"[block {blk + 1}/{args.blocks}] {counts}",
@@ -310,7 +393,8 @@ def main():
         f"{total} seeded-random TABLE programs (seed {args.seed}; "
         f"{args.blocks} random (t,u) table pairs x {args.per_block} "
         "queries over select/update/where/by/take, xasc/xdesc, "
-        "left-join/inner-join, first/last/count/at/concat/rank) "
+        "left-join/inner-join, asof-join, window-join/window-join1, "
+        "first/last/count/at/concat/rank) "
         "evaluated in BOTH engines — ours via `rayfall.Interp` over a "
         "live SparkSession (tables are DataFrames, the same operator "
         "code the driver gate runs), the reference via a live "
@@ -336,8 +420,19 @@ def main():
         "multi-row groups — grouped median/stddev are not implemented in "
         "the reference) while our engine computes them; every other "
         "column in those rows agrees. `ref_error` rows are one-sided "
-        "reference restrictions (e.g. med rejects F64 with 'type) — our "
-        "engine is a documented superset.\n")
+        "reference restrictions (e.g. med rejects F64 with 'type; "
+        "aggregates/maps over a null-containing column — asof-join "
+        "backfill — also reject with 'type) — our engine is a documented "
+        "superset.\n"
+        "\nTwo reference limitations discovered and live-pinned by this "
+        "harness (r7): (1) the reference's window-join reads window "
+        "bounds and the right time column as i32 (ref core/aggr.c:141-148 "
+        "AS_I32), so it silently mis-answers on I64 time columns — the "
+        "fuzz uses TIME/i32 `tm` columns (its supported domain) for wj, "
+        "while our implementation is typed-generic; (2) shared non-key "
+        "columns in lj/ij/aj take the RIGHT value on matched rows (kdb "
+        "rule) and wj empty windows yield null aggregates (count 0) — "
+        "both now implemented and pinned in tests/test_rayfall.py.\n")
     if crashes:
         lines.append("## Inputs that crashed the reference process\n")
         lines += [f"* `{c}`" for c in crashes] + [""]

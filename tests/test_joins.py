@@ -276,10 +276,11 @@ def test_window_join_fixed_equivalence(tables):
             purchases, clicks, on="user_id", time_col="ts",
             lo=-ns5, hi=ns5, aggs=aggs, closed=closed,
         )
-        ga = {r.event_id: (r.mn, r.mx, round(r.sm, 9), r.n,
-                           None if r.av is None else round(r.av, 9))
+        # empty windows: sum/avg are NULL (reference wj semantics,
+        # live-pinned by ref_diff_tables), count 0 — in BOTH plans
+        rnd = lambda x: None if x is None else round(x, 9)  # noqa: E731
+        ga = {r.event_id: (r.mn, r.mx, rnd(r.sm), r.n, rnd(r.av))
               for r in generic.collect()}
-        fa = {r.event_id: (r.mn, r.mx, round(r.sm, 9), r.n,
-                           None if r.av is None else round(r.av, 9))
+        fa = {r.event_id: (r.mn, r.mx, rnd(r.sm), r.n, rnd(r.av))
               for r in fixed.collect()}
         assert ga == fa, f"closed={closed}: {len(ga)} vs {len(fa)} rows"

@@ -165,6 +165,43 @@ def test_update_where(it):
         ("Alice", 82500), ("Bob", 65000), ("Charlie", 93500)]
 
 
+def test_join_overwrite_and_wj_empty_window(it):
+    # live-pinned vs the reference binary (scripts/ref_diff_tables.py):
+    # (1) lj/ij/aj overwrite shared non-key columns with the RIGHT value
+    # on matched rows, keep the left value otherwise (kdb lj/aj rule);
+    # (2) wj empty windows: count 0, sum/avg/min null (ref core/aggr.c
+    # Null branch) — NOT the select-path kdb 0-identity for sum.
+    it.eval_str("(set a (table [g x y] (list ['aa 'bb 'cc] [1 2 3] [10 20 30])))")
+    it.eval_str("(set b (table [g y z] (list ['bb 'cc 'dd] [99 98 97] [5 6 7])))")
+    lj = it.eval_str("(left-join [g] a b)").collect()
+    assert [(r.g, r.y, r.z) for r in lj] == [
+        ("aa", 10, None), ("bb", 99, 5), ("cc", 98, 6)]
+    ij = it.eval_str("(inner-join [g] a b)").collect()
+    assert [(r.g, r.y, r.z) for r in ij] == [("bb", 99, 5), ("cc", 98, 6)]
+    it.eval_str("(set t2 (table [g ts tm v] "
+                "(list ['bb 'cc] [1 6] (as 'TIME [1 6]) [1 28])))")
+    it.eval_str("(set u2 (table [g ts tm w] "
+                "(list ['cc] [1] (as 'TIME [1]) [-4])))")
+    aj = it.eval_str("(asof-join [g ts] t2 u2)").collect()
+    assert [(r.g, r.tm, r.w) for r in aj] == [("bb", 1, None), ("cc", 1, -4)]
+    wj = it.eval_str(
+        "(window-join1 [g tm] (map-left + [-5 5] (at t2 'tm)) t2 u2 "
+        "{m0: (count w) m1: (sum w) m2: (avg w) m3: (min w)})").collect()
+    assert [(r.g, r.m0, r.m1, r.m2, r.m3) for r in wj] == [
+        ("bb", 0, None, None, None), ("cc", 1, -4, -4.0, -4)]
+
+
+def test_column_division_by_zero_is_null(it):
+    # ref core/ops.h:169: /0 -> null for BOTH `/` (floor) and `div`
+    # (true) on columns — Spark 4's default ANSI mode would throw.
+    # Live-pinned by ref_diff_tables (update x: (/ b h) with h=0 rows).
+    it.eval_str("(set t (table [b h] (list [-0.75 2.50 1.75] [-2 0 0])))")
+    rows = it.eval_str(
+        "(update {from: t x: (/ b h) y: (div b h)})").collect()
+    assert [r.x for r in rows] == [0.0, None, None]
+    assert rows[0].y == 0.375 and rows[1].y is None and rows[2].y is None
+
+
 def test_update_grouped_aggregate_broadcast(it):
     it.eval_str("""
     (set t (table [name dept salary]
