@@ -856,9 +856,14 @@ def q_dedup_minhash_bench(spark, sf):
     # 0.92 s): parallelism wins until task overhead eats it
     d = d.select("doc_id", "text").repartition(
         max(2, spark.sparkContext.defaultParallelism // 2))
+    # reuse_shingles=False since the r7 verify restructure: the slim-pair
+    # verify no longer shuffles shingle arrays, so the reuse exchange
+    # (which DOES move every doc's array once) now costs more than the
+    # second scan-stage recompute it saves — measured min-of-6 x2 runs:
+    # noreuse 0.55-0.71 s vs reuse 0.89-1.07 s at sf0.1
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
-        threshold=0.5, sig_impl="numpy", reuse_shingles=True,
+        threshold=0.5, sig_impl="expr", reuse_shingles=False,
     )
 
 

@@ -59,18 +59,25 @@ def with_shingle_hashes(df: DataFrame, text_col: str, k: int, out: str) -> DataF
     per-shingle string is ever built — measured 3.5x faster than
     slice+array_join shingling, and downstream shuffles move 8-byte longs
     instead of ~30-byte strings. Docs shorter than k words yield an empty
-    array (slice length clamps to 0)."""
-    words = df.withColumn("__rf_wh", F.transform(_tokens(F.col(text_col)),
-                                                 lambda w: F.xxhash64(w)))
-    c = F.col("__rf_wh")
-    z = c
+    array (slice length clamps to 0).
+
+    Spelled as two F.expr strings rather than composed Column objects:
+    the Column spelling costs ~115 ms of py4j round-trips PER CALL at
+    k=3 (one JVM hop per F.* node), and this constructor runs twice per
+    minhash_lsh_pairs build — a measurable chunk of short interactive
+    queries. One parsed SQL string is a single hop for the same plan."""
+    words = df.withColumn(
+        "__rf_wh",
+        F.expr(f"transform(split(trim(lower(`{text_col}`)), '\\\\s+'),"
+               " w -> xxhash64(w))"),
+    )
+    z = "__rf_wh"
     for j in range(1, k):
-        z = F.zip_with(
-            z, F.slice(c, j + 1, F.greatest(F.size(c) - j, F.lit(0))),
-            lambda a, b: F.xxhash64(a, b),
-        )
-    full = F.slice(z, 1, F.greatest(F.size(c) - k + 1, F.lit(0)))
-    return words.withColumn(out, F.array_distinct(full)).drop("__rf_wh")
+        z = (f"zip_with({z}, slice(__rf_wh, {j + 1},"
+             f" greatest(size(__rf_wh) - {j}, 0)),"
+             f" (a{j}, b{j}) -> xxhash64(a{j}, b{j}))")
+    full = f"slice({z}, 1, greatest(size(__rf_wh) - {k - 1}, 0))"
+    return words.withColumn(out, F.expr(f"array_distinct({full})")).drop("__rf_wh")
 
 
 def dedup_exact(df: DataFrame, cols: list[str], *, id_col: str,
@@ -203,7 +210,12 @@ def minhash_lsh_pairs(
     over the network. True inserts one repartition exchange after the
     shingle pass so both consumers hang off the SAME subtree and Spark
     plans a ReusedExchange — shingles are computed once and shuffled
-    once. The right trade for modest corpora (and the bench path)."""
+    once. NB: since the slim-pair verify restructure (which stopped
+    shuffling shingle arrays on the verify side) the reuse exchange is a
+    net LOSS at bench scale (sf0.1: reuse 0.89-1.07 s vs noreuse
+    0.55-0.71 s min-of-6) — it moves every document's array to save a
+    scan-stage recompute that is cheaper than the move. Kept for corpora
+    where shingling dominates (very long documents / large k)."""
     rows_per_band = num_perm // bands
     shingled_in = with_shingle_hashes(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
@@ -217,15 +229,15 @@ def minhash_lsh_pairs(
     else:
         sig_col = minhash_signature_from_hashes(F.col("__bh"), num_perm=num_perm)
     sig = shingled_in.select("__id", sig_col.alias("__sig"))
+    # single parsed expr string (vs `bands` composed F.hash(F.slice(...))
+    # Columns): same plan, one py4j hop — see with_shingle_hashes
+    band_exprs = ", ".join(
+        f"hash(slice(__sig, {b * rows_per_band + 1}, {rows_per_band}), {b})"
+        for b in range(bands)
+    )
     banded = sig.select(
         "__id",
-        F.explode(
-            F.array(*[
-                F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band),
-                       F.lit(b)).alias("x")
-                for b in range(bands)
-            ])
-        ).alias("__bucket"),
+        F.expr(f"explode(array({band_exprs}))").alias("__bucket"),
     )
     # bucket -> id list -> within-bucket pairs. A groupBy of the NARROW
     # (id, bucket) rows: the signature subtree is evaluated once (a
@@ -239,14 +251,10 @@ def minhash_lsh_pairs(
         .filter(F.size("ids") > 1)
         .withColumn("ids", F.array_sort("ids"))
     )
-    pair_gen = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pair_gen = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS id_a, y AS id_b))))"
     )
     cand = (
         buckets.select(F.explode(pair_gen).alias("p"))
