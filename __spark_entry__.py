@@ -974,13 +974,21 @@ def q_knn_recall(spark, sf):
 
 def q_text_quality(spark, sf):
     """Per-document text analysis in one gate (r6: absorbs the former
-    text_analysis entry): token count, fingerprint, length, language id,
-    and quality score — all JVM-expression columns over one scan."""
+    text_analysis entry; r7: grows the Gopher-style repetition metrics —
+    Rae et al. 2021 arXiv:2112.11446 §A1.1 adapted to word-occurrence
+    fractions): token count, fingerprint, length, language id, quality
+    score, most-common-2-gram fraction, duplicate-3-gram fraction, and
+    the combined repetition gate — all JVM-expression columns over one
+    scan (the repetition fold is a sorted-array aggregate, no explode,
+    no shuffle)."""
     from rayforce_spark.datapipe import (
         doc_fingerprint,
+        dup_ngram_frac,
         language_id,
         quality_score,
+        repetition_ok,
         token_count,
+        top_ngram_frac,
     )
 
     (d,) = _t(spark, sf, "documents")
@@ -991,6 +999,9 @@ def q_text_quality(spark, sf):
         F.length("text").alias("len_chars"),
         language_id(F.col("text")).alias("lang_guess"),
         quality_score(F.col("text")).alias("quality"),
+        top_ngram_frac(F.col("text"), 2).alias("top2gram_frac"),
+        dup_ngram_frac(F.col("text"), 3).alias("dup3gram_frac"),
+        repetition_ok(F.col("text")).alias("rep_ok"),
     )
 
 
@@ -1019,14 +1030,26 @@ def q_ngram_bigrams(spark, sf):
 
 
 def q_quality_filter(spark, sf):
-    """Per-language quality floor: keep docs at/above the 0.5
-    cume_dist of quality_score within their language
-    (datapipe.text.filter_by_quality_quantile) — count-based, so the
-    cutoff is integer-exact, engine-independent, and tie-sane."""
-    from rayforce_spark.datapipe import filter_by_quality_quantile
+    """Curation-filter chain in ONE gate (r7: grows a decontamination
+    leg, the GPT-3 appendix-C n-gram overlap rule — Brown et al. 2020
+    arXiv:2005.14165): split a deterministic 1% eval holdout
+    (doc_id % 97 == 0), keep training docs at/above the per-language 0.5
+    cume_dist quality floor (datapipe.text.filter_by_quality_quantile —
+    count-based cutoff, integer-exact and tie-sane), then drop any that
+    share a word 3-gram with the eval set (datapipe.decontam — eval
+    grams broadcast, the corpus never shuffles; n=3 because the
+    synthetic word-soup corpus has no verbatim 8-gram leakage, so a
+    realistic n would make the anti join vacuous)."""
+    from rayforce_spark.datapipe import (
+        decontaminate,
+        filter_by_quality_quantile,
+    )
 
     (d,) = _t(spark, sf, "documents")
-    return filter_by_quality_quantile(d, "text", q=0.5, by="lang").select(
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    kept = filter_by_quality_quantile(train, "text", q=0.5, by="lang")
+    return decontaminate(kept, ev, "text", "doc_id", n=3).select(
         "doc_id", "lang"
     )
 
@@ -1646,14 +1669,17 @@ ORACLE: dict[str, str] = {
         GROUP BY 1 ORDER BY n DESC, g LIMIT 50
     """,
     "quality_filter": """
-        -- same quality formula as text_analysis; rank-based cutoff:
-        -- keep percent_rank >= 0.5 within each lang
-        WITH feat AS (
+        -- r7 chain: quality cume_dist floor on the %97 train split,
+        -- then drop docs sharing any word 3-gram with the %97==0 eval
+        -- holdout (decontamination)
+        WITH train AS (
+          SELECT * FROM documents WHERE doc_id % 97 <> 0
+        ), feat AS (
           SELECT doc_id, lang,
                  length(text) AS n_chars,
                  len(string_split(trim(lower(text)), ' ')) AS n_toks,
                  length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
-          FROM documents
+          FROM train
         ), scored AS (
           SELECT doc_id, lang,
                  round(greatest(
@@ -1665,12 +1691,32 @@ ORACLE: dict[str, str] = {
                    0.0), 6) AS quality
           FROM feat
         )
-        SELECT doc_id, lang FROM (
-          SELECT doc_id, lang,
-                 cume_dist() OVER (PARTITION BY lang
-                                   ORDER BY quality) AS cd
-          FROM scored
-        ) WHERE cd >= 0.5
+        , kept AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   cume_dist() OVER (PARTITION BY lang
+                                     ORDER BY quality) AS cd
+            FROM scored
+          ) WHERE cd >= 0.5
+        ), evtoks AS (
+          SELECT string_split(trim(lower(text)), ' ') AS w
+          FROM documents WHERE doc_id % 97 = 0
+        ), evg AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM evtoks WHERE len(w) >= 3
+        ), trg AS (
+          SELECT k.doc_id, unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM kept k JOIN (
+            SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+            FROM train
+          ) t ON k.doc_id = t.doc_id WHERE len(w) >= 3
+        ), cont AS (
+          SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)
+        )
+        SELECT doc_id, lang FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)
     """,
     "pii_scrub": """
         SELECT doc_id,
@@ -1824,7 +1870,34 @@ ORACLE: dict[str, str] = {
                  len(list_intersect(toks, ['le','la','de','et','un','est','que','les','des','en'])) AS s_fr
           FROM feat
         )
-        SELECT doc_id,
+        , toks2 AS (
+          SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+          FROM documents
+        ), g2 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i+1])) AS g
+          FROM toks2 WHERE len(w) >= 2
+        ), c2 AS (
+          SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2
+        ), r2 AS (
+          SELECT doc_id,
+                 round(max(n)::DOUBLE / sum(n), 6) AS top2,
+                 round(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)::DOUBLE
+                       / sum(n), 6) AS dup2
+          FROM c2 GROUP BY 1
+        ), g3 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks2 WHERE len(w) >= 3
+        ), c3 AS (
+          SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2
+        ), r3 AS (
+          SELECT doc_id,
+                 round(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)::DOUBLE
+                       / sum(n), 6) AS dup3
+          FROM c3 GROUP BY 1
+        )
+        SELECT s.doc_id,
                n_toks AS n_tok,
                md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
                                        '\\s+', ' ', 'g'))) AS fp,
@@ -1840,8 +1913,14 @@ ORACLE: dict[str, str] = {
                           AND n_chars / greatest(n_toks, 1) <= 10
                          THEN 1.0 ELSE 0.5 END) * 0.3
                  + (1 - punct / greatest(n_chars, 1)) * 0.2,
-                 0.0), 6) AS quality
-        FROM scored
+                 0.0), 6) AS quality,
+               coalesce(r2.top2, 0.0) AS top2gram_frac,
+               coalesce(r3.dup3, 0.0) AS dup3gram_frac,
+               (coalesce(r2.top2, 0.0) <= 0.20
+                AND coalesce(r3.dup3, 0.0) <= 0.18) AS rep_ok
+        FROM scored s
+        LEFT JOIN r2 ON s.doc_id = r2.doc_id
+        LEFT JOIN r3 ON s.doc_id = r3.doc_id
     """,
     "cube_pivot": """
         WITH cube_t AS (

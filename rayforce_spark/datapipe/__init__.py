@@ -7,7 +7,10 @@ noted), so Catalyst/AQE handle skew, pushdown and partial aggregation.
 
 dedup       — exact, minhash-LSH, simhash, n-gram Jaccard, embedding-cosine
 similarity  — brute-force cosine top-k; LSH-bucketed ANN scale path
-text        — language id, quality scoring, token counting, fingerprinting
+text        — language id, quality scoring, token counting, fingerprinting,
+              Gopher-style repetition metrics (top/dup n-gram fractions)
+decontam    — benchmark decontamination (n-gram overlap vs a held-out
+              eval set; broadcast semi join — the corpus never shuffles)
 sampling    — deterministic hash sampling, train/val/test folds, per-key
               caps, corpus mixing (reproducible across runs and engines)
 multimodal  — opaque binary columns + typed metadata; decode/feature UDF
@@ -47,14 +50,22 @@ from rayforce_spark.datapipe.similarity import (
 )
 from rayforce_spark.datapipe.pipeline import curate
 from rayforce_spark.datapipe.sessions import sessionize_batch
+from rayforce_spark.datapipe.decontam import (
+    contaminated_ids,
+    decontaminate,
+    flag_contaminated,
+)
 from rayforce_spark.datapipe.text import (
     doc_fingerprint,
+    dup_ngram_frac,
     filter_by_quality_quantile,
     language_id,
     ngram_counts,
     quality_score,
+    repetition_ok,
     scrub_pii,
     token_count,
+    top_ngram_frac,
 )
 
 __all__ = [
@@ -83,7 +94,13 @@ __all__ = [
     "knn_cosine",
     "knn_ivf",
     "knn_lsh",
+    "contaminated_ids",
+    "decontaminate",
+    "flag_contaminated",
     "doc_fingerprint",
+    "dup_ngram_frac",
+    "repetition_ok",
+    "top_ngram_frac",
     "filter_by_quality_quantile",
     "language_id",
     "ngram_counts",

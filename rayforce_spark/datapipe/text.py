@@ -149,6 +149,74 @@ def filter_by_quality_quantile(df, text_col: str, *, q: float,
     )
 
 
+def _ngram_run_stats(grams: Column) -> Column:
+    """Fold a gram array into (maxrun, dup, total) occurrence counts:
+    sort the array, then one ``aggregate`` pass tracks the current run
+    length, the longest run (count of the most frequent gram), and the
+    number of occurrences belonging to grams seen >= 2 times. Pure
+    scan-stage expression — no explode, no shuffle, state is one small
+    struct per row regardless of document length."""
+    s = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        # when a run reaches 2, the first occurrence retroactively counts
+        dup = acc["dup"] + F.when(same & (acc["run"] == 1), 2).when(
+            same, 1).otherwise(0)
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            dup.alias("dup"),
+        )
+
+    agg = F.aggregate(s, init, step)
+    return F.struct(
+        agg["maxrun"].alias("maxrun"), agg["dup"].alias("dup"),
+        F.size(grams).alias("total"),
+    )
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-gram occurrences taken by the single most
+    frequent n-gram — the repetition signal behind the Gopher rule
+    "fraction of characters in the most common 2-gram" (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1), computed at word-occurrence level so it is
+    integer-exact and engine-portable. 0.0 for docs shorter than n."""
+    st = _ngram_run_stats(ngrams(text, n))
+    return F.when(st["total"] > 0,
+                  F.round(st["maxrun"] / st["total"], 6)).otherwise(0.0)
+
+
+def dup_ngram_frac(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-gram occurrences that belong to n-grams
+    appearing more than once in the document — the Gopher "fraction of
+    characters in duplicate n-grams" family at word-occurrence level.
+    High values flag boilerplate/looping text. 0.0 for short docs."""
+    st = _ngram_run_stats(ngrams(text, n))
+    return F.when(st["total"] > 0,
+                  F.round(st["dup"] / st["total"], 6)).otherwise(0.0)
+
+
+# Word-occurrence-level adaptation of the Gopher repetition thresholds
+# (char-fraction 0.20 / 0.18 in the paper); documents at or under both
+# pass. Exposed so pipelines and the oracle share one set of constants.
+REPETITION_THRESHOLDS = {"top2": 0.20, "dup3": 0.18}
+
+
+def repetition_ok(text: Column) -> Column:
+    """Gopher-style repetition gate: most-common-2-gram fraction <= 0.20
+    AND duplicate-3-gram fraction <= 0.18 (REPETITION_THRESHOLDS)."""
+    return (top_ngram_frac(text, 2) <= REPETITION_THRESHOLDS["top2"]) & (
+        dup_ngram_frac(text, 3) <= REPETITION_THRESHOLDS["dup3"])
+
+
 # PII patterns shared by engine and oracle: RE2/Java-compatible (no
 # lookarounds), applied in this order
 PII_PATTERNS = (

@@ -189,6 +189,42 @@ def main():
     if not ok_g:
         failures.append("ngram.one_shuffle_topk")
 
+    # 7d-bis (r7). repetition metrics are a per-row sorted-array fold —
+    # ZERO exchanges, no explode of the gram table; decontamination
+    # probes the eval gram set via BROADCAST semi join (the training
+    # corpus must never shuffle) and the final anti join is likewise
+    # broadcast — no cartesian anywhere
+    from rayforce_spark.datapipe import (
+        decontaminate,
+        dup_ngram_frac,
+        top_ngram_frac,
+    )
+
+    prep = plan_of(docs.select(
+        top_ngram_frac(F.col("text"), 2).alias("t2"),
+        dup_ngram_frac(F.col("text"), 3).alias("d3")))
+    n_rx = prep.count("Exchange")
+    print(f"[{'ok' if n_rx == 0 else 'VIOLATION'}] repetition.no_shuffle: "
+          f"{n_rx} exchange(s)")
+    if n_rx:
+        failures.append("repetition.no_shuffle")
+    pdec = plan_of(decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0), "text", "doc_id", n=3))
+    n_dx = pdec.count("Exchange hashpartitioning")
+    # exactly 2 hash exchanges, BOTH eval-sized: the eval-gram distinct
+    # (pre-broadcast) and the contaminated-id distinct. The train corpus
+    # itself must never hash-shuffle.
+    ok_d = ("CartesianProduct" not in pdec
+            and "BroadcastHashJoin" in pdec and "LeftSemi" in pdec
+            and "Exchange SinglePartition" not in pdec
+            and n_dx == 2)
+    print(f"[{'ok' if ok_d else 'VIOLATION'}] decontaminate.broadcast_probe: "
+          f"bcast_semi={'LeftSemi' in pdec and 'BroadcastHashJoin' in pdec}, "
+          f"cartesian={'CartesianProduct' in pdec}, hash_exchanges={n_dx}")
+    if not ok_d:
+        failures.append("decontaminate.broadcast_probe")
+
     # 7e. prefix-filtered exact jaccard (r6): candidate generation must
     # be a hash join on the prefix token — never a cartesian/BNLJ — and
     # no global (single-partition) exchange anywhere in the plan

@@ -432,6 +432,122 @@ def test_scrub_pii_patterns(spark):
     assert "example" not in out and "555" not in out and "10.0.0.7" not in out
 
 
+def _py_ngram_fracs(text: str, n: int) -> tuple[float, float]:
+    # independent reference for top/dup n-gram occurrence fractions
+    w = text.strip().lower().split()
+    grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+    if not grams:
+        return 0.0, 0.0
+    from collections import Counter
+
+    c = Counter(grams)
+    top = max(c.values()) / len(grams)
+    dup = sum(v for v in c.values() if v >= 2) / len(grams)
+    return round(top, 6), round(dup, 6)
+
+
+def test_repetition_fracs_hand_computed(spark):
+    from rayforce_spark.datapipe import dup_ngram_frac, top_ngram_frac
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),            # 2-grams: "a b"x3 "b a"x2
+         (2, "one two three four"),     # all 2-grams distinct
+         (3, "one")],                   # too short: no grams
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        top_ngram_frac(F.col("text"), 2).alias("t2"),
+        dup_ngram_frac(F.col("text"), 2).alias("d2"),
+        top_ngram_frac(F.col("text"), 3).alias("t3"),
+        dup_ngram_frac(F.col("text"), 3).alias("d3"),
+    ).collect()}
+    assert rows[1].t2 == 0.6 and rows[1].d2 == 1.0
+    assert rows[1].t3 == 0.5 and rows[1].d3 == 1.0
+    assert rows[2].t2 == round(1 / 3, 6) and rows[2].d2 == 0.0
+    assert rows[3].t2 == 0.0 and rows[3].d3 == 0.0
+
+
+def test_repetition_fracs_vs_python_reference(spark):
+    import random
+
+    from rayforce_spark.datapipe import dup_ngram_frac, top_ngram_frac
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 30))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (2, 3):
+        got = {r.doc_id: (r.t, r.d) for r in df.select(
+            "doc_id",
+            top_ngram_frac(F.col("text"), n).alias("t"),
+            dup_ngram_frac(F.col("text"), n).alias("d"),
+        ).collect()}
+        for i, text in docs:
+            assert got[i] == _py_ngram_fracs(text, n), (n, i, text)
+
+
+def test_repetition_ok_thresholds(spark):
+    from rayforce_spark.datapipe import repetition_ok
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),      # top2 = 1.0: fail
+         (2, "a quick brown fox jumps over dogs")],  # no repeats: pass
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.ok for r in df.select(
+        "doc_id", repetition_ok(F.col("text")).alias("ok")).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from rayforce_spark.datapipe import (
+        contaminated_ids,
+        decontaminate,
+        flag_contaminated,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the capital of france is paris indeed"),
+         (2, "completely unrelated text about spark"),
+         (3, "what is the capital of france please")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "q: capital of france a: paris")], "doc_id long, text string")
+    # 3-gram "capital of france" contaminates docs 1 and 3
+    for hashed in (True, False):
+        bad = sorted(r.doc_id for r in contaminated_ids(
+            train, ev, "text", "doc_id", n=3, hashed=hashed).collect())
+        assert bad == [1, 3]
+        kept = decontaminate(train, ev, "text", "doc_id", n=3,
+                             hashed=hashed)
+        assert [r.doc_id for r in kept.collect()] == [2]
+    # n large enough that no gram is shared -> nothing removed
+    assert decontaminate(train, ev, "text", "doc_id", n=6).count() == 3
+    flagged = {r.doc_id: r.contaminated for r in flag_contaminated(
+        train, ev, "text", "doc_id", n=3).collect()}
+    assert flagged == {1: True, 2: False, 3: True}
+
+
+def test_decontaminate_plan_broadcasts_eval(spark):
+    # the 100 TB contract: the eval-gram probe is a broadcast semi join,
+    # never a shuffle of the training corpus
+    from rayforce_spark.datapipe import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"word{i} filler text here") for i in range(10)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(0, "filler text here")],
+                               "doc_id long, text string")
+    plan = decontaminate(train, ev, "text", "doc_id", n=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_knn_ivf_highdim_vector_native_training(spark):
     # dim=256: training must stay a single vector aggregate per iteration
     # (Summarizer.mean), not 256 per-dimension avg columns — and recall
