@@ -1,10 +1,11 @@
 """The beyond-reference story: curate a document corpus for training.
 
-One deterministic plan chains the datapipe stages (exact dedup ->
-MinHash near-dup removal -> per-language quality floor -> 50%
-subsample + folds -> per-language cap), then an ANN query finds the
-nearest neighbors of a few embeddings — the two workloads a
-training-data pipeline runs daily.
+One deterministic plan chains the datapipe stages (repetition gate ->
+exact dedup -> MinHash near-dup removal -> per-language quality floor
+-> decontamination vs a held-out eval split -> 50% subsample + folds
+-> per-language cap), then an ANN query finds the nearest neighbors of
+a few embeddings — the two workloads a training-data pipeline runs
+daily.
 
 Run: python examples/curate.py [sf_dir]   (default /root/testdata/sf0.001)
 """
@@ -28,10 +29,13 @@ def main():
 
     docs = t["documents"]
     n0 = docs.count()
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)  # stand-in eval set
     kept = curate(
-        docs,
+        docs.filter(F.col("doc_id") % 97 != 0),
+        repetition_gate=True,
         neardup_threshold=0.8,
         min_quality_quantile=0.2, quality_by="lang",
+        decontam_against=holdout, decontam_n=3,
         sample_fraction=0.5, sample_salt=7, fold_salt=11,
         cap_key="lang", cap_n=100,
     )

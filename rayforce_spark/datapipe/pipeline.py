@@ -6,13 +6,19 @@ individually — this module only composes them, in the order a 100 TB
 curation run wants them (cheapest reduction first, so every later stage
 scans fewer rows):
 
-1. exact dedup on the normalized fingerprint (hash groupBy, one shuffle)
-2. near-dup removal: MinHash+LSH candidate pairs -> connected
+1. repetition gate (Gopher-style top/dup n-gram fractions): pure
+   scan-stage filter, zero shuffle — runs FIRST because it costs one
+   expression and every later stage scans fewer rows
+2. exact dedup on the normalized fingerprint (hash groupBy, one shuffle)
+3. near-dup removal: MinHash+LSH candidate pairs -> connected
    components -> keep the canonical (min-id) member per cluster
-3. quality floor: per-group cume_dist quantile cutoff (integer-exact)
-4. deterministic subsampling + train/val/test folds (scan-stage bigint
+4. quality floor: per-group cume_dist quantile cutoff (integer-exact)
+5. benchmark decontamination vs a held-out eval set (eval grams
+   broadcast; the corpus never shuffles) — after the dedup stages so
+   only survivors shingle, before sampling so no fold leaks eval text
+6. deterministic subsampling + train/val/test folds (scan-stage bigint
    hashes; fold salt independent of the sample salt)
-5. per-key contribution cap (one keyed shuffle)
+7. per-key contribution cap (one keyed shuffle)
 
 Every stage is deterministic (hash-based, tie-break-stable), so the
 whole pipeline is reproducible run-to-run and engine-to-engine — rerun
@@ -34,9 +40,11 @@ from rayforce_spark.datapipe.sampling import (
     cap_per_key,
     sample_hash,
 )
+from rayforce_spark.datapipe.decontam import decontaminate
 from rayforce_spark.datapipe.text import (
     doc_fingerprint,
     filter_by_quality_quantile,
+    repetition_ok,
 )
 
 
@@ -45,11 +53,14 @@ def curate(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    repetition_gate: bool = False,
     exact_dedup: bool = True,
     neardup_threshold: float | None = 0.8,
     neardup_opts: dict | None = None,
     min_quality_quantile: float | None = None,
     quality_by: str | None = None,
+    decontam_against: DataFrame | None = None,
+    decontam_n: int = 8,
     sample_fraction: float | None = None,
     sample_salt: int = 0,
     fold_weights: tuple = (0.8, 0.1, 0.1),
@@ -70,6 +81,9 @@ def curate(
     """
     out = docs
 
+    if repetition_gate:
+        out = out.filter(repetition_ok(F.col(text_col)))
+
     if exact_dedup:
         out = out.withColumn("__fp", doc_fingerprint(F.col(text_col)))
         out = dedup_exact(out, ["__fp"], id_col=id_col).drop("__fp")
@@ -85,6 +99,10 @@ def curate(
     if min_quality_quantile is not None:
         out = filter_by_quality_quantile(
             out, text_col, q=min_quality_quantile, by=quality_by)
+
+    if decontam_against is not None:
+        out = decontaminate(out, decontam_against, text_col, id_col,
+                            n=decontam_n)
 
     if sample_fraction is not None:
         out = sample_hash(out, id_col, sample_fraction, salt=sample_salt)

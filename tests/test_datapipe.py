@@ -680,14 +680,18 @@ def test_curate_end_to_end(tables):
 
     d = tables["documents"]
     n0 = d.count()
-    full = curate(
-        d,
+    holdout = d.filter(F.col("doc_id") % 97 == 0)
+    train_in = d.filter(F.col("doc_id") % 97 != 0)
+    kw = dict(
+        repetition_gate=True,
         neardup_threshold=0.8,
         min_quality_quantile=0.2, quality_by="lang",
+        decontam_against=holdout, decontam_n=3,
         sample_fraction=0.5, sample_salt=7,
         fold_salt=11,
         cap_key="lang", cap_n=40,
     )
+    full = curate(train_in, **kw)
     rows = full.collect()
     assert 0 < len(rows) < n0
     assert {r.fold for r in rows} <= {"train", "val", "test"}
@@ -696,20 +700,17 @@ def test_curate_end_to_end(tables):
 
     by_lang = Counter(r.lang for r in rows)
     assert max(by_lang.values()) <= 40
+    # decontamination held: no survivor shares a 3-gram with the holdout
+    from rayforce_spark.datapipe import contaminated_ids
+
+    leaked = contaminated_ids(full, holdout, "text", "doc_id", n=3)
+    assert leaked.count() == 0
     # deterministic: a second run is byte-identical
-    again = curate(
-        d,
-        neardup_threshold=0.8,
-        min_quality_quantile=0.2, quality_by="lang",
-        sample_fraction=0.5, sample_salt=7,
-        fold_salt=11,
-        cap_key="lang", cap_n=40,
-    ).collect()
+    again = curate(train_in, **kw).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     # dedup-only pass: no exact-fingerprint dups survive
     lean = curate(d, neardup_threshold=None, fold_col=None)
     from rayforce_spark.datapipe import doc_fingerprint
-    from pyspark.sql import functions as F
 
     fps = lean.select(doc_fingerprint(F.col("text")).alias("fp"))
     assert fps.count() == fps.distinct().count()
