@@ -19,6 +19,7 @@ from rayforce_spark.streaming.journal import (
     replay_journal,
 )
 from rayforce_spark.streaming.ops import (
+    stream_decontaminate,
     stream_dedup,
     stream_window_join,
     stream_xbar_agg,
@@ -35,6 +36,7 @@ __all__ = [
     "read_journal_stream",
     "replay_journal",
     "sessionize",
+    "stream_decontaminate",
     "stream_dedup",
     "stream_embedding_neardup",
     "stream_neardup",

@@ -33,6 +33,10 @@ made comparable):
   similarity.embedding_dup_pairs_lsh with identical
   planes/tables/seed/threshold.
 * xbar agg — complete-mode memory sink vs a batch window groupBy.
+* decontaminate — map-only (precomputed eval gram set probed
+  row-locally), so append mode drains deterministically; the row runs
+  BOTH membership impls (plan-literal expr / broadcast+searchsorted
+  pandas) and requires stream==batch AND expr==pandas.
 
 Floats are rounded to 6 dp on both sides before comparison (the stream
 sums in arrival order, the batch in partition order — same f64 math,
@@ -380,6 +384,44 @@ def check_xbar(spark, t, tmp):
     return _result("stream_xbar_agg", stream, batch, "1-hour tumbling bars")
 
 
+def check_decontaminate(spark, t, tmp):
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.datapipe import decontaminate
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.ops import stream_decontaminate
+
+    docs = t["documents"].select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    rows = sorted(
+        (r.asDict() for r in docs.filter(F.col("doc_id") % 97 != 0).collect()),
+        key=lambda r: r["doc_id"])
+    schema = "doc_id long, text string"
+    path = _feed(tmp, "decon", schema, _chunks(rows, 3))
+
+    n_ev = ev.count()
+    # exercise BOTH membership impls on the same feed: the plan-literal
+    # expr path and the broadcast+searchsorted pandas path must agree
+    # with each other and with the batch anti join
+    out_e = stream_decontaminate(
+        read_journal_stream(spark, path, schema), ev, "text", n=3,
+        impl="expr")
+    stream_e = _stream_table(spark, out_e, "sc_decon_e")
+    out_p = stream_decontaminate(
+        read_journal_stream(spark, path, schema), ev, "text", n=3,
+        impl="pandas")
+    stream_p = _stream_table(spark, out_p, "sc_decon_p")
+
+    batch = decontaminate(replay_journal(spark, path, schema), ev,
+                          "text", "doc_id", n=3)
+    r = _result("stream_decontaminate", stream_e, batch,
+                f"{len(rows)} docs vs {n_ev}-doc eval holdout, 3-grams")
+    impls_agree = _canon(stream_e) == _canon(stream_p)
+    r["match"] = r["match"] and impls_agree
+    r["notes"] += f"; expr==pandas impl: {impls_agree}"
+    return r
+
+
 CHECKS = [
     check_sessionize,
     check_asof,
@@ -388,6 +430,7 @@ CHECKS = [
     check_neardup,
     check_embedding_neardup,
     check_xbar,
+    check_decontaminate,
 ]
 
 

@@ -315,3 +315,66 @@ def test_ivf_on_empty_corpus_returns_no_neighbors(spark):
                   nlist=4, nprobe=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
+def test_stream_decontaminate_both_impls(spark, tmp_path):
+    # streaming twin of datapipe.decontam: docs sharing a 3-gram with
+    # the static eval set never reach the sink; both membership impls
+    # (plan-literal expr / broadcast+searchsorted pandas) agree with the
+    # batch op on the same rows
+    from rayforce_spark.datapipe import decontaminate
+    from rayforce_spark.streaming import stream_decontaminate
+
+    rows = [
+        {"doc_id": 1, "text": "the capital of france is paris indeed"},
+        {"doc_id": 2, "text": "completely unrelated text about spark"},
+        {"doc_id": 3, "text": "what is the capital of france please"},
+    ]
+    ev = spark.createDataFrame(
+        [(100, "q: capital of france a: paris")], "doc_id long, text string")
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string")
+    expect = sorted(r.doc_id for r in decontaminate(
+        batch_df, ev, "text", "doc_id", n=3).collect())
+    assert expect == [2]
+
+    schema = "doc_id long, text string"
+    for impl in ("expr", "pandas"):
+        jpath = str(tmp_path / f"docs_{impl}")
+        j = Journal(jpath, schema)
+        j.append(rows[:2])
+        j.append(rows[2:])
+        out = stream_decontaminate(
+            read_journal_stream(spark, jpath, schema), ev, "text",
+            n=3, impl=impl)
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName(f"decon_{impl}").start())
+        try:
+            q.processAllAvailable()
+            got = sorted(r.doc_id for r in
+                         spark.sql(f"SELECT doc_id FROM decon_{impl}")
+                         .collect())
+        finally:
+            q.stop()
+        assert got == expect, impl
+
+
+def test_stream_decontaminate_empty_eval_passthrough(spark, tmp_path):
+    from rayforce_spark.streaming import stream_decontaminate
+
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    schema = "doc_id long, text string"
+    jpath = str(tmp_path / "docs_empty_ev")
+    j = Journal(jpath, schema)
+    j.append([{"doc_id": 7, "text": "anything at all goes through"}])
+    out = stream_decontaminate(
+        read_journal_stream(spark, jpath, schema), ev, "text", n=3)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("decon_empty").start())
+    try:
+        q.processAllAvailable()
+        got = [r.doc_id for r in
+               spark.sql("SELECT doc_id FROM decon_empty").collect()]
+    finally:
+        q.stop()
+    assert got == [7]
