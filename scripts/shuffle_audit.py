@@ -33,6 +33,7 @@ DEFAULT = [
     "asof_join", "window_join", "sessionize", "moving_window",
     "dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_clusters",
     "dedup_embedding", "knn_recall", "ngram_bigrams", "sample_pipeline",
+    "quality_filter",  # r7: window shuffle + eval-sized decontam legs
 ]
 
 
