@@ -684,13 +684,54 @@ def upsert(target: DataFrame, rows: DataFrame, n_keys: int,
     """Keyed insert-or-replace; the first ``n_keys`` columns form the key
     (ref core/update.c:556, core/index.c:3001, examples/upsert.rfl).
 
-    Matching keys are replaced by the LAST row for that key in ``rows``
-    (reference last-write-wins); new keys are appended.
-    """
+    Reference semantics, live-pinned by scripts/ref_diff_tables.py (r7 —
+    the old anti-join+append formulation moved updated rows to the end
+    and collapsed duplicate-key target rows; the fuzzer caught both):
+    * a key already present updates its FIRST matching target row IN
+      PLACE — later duplicate-key target rows are untouched;
+    * duplicate keys within ``rows``: the LAST row wins (hash-index
+      last-write, ref core/index.c:2886);
+    * unmatched keys are appended, in ``rows`` order.
+
+    Plan: one keyed window (row_number per key over a pinned row id)
+    marks first occurrences; the deduped ``rows`` side joins in (small
+    in practice — AQE broadcasts it); unmatched rows union at the end.
+    The output restores (target order, then input order) with an
+    explicit sort — row position is part of this verb's semantics, so
+    the sort is the contract, not overhead."""
+    from pyspark.sql import Window
+
     keys = list(target.columns[:n_keys])
-    fresh = dedup_last(rows.select(*target.columns), keys, order_col)
-    kept = target.join(fresh, keys, "left_anti")
-    return kept.unionByName(fresh)
+    val_cols = [c for c in target.columns if c not in keys]
+    rin = rows.select(*target.columns).withColumn(
+        "__rf_pos",
+        order_col if order_col is not None
+        else F.monotonically_increasing_id())
+    fresh = dedup_last(rin, keys, F.col("__rf_pos"))
+    f2 = fresh.select(
+        *keys, F.lit(True).alias("__rf_hit"),
+        *[F.col(c).alias(f"__rf_u_{c}") for c in val_cols])
+    t = target.withColumn("__rf_tord", F.monotonically_increasing_id())
+    t = t.withColumn(
+        "__rf_occ",
+        F.row_number().over(Window.partitionBy(*keys).orderBy("__rf_tord")))
+    hit = F.col("__rf_hit").isNotNull() & (F.col("__rf_occ") == 1)
+    updated = (
+        t.join(f2, keys, "left")
+        .select(
+            *keys,
+            *[F.when(hit, F.col(f"__rf_u_{c}")).otherwise(F.col(c)).alias(c)
+              for c in val_cols],
+            "__rf_tord")
+        .orderBy("__rf_tord").select(*target.columns)
+    )
+    appended = (
+        fresh.join(target.select(*keys).distinct(), keys, "left_anti")
+        .orderBy("__rf_pos").select(*target.columns)
+    )
+    # per-branch sorts (order_col may be any orderable type, so the two
+    # order domains never mix); union concatenates the sorted branches
+    return updated.unionByName(appended)
 
 
 def salted_join(

@@ -727,6 +727,36 @@ class Interp:
                 # them) — mirror that quirk for parity
                 return V.vagg(fname, x)
             raise RayfallError(f"scan: unsupported verb {fname}")
+        if head in ("fold-right", "scan-right"):
+            # (fold-right f init xs) / (scan-right f init xs) — seeded
+            # fold/scan (ref core/env.c:242,245; no lang.c/docs coverage).
+            # Live-probed (scripts/ref_diff.py notes): the binary's
+            # BUILTIN-verb path is a left-iteration fold/scan with the
+            # init (scan emits the leading init: (scan-right + 0 [1 2 3])
+            # -> [0 1 3 6]); its LAMBDA path misdispatches — the second
+            # argument latches to init instead of the element
+            # ((scan-right (fn [a x] (+ a x)) 100 [1 2 3]) -> [100 200
+            # 300 400]) — and (fold-left + 5 …) crashes the server
+            # outright. We implement the coherent semantics for both
+            # callables and do not mirror the untested-path bugs
+            # (documented divergence, REF_DIFF.md keeps these out of the
+            # fuzz grammar).
+            fn = self._fn_arg(args[0])
+            if fn is None:
+                raise RayfallError(f"{head}: unsupported verb {args[0]}")
+            acc = self.eval(args[1])
+            xs = self.eval(args[2])
+            if head == "fold-right":
+                for v in xs:
+                    acc = fn(acc, v)
+                return acc
+            if not xs:
+                return []  # (scan-right f init []) -> [] (live-probed)
+            out = [acc]
+            for v in xs:
+                acc = fn(acc, v)
+                out.append(acc)
+            return out
         if head == "alter":
             return self._eval_alter(args)
 

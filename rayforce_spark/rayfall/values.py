@@ -145,6 +145,20 @@ def _mod_scalar(x, y):
     if y == 0:
         # (% 10i 0i) -> 0Ni; u8 has no null sentinel -> 0x00
         return U8(0) if isinstance(x, U8) else None
+    if isinstance(x, float) or isinstance(y, float):
+        # the reference's FEUCL_MOD is x - floor(x/y)*y (ref
+        # core/ops.h:167-168) with the quotient from a DOUBLE division
+        # (so it can round across an integer boundary: 3/0.05 -> 60.0)
+        # and the subtract-multiply CONTRACTED TO AN FMA by the same-box
+        # build ((% 3 0.05) -> -1.67e-16 there; two-rounding doubles
+        # give 0.0; Python's exact `%` gives 0.0499…). Emulate the fused
+        # single rounding with exact rational arithmetic — pinned by
+        # scripts/ref_diff.py.
+        import math
+        from fractions import Fraction
+
+        q = math.floor(x / y)
+        return float(Fraction(x) - q * Fraction(y))
     return x % y
 
 
@@ -636,22 +650,48 @@ def build_table(spark, names: list[str], cols: list[list]):
 # ---------------------------------------------------------------------------
 
 
+def _ord_key(v):
+    """Sort key matching the reference's float order: its sort compares
+    f64 bits in total order, so -0.0 sorts BEFORE 0.0 even though
+    (== -0.0 0.0) is true ((asc [0.0 -0.0]) -> [-0.0 0.0], live-pinned
+    by scripts/ref_diff.py). Floats map through the standard
+    sign-magnitude bit flip; other types sort natively."""
+    if isinstance(v, float):
+        import struct
+
+        u = struct.unpack("<Q", struct.pack("<d", v))[0]
+        u = (u ^ 0xFFFFFFFFFFFFFFFF) if (u >> 63) else (u | (1 << 63))
+        return u
+    return v
+
+
+def _mixed_key(x: list):
+    """Numeric vectors may mix ints and floats (int promotes); the bit
+    key only applies when a float is present, and then every element
+    maps through it so the total order is consistent."""
+    if any(isinstance(v, float) for v in x):
+        return lambda v: _ord_key(float(v))
+    return lambda v: v
+
+
 def asc(x: list) -> list:
-    return sorted(x)
+    return sorted(x, key=_mixed_key(x))
 
 
 def desc(x: list) -> list:
-    return sorted(x, reverse=True)
+    return sorted(x, key=_mixed_key(x), reverse=True)
 
 
 def iasc(x: list) -> list:
     """Ascending sort permutation (stable: ties keep arrival order)."""
-    return sorted(range(len(x)), key=lambda i: x[i])
+    k = _mixed_key(x)
+    return sorted(range(len(x)), key=lambda i: k(x[i]))
 
 
 def idesc(x: list) -> list:
     # python's reverse=True keeps equal elements in arrival order
-    return sorted(range(len(x)), key=lambda i: x[i], reverse=True)
+    k = _mixed_key(x)
+    return sorted(range(len(x)), key=lambda i: k(x[i]), reverse=True)
 
 
 def rank(x: list) -> list:

@@ -131,8 +131,18 @@ def g_vec_expr(r, depth):
         f"(fold max {w})",
         f"(map (fn [x] (+ x 1)) {w})",
         f"(map-left + {g_int(r)} {w})",
+        f"(map-right - {w} {g_int(r)})",
+        f"(map-right / {w} {r.choice([0, 2, 3])})",  # /0 -> null parity
         f"(at {w} 0)",
         f"(xbar {r.randint(1, 5)} {w})",
+        f"(xrank {r.randint(1, 4)} {w})",
+        f"(reverse {v})",
+        f"(distinct (concat {w} {w}))",
+        f"(take {w} {r.randint(1, 12)})",  # > len -> cyclic take parity
+        # fold-right/scan-right excluded: the binary's lambda path
+        # misdispatches (latches init) and (fold-left + …) CRASHES the
+        # server — our engine implements the coherent seeded fold/scan
+        # (evalr.py fold-right), a documented divergence like 'type
     ])
 
 

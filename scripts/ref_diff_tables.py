@@ -169,8 +169,41 @@ def g_aggmap(r: random.Random, k: int) -> str:
     return " ".join(parts)
 
 
+def g_insert_vals(r: random.Random, k: int) -> str:
+    """k rows matching t's [a b g h] schema. Inserted b values sit in
+    [100, 120) — outside gen_tables' b range — so the distinct-b
+    invariant (well-defined xasc order) survives the insert."""
+    a = [r.randint(-5, 9) for _ in range(k)]
+    b = r.sample([100 + x / 4 for x in range(80)], k)
+    g = [r.choice(SYM_POOL) for _ in range(k)]
+    h = [r.randint(-3, 3) for _ in range(k)]
+    if k == 1:
+        return f"(list {a[0]} {fmt_f(b[0])} '{g[0]} {h[0]})"
+    return ("(list "
+            f"[{' '.join(map(str, a))}] "
+            f"[{' '.join(map(fmt_f, b))}] "
+            f"[{' '.join(chr(39) + s for s in g)}] "
+            f"[{' '.join(map(str, h))}])")
+
+
 def g_query(r: random.Random) -> str:
-    kind = r.randint(0, 14)
+    kind = r.randint(0, 16)
+    if kind == 15:
+        # §2.1 insert (value form — returns the extended table): single
+        # row and column-block shapes, optionally composed under a query
+        q = f"(insert t {g_insert_vals(r, r.randint(1, 3))})"
+        roll = r.random()
+        if roll < 0.3:
+            q = f"(count {q})"
+        elif roll < 0.5:
+            q = f"(select {{s0: (sum a) from: {q} by: g}})"
+        elif roll < 0.7:
+            q = f"(xasc {q} 'b)"
+        return q
+    if kind == 16:
+        # §2.1 upsert with leading-1 key on column a: colliding keys
+        # exercise last-wins update, fresh keys append
+        return f"(upsert t 1 {g_insert_vals(r, r.randint(1, 2))})"
     if kind == 12:
         # §2.3 asof-join (greatest <=, null backfill, dup-ts last-wins)
         q = "(asof-join [g ts] t2 u2)"

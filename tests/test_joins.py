@@ -228,6 +228,19 @@ def test_upsert_appends_new_keys(spark):
     assert out == {1: "a", 2: "B2", 3: "c"}
 
 
+def test_upsert_in_place_first_occurrence(spark):
+    # live-pinned reference semantics (ref_diff_tables r7): matched keys
+    # update their FIRST target occurrence IN PLACE (row position kept,
+    # later dup-key rows untouched); new keys append in input order
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 30.0), (3, 40.0)], "k long, v double")
+    rows = spark.createDataFrame(
+        [(1, 99.0), (5, 1.0), (4, 2.0)], "k long, v double")
+    got = [(r.k, r.v) for r in upsert(target, rows, n_keys=1).collect()]
+    assert got == [(1, 99.0), (2, 20.0), (1, 30.0), (3, 40.0),
+                   (5, 1.0), (4, 2.0)]
+
+
 def test_salted_join_matches_plain(tables):
     from rayforce_spark import salted_join
 

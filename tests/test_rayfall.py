@@ -735,6 +735,24 @@ def test_fold_empty_returns_empty():
     assert v.eval_str("(fold (fn [a x] (+ a x)) [])") == []
 
 
+def test_fold_scan_right_seeded():
+    # (fold-right f init xs) / (scan-right f init xs): seeded fold/scan
+    # (ref core/env.c:242,245). Expected values live-probed against the
+    # binary's builtin-verb path; the lambda cases use the same coherent
+    # (acc, element) dispatch — the binary's lambda path misfires
+    # (latches init) and is a documented divergence, not mirrored.
+    v = Interp(None)
+    assert v.eval_str("(fold-right (fn [a x] (- a x)) 0 [1 2 3])") == -6
+    assert v.eval_str("(fold-right (fn [a x] (- a x)) 100 [1 2 3])") == 94
+    assert v.eval_str("(fold-right + 0 [1 2 3])") == 6
+    assert v.eval_str("(scan-right + 0 [1 2 3])") == [0, 1, 3, 6]
+    assert v.eval_str("(scan-right (fn [a x] (+ a x)) 0 [])") == []
+    assert v.eval_str("(fold-right (fn [a x] (+ a x)) 0 [])") == 0
+    assert v.eval_str(
+        "(fold-right (fn [a x] (concat (enlist x) a)) [] [1 2 3])"
+    ) == [3, 2, 1]
+
+
 # ---------------------------------------------------------------------------
 # r7 parity fixes found by scripts/ref_diff_tables.py (live-binary pinned)
 # ---------------------------------------------------------------------------
