@@ -752,11 +752,20 @@ def q_storage_roundtrip(spark, sf):
 # -- datapipe: dedup / similarity / text / multimodal -----------------------
 
 def q_dedup_exact(spark, sf):
-    from rayforce_spark.datapipe import dedup_exact
+    """Exact-dedup family chain (r7: grows the C4-style segment-level
+    leg — Raffel et al. 2020 §2.2's span dedup, word-chunk segmenter
+    because the synthetic corpus has no newlines): corpus-global
+    3-word-segment dedup rewrites each doc to its surviving segments,
+    then doc-level exact dedup keeps the min doc_id per (lang, source).
+    clean_fp/n_clean_tok pin the reassembled text values."""
+    from rayforce_spark.datapipe import dedup_exact, dedup_segments
 
     (d,) = _t(spark, sf, "documents")
-    return dedup_exact(d, ["lang", "source"], id_col="doc_id").select(
-        "doc_id", "lang", "source"
+    seg = dedup_segments(d, "text", "doc_id", words_per_segment=3)
+    return dedup_exact(seg, ["lang", "source"], id_col="doc_id").select(
+        "doc_id", "lang", "source",
+        F.md5("text").alias("clean_fp"),
+        F.size(F.split("text", " ")).alias("n_clean_tok"),
     )
 
 
@@ -1607,10 +1616,33 @@ ORACLE: dict[str, str] = {
         FROM events GROUP BY 2
     """,
     "dedup_exact": """
-        SELECT doc_id, lang, source FROM (
-          SELECT doc_id, lang, source,
+        -- r7 chain: corpus-global aligned-3-word segment dedup (first
+        -- (doc_id, pos) occurrence wins), docs reassembled from their
+        -- surviving segments, then min-doc_id per (lang, source)
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), seg AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(w, i, i + 2), ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1, 3)) AS i) t
+        ), k AS (
+          SELECT doc_id, pos, s,
+                 row_number() OVER (PARTITION BY s
+                                    ORDER BY doc_id, pos) AS rn
+          FROM seg
+        ), clean AS (
+          SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct
+          FROM k WHERE rn = 1 GROUP BY doc_id
+        ), base AS (
+          SELECT d.doc_id, d.lang, d.source, coalesce(c.ct, '') AS ct
+          FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, lang, source, md5(ct) AS clean_fp,
+               len(string_split(ct, ' ')) AS n_clean_tok
+        FROM (
+          SELECT doc_id, lang, source, ct,
                  min(doc_id) OVER (PARTITION BY lang, source) AS m
-          FROM documents) WHERE doc_id = m
+          FROM base) WHERE doc_id = m
     """,
     "dedup_jaccard": """
         WITH toks AS (

@@ -21,6 +21,7 @@ from rayforce_spark.datapipe.dedup import (
     dedup_clusters,
     dedup_exact,
     dedup_keep_canonical,
+    dedup_segments,
     embedding_dup_pairs,
     jaccard_dup_pairs,
     minhash_lsh_pairs,
@@ -80,6 +81,7 @@ __all__ = [
     "curate",
     "dedup_exact",
     "dedup_keep_canonical",
+    "dedup_segments",
     "extract_features",
     "resize_media",
     "sample_frames",

@@ -80,6 +80,64 @@ def with_shingle_hashes(df: DataFrame, text_col: str, k: int, out: str) -> DataF
     return words.withColumn(out, F.expr(f"array_distinct({full})")).drop("__rf_wh")
 
 
+def dedup_segments(df: DataFrame, text_col: str, id_col: str, *,
+                   words_per_segment: int | None = None) -> DataFrame:
+    """Corpus-global SEGMENT-level exact dedup — the C4 "discard all but
+    one of any three-sentence span occurring more than once" /
+    line-dedup family (Raffel et al. 2020 arXiv:1910.10683 §2.2;
+    RefinedWeb, Penedo et al. 2023, runs the same rule on lines): every
+    repeated segment keeps only its globally FIRST occurrence (smallest
+    (id, position) — deterministic across runs and engines); each
+    document is reassembled from its surviving segments (possibly
+    empty, never dropped — downstream length filters cull husks).
+
+    Segmenter: newline lines by default; ``words_per_segment=k`` chunks
+    the whitespace token stream into aligned k-word blocks instead, for
+    corpora without line structure.
+
+    Plan (deliberately NOT a per-segment sort window): posexplode ->
+    groupBy segment hash with min(struct(id, pos)) — a partial-agg
+    shuffle that is immune to boilerplate-segment skew (a segment
+    repeated 1e9 times map-side combines to one row per task, where a
+    row_number window would sort the hot partition) -> join the
+    min-occurrence set back and keep matching rows -> one keyed shuffle
+    to reassemble. Segments shuffle as 8-byte xxhash64 keys, not text."""
+    sep = " " if words_per_segment else "\n"
+    if words_per_segment:
+        k = int(words_per_segment)
+        w = F.split(F.col(text_col), " ")
+        segs = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(k)),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        )
+    else:
+        segs = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(id_col).alias("__sid"),
+        F.posexplode(segs).alias("__pos", "__seg"),
+    ).withColumn("__h", F.xxhash64("__seg"))
+    firsts = ex.groupBy("__h").agg(
+        F.min(F.struct(F.col("__sid"), F.col("__pos"))).alias("__f"))
+    kept = (
+        ex.join(firsts, "__h")
+        .filter((F.col("__sid") == F.col("__f.__sid"))
+                & (F.col("__pos") == F.col("__f.__pos")))
+    )
+    clean = kept.groupBy("__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            sep,
+        ).alias("__clean")
+    )
+    out = df.join(clean, df[id_col] == clean["__sid"], "left")
+    return out.withColumn(
+        text_col, F.coalesce(F.col("__clean"), F.lit(""))
+    ).drop("__sid", "__clean")
+
+
 def dedup_exact(df: DataFrame, cols: list[str], *, id_col: str,
                 keep: str = "min") -> DataFrame:
     """Exact dedup on ``cols``: keep one row per duplicate group (the

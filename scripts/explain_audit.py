@@ -225,6 +225,25 @@ def main():
     if not ok_d:
         failures.append("decontaminate.broadcast_probe")
 
+    # 7d-ter (r7). segment-level dedup (C4 span-dedup rule): the
+    # first-occurrence pass must be the skew-immune agg+join shape —
+    # bounded hash exchanges, no per-segment sort window, no cartesian,
+    # no single-partition exchange
+    from rayforce_spark.datapipe import dedup_segments
+
+    pseg = plan_of(dedup_segments(docs, "text", "doc_id",
+                                  words_per_segment=3))
+    n_sgx = pseg.count("Exchange hashpartitioning")
+    ok_sg = ("CartesianProduct" not in pseg
+             and "Exchange SinglePartition" not in pseg
+             and "Window" not in pseg
+             and n_sgx <= 3)
+    print(f"[{'ok' if ok_sg else 'VIOLATION'}] dedup_segments.agg_join: "
+          f"hash_exchanges={n_sgx}, window={'Window' in pseg}, "
+          f"cartesian={'CartesianProduct' in pseg}")
+    if not ok_sg:
+        failures.append("dedup_segments.agg_join")
+
     # 7e. prefix-filtered exact jaccard (r6): candidate generation must
     # be a hash join on the prefix token — never a cartesian/BNLJ — and
     # no global (single-partition) exchange anywhere in the plan

@@ -532,6 +532,61 @@ def test_decontaminate_ngram_overlap(spark):
     assert flagged == {1: True, 2: False, 3: True}
 
 
+def test_dedup_segments_lines_and_word_chunks(spark):
+    from rayforce_spark.datapipe import dedup_segments
+
+    # line mode: "dup" appears in docs 1 (pos 0), 1 (pos 2), 2 (pos 0) —
+    # only the global first survives; doc 3 is all-duplicate -> ""
+    df = spark.createDataFrame(
+        [(1, "dup\nunique one\ndup"),
+         (2, "dup\nunique two"),
+         (3, "dup")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in
+           dedup_segments(df, "text", "doc_id").collect()}
+    assert got == {1: "dup\nunique one", 2: "unique two", 3: ""}
+
+    # word-chunk mode, k=2: doc 1 = [a b][c d], doc 2 = [a b][x y][c d]
+    # -> doc 2 keeps only "x y" (aligned chunks, global first wins)
+    df2 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y c d")], "doc_id long, text string")
+    got2 = {r.doc_id: r.text for r in dedup_segments(
+        df2, "text", "doc_id", words_per_segment=2).collect()}
+    assert got2 == {1: "a b c d", 2: "x y"}
+    # deterministic: same result on a second run
+    got3 = {r.doc_id: r.text for r in dedup_segments(
+        df2, "text", "doc_id", words_per_segment=2).collect()}
+    assert got3 == got2
+
+
+def test_dedup_segments_vs_python_reference(spark):
+    import random
+
+    from rayforce_spark.datapipe import dedup_segments
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 14))))
+            for i in range(30)]
+    k = 3
+    seen, expect = set(), {}
+    for i, text in docs:  # python twin: global first occurrence wins
+        w = text.split(" ")
+        keep = []
+        for p in range(0, len(w), k):
+            s = " ".join(w[p:p + k])
+            if s not in seen:
+                seen.add(s)
+                keep.append(s)
+        expect[i] = " ".join(keep)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_segments(
+        df, "text", "doc_id", words_per_segment=k).collect()}
+    assert got == expect
+
+
 def test_decontaminate_plan_broadcasts_eval(spark):
     # the 100 TB contract: the eval-gram probe is a broadcast semi join,
     # never a shuffle of the training corpus
