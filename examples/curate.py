@@ -1,11 +1,11 @@
 """The beyond-reference story: curate a document corpus for training.
 
 One deterministic plan chains the datapipe stages (repetition gate ->
-exact dedup -> MinHash near-dup removal -> per-language quality floor
--> decontamination vs a held-out eval split -> 50% subsample + folds
--> per-language cap), then an ANN query finds the nearest neighbors of
-a few embeddings — the two workloads a training-data pipeline runs
-daily.
+C4-style segment dedup -> exact dedup -> MinHash near-dup removal ->
+per-language quality floor -> decontamination vs a held-out eval split
+-> 50% subsample + folds -> per-language cap), then an ANN query finds
+the nearest neighbors of a few embeddings — the two workloads a
+training-data pipeline runs daily.
 
 Run: python examples/curate.py [sf_dir]   (default /root/testdata/sf0.001)
 """
@@ -33,6 +33,7 @@ def main():
     kept = curate(
         docs.filter(F.col("doc_id") % 97 != 0),
         repetition_gate=True,
+        segment_dedup=3,
         neardup_threshold=0.8,
         min_quality_quantile=0.2, quality_by="lang",
         decontam_against=holdout, decontam_n=3,

@@ -9,16 +9,19 @@ scans fewer rows):
 1. repetition gate (Gopher-style top/dup n-gram fractions): pure
    scan-stage filter, zero shuffle — runs FIRST because it costs one
    expression and every later stage scans fewer rows
-2. exact dedup on the normalized fingerprint (hash groupBy, one shuffle)
-3. near-dup removal: MinHash+LSH candidate pairs -> connected
+2. segment-level dedup (C4 span-dedup rule): repeated lines/spans keep
+   their global first occurrence, documents reassembled — before doc
+   dedup so boilerplate doesn't mask otherwise-identical docs
+3. exact dedup on the normalized fingerprint (hash groupBy, one shuffle)
+4. near-dup removal: MinHash+LSH candidate pairs -> connected
    components -> keep the canonical (min-id) member per cluster
-4. quality floor: per-group cume_dist quantile cutoff (integer-exact)
-5. benchmark decontamination vs a held-out eval set (eval grams
+5. quality floor: per-group cume_dist quantile cutoff (integer-exact)
+6. benchmark decontamination vs a held-out eval set (eval grams
    broadcast; the corpus never shuffles) — after the dedup stages so
    only survivors shingle, before sampling so no fold leaks eval text
-6. deterministic subsampling + train/val/test folds (scan-stage bigint
+7. deterministic subsampling + train/val/test folds (scan-stage bigint
    hashes; fold salt independent of the sample salt)
-7. per-key contribution cap (one keyed shuffle)
+8. per-key contribution cap (one keyed shuffle)
 
 Every stage is deterministic (hash-based, tie-break-stable), so the
 whole pipeline is reproducible run-to-run and engine-to-engine — rerun
@@ -54,6 +57,7 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     repetition_gate: bool = False,
+    segment_dedup: bool | int = False,
     exact_dedup: bool = True,
     neardup_threshold: float | None = 0.8,
     neardup_opts: dict | None = None,
@@ -83,6 +87,17 @@ def curate(
 
     if repetition_gate:
         out = out.filter(repetition_ok(F.col(text_col)))
+
+    if segment_dedup:
+        # True -> newline-line segments; an int -> aligned k-word chunks
+        from rayforce_spark.datapipe.dedup import dedup_segments
+
+        out = dedup_segments(
+            out, text_col, id_col,
+            words_per_segment=(segment_dedup
+                               if isinstance(segment_dedup, int)
+                               and not isinstance(segment_dedup, bool)
+                               else None))
 
     if exact_dedup:
         out = out.withColumn("__fp", doc_fingerprint(F.col(text_col)))

@@ -739,6 +739,7 @@ def test_curate_end_to_end(tables):
     train_in = d.filter(F.col("doc_id") % 97 != 0)
     kw = dict(
         repetition_gate=True,
+        segment_dedup=3,  # aligned 3-word chunks (corpus has no newlines)
         neardup_threshold=0.8,
         min_quality_quantile=0.2, quality_by="lang",
         decontam_against=holdout, decontam_n=3,
