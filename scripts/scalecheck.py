@@ -60,10 +60,32 @@ def main():
         # clustering over the full sf0.1 pair graph vs a DuckDB
         # label-propagation twin (pair generation has separate
         # prefix==brute property-test evidence; only DuckDB's raw
-        # word-level oracle is intractable here).
-        import scalecheck_clusters
+        # word-level oracle is intractable here). Run it in a FRESH
+        # subprocess: sharing the gate's JVM after 49 queries leaves too
+        # little headroom for the 3M-pair broadcast (observed OOM), and
+        # a crash here must degrade to a recorded fail, not lose the
+        # other 49 rows.
+        import subprocess
 
-        results["dedup_clusters"] = scalecheck_clusters.run(sf_dir)
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "scalecheck_clusters.py"),
+                 sf_dir, "--json"],
+                capture_output=True, text=True, timeout=1200)
+            row = next(
+                (json.loads(ln.split("=", 1)[1])
+                 for ln in proc.stdout.splitlines()
+                 if ln.startswith("SCALECHECK_CLUSTERS_ROW=")),
+                None)
+            results["dedup_clusters"] = row or {
+                "status": "fail", "rows": None, "secs": 0.0,
+                "detail": f"split verifier produced no row; rc="
+                          f"{proc.returncode} tail={proc.stdout[-300:]!r}"}
+        except Exception as e:  # noqa: BLE001 — record, don't lose the run
+            results["dedup_clusters"] = {
+                "status": "fail", "rows": None, "secs": 0.0,
+                "detail": f"split verifier crashed: {type(e).__name__}: {e}"}
     by_status: dict[str, int] = {}
     for r in results.values():
         by_status[r["status"]] = by_status.get(r["status"], 0) + 1

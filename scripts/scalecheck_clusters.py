@@ -116,7 +116,12 @@ def run(sf_dir: str, spark=None) -> dict:
 
 
 def main() -> int:
-    return 0 if run(SF)["status"] == "split_ok" else 1
+    import json
+
+    row = run(SF)
+    if "--json" in sys.argv:
+        print("SCALECHECK_CLUSTERS_ROW=" + json.dumps(row))
+    return 0 if row["status"] == "split_ok" else 1
 
 
 if __name__ == "__main__":
