@@ -769,6 +769,18 @@ def q_dedup_exact(spark, sf):
     )
 
 
+def q_dedup_exact_bench(spark, sf):
+    # bench series continuity: the pre-r7 doc-level-only shape (the
+    # gated query grew the segment-dedup chain; this keeps the bench
+    # row measuring the same operator across rounds)
+    from rayforce_spark.datapipe import dedup_exact
+
+    (d,) = _t(spark, sf, "documents")
+    return dedup_exact(d, ["lang", "source"], id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_dedup_jaccard(spark, sf):
     from rayforce_spark.datapipe import jaccard_dup_pairs
 

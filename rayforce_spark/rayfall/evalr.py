@@ -354,6 +354,15 @@ class Interp:
             target, name = self._mut_target(args[0])
             n_keys = int(self.eval(args[1]))
             out = J.upsert(target, self._rows_df(target, self.eval(args[2])), n_keys)
+            # the reference is an EAGER engine: each upsert materializes
+            # a new table. Mirror that here (value context, literal
+            # scale) — the r7 in-place formulation stacks a window + two
+            # joins + sorts per call, and N chained upserts otherwise
+            # nest N such layers into one plan Catalyst re-analyzes
+            # quadratically (examples/upsert.rfl's 13-deep chain hung).
+            # The lazy operator itself (operators/joins.py upsert) stays
+            # checkpoint-free for real pipelines.
+            out = out.localCheckpoint()
             if name:
                 self.env[name] = out
             return out
