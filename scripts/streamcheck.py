@@ -65,19 +65,46 @@ STABLE_SECS = 8
 TIMEOUT_SECS = 300
 
 
-def _stream_table(spark, out_df, name, mode="append"):
+def _stream_table(spark, out_df, name, mode="append", expect_input=None):
     """Run a streaming DataFrame into a memory sink until the row count
-    is stable for STABLE_SECS (stateful ops never 'drain' — poll)."""
+    is stable for STABLE_SECS. Two sharp edges, both hit in r7:
+    * processAllAvailable() is NOT usable here — the stateful ops use
+      ProcessingTimeTimeout, whose timeout-only empty micro-batches keep
+      committing after the data drains, so pAA spins for the full state
+      TTL (observed: 800+ stages churning a saturated box);
+    * a bare stability poll races a slow first micro-batch (at sf0.1,
+      0 rows after 8 quiet seconds read as 'done' — recorded as a false
+      MISMATCH). So when the caller passes ``expect_input`` (the fed row
+      count — every feed is fully written before start), the poll
+      refuses to exit until the query's cumulative numInputRows reaches
+      it, then applies the stability window on top."""
     q = (out_df.writeStream.outputMode(mode)
          .format("memory").queryName(name).start())
     try:
+        seen_batches: dict[int, int] = {}
+        last_batch_rows = None
         last_n, last_change = -1, time.time()
         deadline = time.time() + TIMEOUT_SECS
         while time.time() < deadline:
+            for p in q.recentProgress:
+                seen_batches[p.batchId] = p.numInputRows
+            if seen_batches:
+                last_batch_rows = seen_batches[max(seen_batches)]
+            drained = (expect_input is None
+                       or sum(seen_batches.values()) >= expect_input)
+            # a committed final-data batch may still be FOLLOWED by a
+            # slow watermark/timeout emission batch (sf0.1 asof: 100k
+            # emissions land in the batch AFTER the flush rows) — don't
+            # read a quiet sink as done while such a batch is active:
+            # settled = the query is idle, or its latest committed batch
+            # consumed no input (timeout-churn steady state)
+            settled = (last_batch_rows == 0
+                       or not q.status.get("isTriggerActive", False))
             n = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
             if n != last_n:
                 last_n, last_change = n, time.time()
-            elif time.time() - last_change > STABLE_SECS:
+            elif (drained and settled
+                  and time.time() - last_change > STABLE_SECS):
                 break
             time.sleep(0.5)
     finally:
@@ -143,7 +170,8 @@ def check_sessionize(spark, t, tmp):
     path = _feed(tmp, "sess", schema, _chunks(rows, 4) + [sentinels])
 
     out = sessionize(read_journal_stream(spark, path, schema), gap_sec=gap)
-    stream = _stream_table(spark, out, "sc_sessions").select(
+    stream = _stream_table(spark, out, "sc_sessions",
+                           expect_input=len(rows) + len(sentinels)).select(
         "user_id", F.round("session_start", 6).alias("s"),
         F.round("session_end", 6).alias("e"), "n_events",
         F.round("sum_value", 6).alias("v"))
@@ -186,7 +214,8 @@ def check_asof(spark, t, tmp):
         read_journal_stream(spark, rpath, rs),
         "user_id", "ts", right_cols=["value"],
     )
-    stream = _stream_table(spark, out, "sc_asof").select(
+    stream = _stream_table(spark, out, "sc_asof",
+                           expect_input=len(lrows) + len(rrows) + len(flush)).select(
         "user_id", (F.unix_micros("ts")).alias("t_us"), "event_id",
         F.round("value", 6).alias("v"))
 
@@ -227,7 +256,8 @@ def check_window_join(spark, t, tmp):
         read_journal_stream(spark, rpath, rs),
         "user_id", "ts", lo, hi,
     )
-    stream = _stream_table(spark, out, "sc_wj").select(
+    stream = _stream_table(spark, out, "sc_wj",
+                           expect_input=len(lrows) + len(rrows)).select(
         "user_id", F.unix_micros("ts").alias("t_us"), "event_id",
         F.unix_micros("r_ts").alias("rt_us"),
         F.round("r_value", 6).alias("v"))
@@ -263,7 +293,8 @@ def check_dedup(spark, t, tmp):
     out = stream_dedup(
         read_journal_stream(spark, path, schema), ["event_id"],
         ts_col="ts", watermark="1 hour")
-    stream = _stream_table(spark, out, "sc_dedup").select(
+    stream = _stream_table(spark, out, "sc_dedup",
+                           expect_input=len(rows) + len(chunks[0])).select(
         "event_id", "user_id", "value")  # ts projected to timestamp inside
 
     batch = replay_journal(spark, path, schema).dropDuplicates(
@@ -291,7 +322,8 @@ def check_neardup(spark, t, tmp):
         read_journal_stream(spark, path, schema),
         num_perm=num_perm, bands=bands, shingle_k=k, threshold=thr,
         max_per_bucket=10**6, state_ttl_sec=10**6)
-    stream = _stream_table(spark, out, "sc_neardup").select(
+    stream = _stream_table(spark, out, "sc_neardup",
+                           expect_input=len(rows)).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est")
     ).dropDuplicates(["id_a", "id_b"])
 
@@ -344,7 +376,8 @@ def check_embedding_neardup(spark, t, tmp):
         read_journal_stream(spark, path, schema),
         dim=dim, threshold=thr, planes=planes, tables=tables, seed=seed,
         max_per_bucket=10**6, state_ttl_sec=10**6)
-    stream = _stream_table(spark, out, "sc_embdup").select(
+    stream = _stream_table(spark, out, "sc_embdup",
+                           expect_input=len(rows)).select(
         "id_a", "id_b", F.round("cos", 6).alias("c")
     ).dropDuplicates(["id_a", "id_b"])
 
@@ -371,7 +404,8 @@ def check_xbar(spark, t, tmp):
     out = stream_xbar_agg(
         read_journal_stream(spark, path, schema), "ts", "1 hour",
         {"n": F.count(F.lit(1)), "v": F.sum("value")})
-    stream = _stream_table(spark, out, "sc_xbar", mode="complete").select(
+    stream = _stream_table(spark, out, "sc_xbar", mode="complete",
+                           expect_input=len(rows)).select(
         F.unix_micros("bar.start").alias("b"), "n",
         F.round("v", 6).alias("v"))
 
@@ -406,11 +440,13 @@ def check_decontaminate(spark, t, tmp):
     out_e = stream_decontaminate(
         read_journal_stream(spark, path, schema), ev, "text", n=3,
         impl="expr")
-    stream_e = _stream_table(spark, out_e, "sc_decon_e")
+    stream_e = _stream_table(spark, out_e, "sc_decon_e",
+                              expect_input=len(rows))
     out_p = stream_decontaminate(
         read_journal_stream(spark, path, schema), ev, "text", n=3,
         impl="pandas")
-    stream_p = _stream_table(spark, out_p, "sc_decon_p")
+    stream_p = _stream_table(spark, out_p, "sc_decon_p",
+                              expect_input=len(rows))
 
     batch = decontaminate(replay_journal(spark, path, schema), ev,
                           "text", "doc_id", n=3)
