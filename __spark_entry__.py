@@ -1051,17 +1051,24 @@ def q_ngram_bigrams(spark, sf):
 
 
 def q_quality_filter(spark, sf):
-    """Curation-filter chain in ONE gate (r7: grows a decontamination
-    leg, the GPT-3 appendix-C n-gram overlap rule — Brown et al. 2020
-    arXiv:2005.14165): split a deterministic 1% eval holdout
-    (doc_id % 97 == 0), keep training docs at/above the per-language 0.5
-    cume_dist quality floor (datapipe.text.filter_by_quality_quantile —
-    count-based cutoff, integer-exact and tie-sane), then drop any that
-    share a word 3-gram with the eval set (datapipe.decontam — eval
-    grams broadcast, the corpus never shuffles; n=3 because the
-    synthetic word-soup corpus has no verbatim 8-gram leakage, so a
-    realistic n would make the anti join vacuous)."""
+    """Curation-filter chain in ONE gate (r7): split a deterministic 1%
+    eval holdout (doc_id % 97 == 0), then three public-recipe legs in
+    sequence —
+    1. per-language 0.5 cume_dist quality floor
+       (datapipe.text.filter_by_quality_quantile — count-based cutoff,
+       integer-exact and tie-sane);
+    2. CCNet-style LM-score floor (Wenzek et al. 2020 arXiv:1911.00359):
+       corpus-trained add-0.1 bigram LM (datapipe.text.bigram_lm_score),
+       drop each language's worst-scoring 10% (perplexity outliers;
+       no-bigram docs pass with null score);
+    3. decontamination, the GPT-3 appendix-C n-gram overlap rule (Brown
+       et al. 2020 arXiv:2005.14165; datapipe.decontam — eval grams
+       broadcast, the corpus never shuffles; n=3 because the synthetic
+       word-soup corpus has no verbatim 8-gram leakage)."""
+    from pyspark.sql import Window
+
     from rayforce_spark.datapipe import (
+        bigram_lm_score,
         decontaminate,
         filter_by_quality_quantile,
     )
@@ -1070,8 +1077,17 @@ def q_quality_filter(spark, sf):
     train = d.filter(F.col("doc_id") % 97 != 0)
     ev = d.filter(F.col("doc_id") % 97 == 0)
     kept = filter_by_quality_quantile(train, "text", q=0.5, by="lang")
-    return decontaminate(kept, ev, "text", "doc_id", n=3).select(
-        "doc_id", "lang"
+    # CCNet leg (Wenzek et al. 2020): corpus-trained bigram-LM score,
+    # drop each language's worst-scoring 10% (perplexity outliers);
+    # docs with no bigrams (null score) pass unconditionally
+    scored = bigram_lm_score(kept, "text", "doc_id", alpha=0.1)
+    w = Window.partitionBy("lang").orderBy("lm_nll")
+    with_cd = (scored.filter(F.col("lm_nll").isNotNull())
+               .withColumn("__cd", F.cume_dist().over(w)))
+    lm_kept = with_cd.filter(F.col("__cd") <= 0.9).drop("__cd").unionByName(
+        scored.filter(F.col("lm_nll").isNull()))
+    return decontaminate(lm_kept, ev, "text", "doc_id", n=3).select(
+        "doc_id", "lang", "lm_nll"
     )
 
 
@@ -1714,8 +1730,9 @@ ORACLE: dict[str, str] = {
     """,
     "quality_filter": """
         -- r7 chain: quality cume_dist floor on the %97 train split,
-        -- then drop docs sharing any word 3-gram with the %97==0 eval
-        -- holdout (decontamination)
+        -- then a CCNet-style per-language LM-score floor (corpus-trained
+        -- add-0.1 bigram LM, drop the worst 10%), then drop docs sharing
+        -- any word 3-gram with the %97==0 eval holdout (decontamination)
         WITH train AS (
           SELECT * FROM documents WHERE doc_id % 97 <> 0
         ), feat AS (
@@ -1742,6 +1759,40 @@ ORACLE: dict[str, str] = {
                                      ORDER BY quality) AS cd
             FROM scored
           ) WHERE cd >= 0.5
+        ), toksk AS (
+          SELECT k.doc_id, k.lang,
+                 string_split(trim(lower(t.text)), ' ') AS w
+          FROM kept k JOIN train t ON k.doc_id = t.doc_id
+        ), lm_uni AS (
+          SELECT u.w, count(*) AS c1
+          FROM (SELECT unnest(w) AS w FROM toksk) u GROUP BY 1
+        ), vv AS (
+          SELECT count(*) AS v FROM lm_uni
+        ), docg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS g
+          FROM toksk WHERE len(w) >= 2
+        ), lm_big AS (
+          SELECT g, count(*) AS c2 FROM docg GROUP BY 1
+        ), nll AS (
+          SELECT d.doc_id,
+                 round(avg(-ln((b.c2 + 0.1) / (u.c1 + 0.1 * vv.v))),
+                       6) AS lm_nll
+          FROM docg d
+          JOIN lm_big b USING (g)
+          JOIN lm_uni u ON u.w = string_split(d.g, ' ')[1]
+          CROSS JOIN vv
+          GROUP BY 1
+        ), lmk AS (
+          SELECT doc_id, lang, lm_nll FROM (
+            SELECT k.doc_id, k.lang, n.lm_nll,
+                   cume_dist() OVER (PARTITION BY k.lang
+                                     ORDER BY n.lm_nll) AS cd
+            FROM kept k JOIN nll n USING (doc_id)
+          ) WHERE cd <= 0.9
+          UNION ALL
+          SELECT k.doc_id, k.lang, NULL AS lm_nll
+          FROM kept k WHERE k.doc_id NOT IN (SELECT doc_id FROM nll)
         ), evtoks AS (
           SELECT string_split(trim(lower(text)), ' ') AS w
           FROM documents WHERE doc_id % 97 = 0
@@ -1759,7 +1810,7 @@ ORACLE: dict[str, str] = {
         ), cont AS (
           SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)
         )
-        SELECT doc_id, lang FROM kept
+        SELECT doc_id, lang, lm_nll FROM lmk
         WHERE doc_id NOT IN (SELECT doc_id FROM cont)
     """,
     "pii_scrub": """

@@ -57,6 +57,7 @@ from rayforce_spark.datapipe.decontam import (
     flag_contaminated,
 )
 from rayforce_spark.datapipe.text import (
+    bigram_lm_score,
     doc_fingerprint,
     dup_ngram_frac,
     filter_by_quality_quantile,
@@ -99,6 +100,7 @@ __all__ = [
     "contaminated_ids",
     "decontaminate",
     "flag_contaminated",
+    "bigram_lm_score",
     "doc_fingerprint",
     "dup_ngram_frac",
     "repetition_ok",

@@ -204,6 +204,50 @@ def dup_ngram_frac(text: Column, n: int = 3) -> Column:
                   F.round(st["dup"] / st["total"], 6)).otherwise(0.0)
 
 
+def bigram_lm_score(df, text_col: str, id_col: str, *,
+                    alpha: float = 0.1, out_col: str = "lm_nll"):
+    """CCNet-style language-model quality score (Wenzek et al. 2020,
+    arXiv:1911.00359 — perplexity of a corpus LM as the quality signal;
+    KenLM there, an add-alpha bigram LM here, same pipeline shape):
+    train bigram/unigram counts on the corpus itself, then score every
+    document by mean negative log P(w2|w1) over its bigram occurrences —
+    low = fluent-for-this-corpus, high = outlier/noise. Emits
+    ``out_col`` (rounded 6dp; null for docs with no bigrams).
+
+    P(w2|w1) = (C(w1 w2) + alpha) / (C(w1) + alpha * V), V = distinct
+    unigrams — exactly reproducible in any SQL engine, so the oracle can
+    run the identical model.
+
+    Plan: two count aggregations over the exploded token/bigram streams
+    (hash shuffles with map-side combine), one join of doc-bigram
+    occurrences against the bigram count table (Spark picks broadcast
+    while the model fits, shuffled-hash beyond), one keyed re-aggregate
+    per doc. At 100 TB the model table is the interesting knob: cap it
+    upstream (min-count prune) and the join side shrinks; scoring stays
+    a join, never a per-row python loop."""
+    toks = tokens(F.col(text_col))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    big = (df.select(F.explode(ngrams(F.col(text_col), 2)).alias("g"))
+           .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
+    v = uni.count()
+    doc_g = df.select(F.col(id_col).alias("__did"),
+                      F.explode(ngrams(F.col(text_col), 2)).alias("g"))
+    scored = (
+        doc_g.join(big, "g", "left")
+        .withColumn("w1", F.split("g", " ").getItem(0))
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .withColumn(
+            "__nll",
+            -F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                   / (F.coalesce(F.col("c1"), F.lit(0))
+                      + F.lit(alpha * v))))
+        .groupBy("__did").agg(F.round(F.avg("__nll"), 6).alias(out_col))
+    )
+    return df.join(scored, df[id_col] == scored["__did"], "left").drop(
+        "__did")
+
+
 # Word-occurrence-level adaptation of the Gopher repetition thresholds
 # (char-fraction 0.20 / 0.18 in the paper); documents at or under both
 # pass. Exposed so pipelines and the oracle share one set of constants.

