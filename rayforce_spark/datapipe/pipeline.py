@@ -16,12 +16,14 @@ scans fewer rows):
 4. near-dup removal: MinHash+LSH candidate pairs -> connected
    components -> keep the canonical (min-id) member per cluster
 5. quality floor: per-group cume_dist quantile cutoff (integer-exact)
-6. benchmark decontamination vs a held-out eval set (eval grams
+6. CCNet-style LM floor: corpus-trained bigram-LM score, drop each
+   group's worst tail (perplexity outliers)
+7. benchmark decontamination vs a held-out eval set (eval grams
    broadcast; the corpus never shuffles) — after the dedup stages so
    only survivors shingle, before sampling so no fold leaks eval text
-7. deterministic subsampling + train/val/test folds (scan-stage bigint
+8. deterministic subsampling + train/val/test folds (scan-stage bigint
    hashes; fold salt independent of the sample salt)
-8. per-key contribution cap (one keyed shuffle)
+9. per-key contribution cap (one keyed shuffle)
 
 Every stage is deterministic (hash-based, tie-break-stable), so the
 whole pipeline is reproducible run-to-run and engine-to-engine — rerun
@@ -63,6 +65,7 @@ def curate(
     neardup_opts: dict | None = None,
     min_quality_quantile: float | None = None,
     quality_by: str | None = None,
+    lm_floor_quantile: float | None = None,
     decontam_against: DataFrame | None = None,
     decontam_n: int = 8,
     sample_fraction: float | None = None,
@@ -114,6 +117,24 @@ def curate(
     if min_quality_quantile is not None:
         out = filter_by_quality_quantile(
             out, text_col, q=min_quality_quantile, by=quality_by)
+
+    if lm_floor_quantile is not None:
+        # CCNet leg: keep docs at/below the per-group lm_floor_quantile
+        # of corpus-bigram-LM negative-log-likelihood (low = fluent);
+        # docs with no bigrams (null score) pass unconditionally
+        from pyspark.sql import Window
+
+        from rayforce_spark.datapipe.text import bigram_lm_score
+
+        scored = bigram_lm_score(out, text_col, id_col)
+        w = Window.partitionBy(
+            *([quality_by] if quality_by else [])).orderBy("lm_nll")
+        with_cd = (scored.filter(F.col("lm_nll").isNotNull())
+                   .withColumn("__cd", F.cume_dist().over(w)))
+        out = (with_cd.filter(F.col("__cd") <= lm_floor_quantile)
+               .drop("__cd")
+               .unionByName(scored.filter(F.col("lm_nll").isNull()))
+               .drop("lm_nll"))
 
     if decontam_against is not None:
         out = decontaminate(out, decontam_against, text_col, id_col,

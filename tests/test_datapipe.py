@@ -783,6 +783,7 @@ def test_curate_end_to_end(tables):
         segment_dedup=3,  # aligned 3-word chunks (corpus has no newlines)
         neardup_threshold=0.8,
         min_quality_quantile=0.2, quality_by="lang",
+        lm_floor_quantile=0.95,
         decontam_against=holdout, decontam_n=3,
         sample_fraction=0.5, sample_salt=7,
         fold_salt=11,
