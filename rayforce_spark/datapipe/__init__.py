@@ -11,6 +11,8 @@ text        — language id, quality scoring, token counting, fingerprinting,
               Gopher-style repetition metrics (top/dup n-gram fractions)
 decontam    — benchmark decontamination (n-gram overlap vs a held-out
               eval set; broadcast semi join — the corpus never shuffles)
+dsir        — Data Selection via Importance Resampling (target-vs-pool
+              bigram-LM weights, hash-seeded Gumbel-top-k)
 sampling    — deterministic hash sampling, train/val/test folds, per-key
               caps, corpus mixing (reproducible across runs and engines)
 multimodal  — opaque binary columns + typed metadata; decode/feature UDF
@@ -51,6 +53,7 @@ from rayforce_spark.datapipe.similarity import (
 )
 from rayforce_spark.datapipe.pipeline import curate
 from rayforce_spark.datapipe.sessions import sessionize_batch
+from rayforce_spark.datapipe.dsir import dsir_select, dsir_weights
 from rayforce_spark.datapipe.decontam import (
     contaminated_ids,
     decontaminate,
@@ -99,6 +102,8 @@ __all__ = [
     "knn_lsh",
     "contaminated_ids",
     "decontaminate",
+    "dsir_select",
+    "dsir_weights",
     "flag_contaminated",
     "bigram_lm_score",
     "doc_fingerprint",

@@ -205,7 +205,8 @@ def dup_ngram_frac(text: Column, n: int = 3) -> Column:
 
 
 def bigram_lm_score(df, text_col: str, id_col: str, *,
-                    alpha: float = 0.1, out_col: str = "lm_nll"):
+                    alpha: float = 0.1, out_col: str = "lm_nll",
+                    model_df=None):
     """CCNet-style language-model quality score (Wenzek et al. 2020,
     arXiv:1911.00359 — perplexity of a corpus LM as the quality signal;
     KenLM there, an add-alpha bigram LM here, same pipeline shape):
@@ -216,7 +217,10 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
 
     P(w2|w1) = (C(w1 w2) + alpha) / (C(w1) + alpha * V), V = distinct
     unigrams — exactly reproducible in any SQL engine, so the oracle can
-    run the identical model.
+    run the identical model. ``model_df`` trains the counts on a
+    different corpus than the one being scored (default: score the
+    training corpus itself); unseen words/bigrams fall back to the
+    smoothing mass.
 
     Plan: two count aggregations over the exploded token/bigram streams
     (hash shuffles with map-side combine), one join of doc-bigram
@@ -225,10 +229,10 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
     per doc. At 100 TB the model table is the interesting knob: cap it
     upstream (min-count prune) and the join side shrinks; scoring stays
     a join, never a per-row python loop."""
-    toks = tokens(F.col(text_col))
-    uni = (df.select(F.explode(toks).alias("w"))
+    mdl = model_df if model_df is not None else df
+    uni = (mdl.select(F.explode(tokens(F.col(text_col))).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
-    big = (df.select(F.explode(ngrams(F.col(text_col), 2)).alias("g"))
+    big = (mdl.select(F.explode(ngrams(F.col(text_col), 2)).alias("g"))
            .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
     v = uni.count()
     doc_g = df.select(F.col(id_col).alias("__did"),

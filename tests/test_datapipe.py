@@ -573,6 +573,82 @@ def test_bigram_lm_score_vs_python_reference(spark):
         assert got[fluent[0]] is not None
 
 
+def test_dsir_selects_target_like_docs(spark):
+    # DSIR (Xie et al. 2023): raw pool = mostly "animal" docs + a few
+    # "code" docs; target = code domain -> the code-like docs win
+    from rayforce_spark.datapipe import dsir_select, dsir_weights
+
+    # code docs share real BIGRAMS with the target (an add-alpha bigram
+    # LM has no backoff, so unigram-only overlap carries no signal)
+    code = [(100 + i, "def foo return x for i in range y") for i in range(4)]
+    animals = [(i, "the cat sat on the mat with a dog") for i in range(12)]
+    raw = spark.createDataFrame(animals + code, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(900, "def foo return x for i in range n"),
+         (901, "def foo return y for i in range y")],
+        "doc_id long, text string")
+    w = {r.doc_id: r.log_w for r in
+         dsir_weights(raw, target, "text", "doc_id").collect()}
+    assert min(w[i] for i, _ in code) > max(w[i] for i, _ in animals)
+    # deterministic top-k variant: exactly the highest-weight docs
+    picked = sorted(r.doc_id for r in dsir_select(
+        raw, target, "text", "doc_id", k=4, noise=False).collect())
+    assert picked == [100, 101, 102, 103]
+    # Gumbel resampling: stochastic by design, but reproducible for a
+    # fixed salt and still k rows
+    g1 = sorted(r.doc_id for r in dsir_select(
+        raw, target, "text", "doc_id", k=4, salt=7).collect())
+    g2 = sorted(r.doc_id for r in dsir_select(
+        raw, target, "text", "doc_id", k=4, salt=7).collect())
+    assert g1 == g2 and len(g1) == 4
+    assert dsir_select(raw, target, "text", "doc_id", k=7,
+                       salt=3).count() == 7
+
+
+def test_dsir_weights_vs_python_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from rayforce_spark.datapipe import dsir_weights
+
+    rng = random.Random(11)
+    vocab_a, vocab_b = ["aa", "bb", "cc"], ["xx", "yy", "zz", "aa"]
+    raw_docs = [(i, " ".join(rng.choice(vocab_a)
+                             for _ in range(rng.randint(2, 10))))
+                for i in range(20)]
+    tgt_docs = [(50 + i, " ".join(rng.choice(vocab_b)
+                                  for _ in range(rng.randint(2, 10))))
+                for i in range(8)]
+    alpha = 0.1
+
+    def lm(docs):
+        uni, big = Counter(), Counter()
+        for _, t in docs:
+            w = t.lower().split()
+            uni.update(w)
+            big.update(zip(w, w[1:]))
+        return uni, big, len(uni)
+
+    ur, br, vr = lm(raw_docs)
+    ut, bt, vt = lm(tgt_docs)
+
+    def nll(t, uni, big, V):
+        w = t.lower().split()
+        pairs = list(zip(w, w[1:]))
+        return round(sum(
+            -math.log((big[p] + alpha) / (uni[p[0]] + alpha * V))
+            for p in pairs) / len(pairs), 6)
+
+    raw = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    got = {r.doc_id: r.log_w for r in
+           dsir_weights(raw, tgt, "text", "doc_id").collect()}
+    for i, t in raw_docs:
+        expect = round(nll(t, ur, br, vr) - nll(t, ut, bt, vt), 6)
+        assert abs(got[i] - expect) <= 1e-6, (i, got[i], expect)
+
+
 def test_dedup_segments_lines_and_word_chunks(spark):
     from rayforce_spark.datapipe import dedup_segments
 
