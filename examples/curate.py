@@ -43,6 +43,15 @@ def main():
     print(f"curated {n0} -> {kept.count()} docs")
     kept.groupBy("lang", "fold").count().orderBy("lang", "fold").show()
 
+    # DSIR leg (Xie et al. 2023): re-rank the curated pool toward a
+    # target domain (here: the longest docs stand in for the domain
+    # sample) and keep the 20 highest-importance docs, reproducibly
+    from rayforce_spark.datapipe import dsir_select
+
+    domain = docs.orderBy(F.length("text").desc()).limit(25)
+    dsir = dsir_select(kept, domain, "text", "doc_id", k=20, salt=1)
+    print(f"DSIR-selected {dsir.count()} docs toward the long-doc domain")
+
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 3)
     print("top-3 cosine neighbors per query vector:")
