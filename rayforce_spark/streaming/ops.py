@@ -154,6 +154,7 @@ def stream_decontaminate(
     n: int = 8,
     impl: str = "auto",
     expr_max_grams: int = 10_000,
+    max_eval_grams: int = 50_000_000,
 ) -> DataFrame:
     """Decontaminate a document STREAM at ingest: drop any arriving doc
     that shares a word ``n``-gram with the static eval set — the
@@ -180,8 +181,19 @@ def stream_decontaminate(
     from rayforce_spark.datapipe.dedup import with_shingle_hashes
 
     ev = with_shingle_hashes(eval_df.select(text_col), text_col, n, "__g")
-    grams = sorted(r[0] for r in
-                   ev.select(F.explode("__g").alias("g")).distinct().collect())
+    evg = ev.select(F.explode("__g").alias("g")).distinct()
+    n_grams = evg.count()
+    if n_grams > max_eval_grams:
+        # the precomputed-set design assumes a benchmark-sized eval side
+        # (~400 MB of i64 at the default cap); beyond that the artifact
+        # no longer fits a driver/broadcast and the BATCH anti join
+        # (datapipe.decontam, per micro-batch via foreachBatch) is the
+        # right tool — fail loudly instead of silently OOMing the driver
+        raise ValueError(
+            f"eval side has {n_grams} distinct {n}-grams "
+            f"(> max_eval_grams={max_eval_grams}); decontaminate per "
+            "micro-batch with datapipe.decontam via foreachBatch instead")
+    grams = sorted(r[0] for r in evg.collect())
     if not grams:
         return stream
     if impl == "auto":

@@ -378,3 +378,48 @@ def test_stream_decontaminate_empty_eval_passthrough(spark, tmp_path):
     finally:
         q.stop()
     assert got == [7]
+
+
+def test_stream_decontaminate_eval_size_guard(spark, tmp_path):
+    import pytest
+
+    from rayforce_spark.streaming import stream_decontaminate
+
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string")
+    schema = "doc_id long, text string"
+    jpath = str(tmp_path / "guard")
+    Journal(jpath, schema).append([{"doc_id": 1, "text": "x y z"}])
+    st = read_journal_stream(spark, jpath, schema)
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        stream_decontaminate(st, ev, "text", n=3, max_eval_grams=2)
+
+
+def test_quality_and_repetition_exprs_stream(spark, tmp_path):
+    # the scan-stage curation expressions (quality score, repetition
+    # gate) are stateless and must run unchanged at streaming ingest
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.datapipe import quality_score, repetition_ok
+
+    schema = "doc_id long, text string"
+    jpath = str(tmp_path / "qstream")
+    Journal(jpath, schema).append([
+        {"doc_id": 1, "text": "spam spam spam spam spam spam"},
+        {"doc_id": 2, "text": "a quick brown fox jumps over the dog"},
+    ])
+    out = read_journal_stream(spark, jpath, schema).select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        repetition_ok(F.col("text")).alias("ok"),
+    )
+    qq = (out.writeStream.outputMode("append")
+          .format("memory").queryName("qrep").start())
+    try:
+        qq.processAllAvailable()
+        rows = {r.doc_id: (r.q, r.ok) for r in
+                spark.sql("SELECT * FROM qrep").collect()}
+    finally:
+        qq.stop()
+    assert rows[1][1] is False and rows[2][1] is True
+    assert 0.0 <= rows[1][0] <= 1.0 and 0.0 <= rows[2][0] <= 1.0
