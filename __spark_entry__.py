@@ -1065,27 +1065,18 @@ def q_quality_filter(spark, sf):
        et al. 2020 arXiv:2005.14165; datapipe.decontam — eval grams
        broadcast, the corpus never shuffles; n=3 because the synthetic
        word-soup corpus has no verbatim 8-gram leakage)."""
-    from pyspark.sql import Window
-
     from rayforce_spark.datapipe import (
-        bigram_lm_score,
         decontaminate,
         filter_by_quality_quantile,
     )
+    from rayforce_spark.datapipe.text import filter_by_lm_quantile
 
     (d,) = _t(spark, sf, "documents")
     train = d.filter(F.col("doc_id") % 97 != 0)
     ev = d.filter(F.col("doc_id") % 97 == 0)
     kept = filter_by_quality_quantile(train, "text", q=0.5, by="lang")
-    # CCNet leg (Wenzek et al. 2020): corpus-trained bigram-LM score,
-    # drop each language's worst-scoring 10% (perplexity outliers);
-    # docs with no bigrams (null score) pass unconditionally
-    scored = bigram_lm_score(kept, "text", "doc_id", alpha=0.1)
-    w = Window.partitionBy("lang").orderBy("lm_nll")
-    with_cd = (scored.filter(F.col("lm_nll").isNotNull())
-               .withColumn("__cd", F.cume_dist().over(w)))
-    lm_kept = with_cd.filter(F.col("__cd") <= 0.9).drop("__cd").unionByName(
-        scored.filter(F.col("lm_nll").isNull()))
+    lm_kept = filter_by_lm_quantile(kept, "text", "doc_id", q=0.9,
+                                    by="lang", keep_score=True)
     return decontaminate(lm_kept, ev, "text", "doc_id", n=3).select(
         "doc_id", "lang", "lm_nll"
     )

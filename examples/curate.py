@@ -48,7 +48,7 @@ def main():
     # sample) and keep the 20 highest-importance docs, reproducibly
     from rayforce_spark.datapipe import dsir_select
 
-    domain = docs.orderBy(F.length("text").desc()).limit(25)
+    domain = docs.orderBy(F.length("text").desc(), "doc_id").limit(25)
     dsir = dsir_select(kept, domain, "text", "doc_id", k=20, salt=1)
     print(f"DSIR-selected {dsir.count()} docs toward the long-doc domain")
 

@@ -63,6 +63,7 @@ from rayforce_spark.datapipe.text import (
     bigram_lm_score,
     doc_fingerprint,
     dup_ngram_frac,
+    filter_by_lm_quantile,
     filter_by_quality_quantile,
     language_id,
     ngram_counts,
@@ -110,6 +111,7 @@ __all__ = [
     "dup_ngram_frac",
     "repetition_ok",
     "top_ngram_frac",
+    "filter_by_lm_quantile",
     "filter_by_quality_quantile",
     "language_id",
     "ngram_counts",

@@ -72,8 +72,9 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
     broadcast explicitly and the corpus never shuffles (the only
     exchange in the whole plan is the distinct over that tiny id set).
     If the contaminated set could plausibly exceed broadcast size,
-    something is wrong upstream — or use ``decontaminate_bloom``, which
-    never materializes ids at all."""
+    something is wrong upstream (a "benchmark" the size of the corpus);
+    drop the explicit broadcast hint and let AQE size the join, or run
+    :func:`flag_contaminated` and filter downstream."""
     bad = contaminated_ids(train, eval_df, text_col, id_col,
                            n=n, hashed=hashed)
     return train.join(F.broadcast(bad), id_col, "left_anti")

@@ -66,9 +66,10 @@ def with_shingle_hashes(df: DataFrame, text_col: str, k: int, out: str) -> DataF
     k=3 (one JVM hop per F.* node), and this constructor runs twice per
     minhash_lsh_pairs build — a measurable chunk of short interactive
     queries. One parsed SQL string is a single hop for the same plan."""
+    qcol = text_col.replace("`", "``")  # any column name survives quoting
     words = df.withColumn(
         "__rf_wh",
-        F.expr(f"transform(split(trim(lower(`{text_col}`)), '\\\\s+'),"
+        F.expr(f"transform(split(trim(lower(`{qcol}`)), '\\\\s+'),"
                " w -> xxhash64(w))"),
     )
     z = "__rf_wh"

@@ -119,22 +119,11 @@ def curate(
             out, text_col, q=min_quality_quantile, by=quality_by)
 
     if lm_floor_quantile is not None:
-        # CCNet leg: keep docs at/below the per-group lm_floor_quantile
-        # of corpus-bigram-LM negative-log-likelihood (low = fluent);
-        # docs with no bigrams (null score) pass unconditionally
-        from pyspark.sql import Window
+        # CCNet leg: per-group corpus-bigram-LM perplexity floor
+        from rayforce_spark.datapipe.text import filter_by_lm_quantile
 
-        from rayforce_spark.datapipe.text import bigram_lm_score
-
-        scored = bigram_lm_score(out, text_col, id_col)
-        w = Window.partitionBy(
-            *([quality_by] if quality_by else [])).orderBy("lm_nll")
-        with_cd = (scored.filter(F.col("lm_nll").isNotNull())
-                   .withColumn("__cd", F.cume_dist().over(w)))
-        out = (with_cd.filter(F.col("__cd") <= lm_floor_quantile)
-               .drop("__cd")
-               .unionByName(scored.filter(F.col("lm_nll").isNull()))
-               .drop("lm_nll"))
+        out = filter_by_lm_quantile(
+            out, text_col, id_col, q=lm_floor_quantile, by=quality_by)
 
     if decontam_against is not None:
         out = decontaminate(out, decontam_against, text_col, id_col,

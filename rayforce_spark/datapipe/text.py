@@ -252,6 +252,27 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
         "__did")
 
 
+def filter_by_lm_quantile(df, text_col: str, id_col: str, *, q: float,
+                          by: str | None = None, alpha: float = 0.1,
+                          keep_score: bool = False):
+    """CCNet perplexity floor: keep documents at/below the ``q``
+    cume_dist of corpus-bigram-LM negative log likelihood (low = fluent
+    for this corpus), optionally within each ``by`` group (per-language
+    buckets, as CCNet does). Docs with no bigrams (null score) pass
+    unconditionally. The single shared implementation behind curate()'s
+    lm_floor stage and the gate's quality_filter leg — the oracle
+    replays the same model, so tie/null semantics must not drift."""
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(df, text_col, id_col, alpha=alpha)
+    w = Window.partitionBy(*([by] if by else [])).orderBy("lm_nll")
+    with_cd = (scored.filter(F.col("lm_nll").isNotNull())
+               .withColumn("__cd", F.cume_dist().over(w)))
+    out = (with_cd.filter(F.col("__cd") <= q).drop("__cd")
+           .unionByName(scored.filter(F.col("lm_nll").isNull())))
+    return out if keep_score else out.drop("lm_nll")
+
+
 # Word-occurrence-level adaptation of the Gopher repetition thresholds
 # (char-fraction 0.20 / 0.18 in the paper); documents at or under both
 # pass. Exposed so pipelines and the oracle share one set of constants.

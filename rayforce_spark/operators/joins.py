@@ -688,10 +688,13 @@ def upsert(target: DataFrame, rows: DataFrame, n_keys: int,
     the old anti-join+append formulation moved updated rows to the end
     and collapsed duplicate-key target rows; the fuzzer caught both):
     * a key already present updates its FIRST matching target row IN
-      PLACE — later duplicate-key target rows are untouched;
-    * duplicate keys within ``rows``: the LAST row wins (hash-index
-      last-write, ref core/index.c:2886);
-    * unmatched keys are appended, in ``rows`` order.
+      PLACE — later duplicate-key target rows are untouched — with the
+      LAST ``rows`` occurrence winning (hash-index last-write, ref
+      core/index.c:2886);
+    * keys NOT in the target append EVERY input occurrence, in ``rows``
+      order — the batch is matched against the ORIGINAL index, so
+      duplicate new keys do not collapse ((upsert t 1 (list [7 7] …))
+      appends two rows; live-probed r7 review);
 
     Plan: one keyed window (row_number per key over a pinned row id)
     marks first occurrences; the deduped ``rows`` side joins in (small
@@ -726,7 +729,7 @@ def upsert(target: DataFrame, rows: DataFrame, n_keys: int,
         .orderBy("__rf_tord").select(*target.columns)
     )
     appended = (
-        fresh.join(target.select(*keys).distinct(), keys, "left_anti")
+        rin.join(target.select(*keys).distinct(), keys, "left_anti")
         .orderBy("__rf_pos").select(*target.columns)
     )
     # per-branch sorts (order_col may be any orderable type, so the two

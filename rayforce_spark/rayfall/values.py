@@ -153,11 +153,21 @@ def _mod_scalar(x, y):
         # build ((% 3 0.05) -> -1.67e-16 there; two-rounding doubles
         # give 0.0; Python's exact `%` gives 0.0499…). Emulate the fused
         # single rounding with exact rational arithmetic — pinned by
-        # scripts/ref_diff.py.
+        # scripts/ref_diff.py. NaN operands -> null (MODF64's ISNANF64
+        # guard); an infinite quotient follows C float math (no floor,
+        # Fraction can't hold inf).
         import math
         from fractions import Fraction
 
-        q = math.floor(x / y)
+        if math.isnan(x) or math.isnan(y):
+            return None
+        q = x / y
+        if not (math.isfinite(x) and math.isfinite(y)
+                and math.isfinite(q)):
+            # C float math end-to-end (Fraction can't hold inf):
+            # floor(+-inf) stays +-inf in C, and 0*inf/x-inf propagate
+            return x - (math.floor(q) if math.isfinite(q) else q) * y
+        q = math.floor(q)
         return float(Fraction(x) - q * Fraction(y))
     return x % y
 

@@ -201,7 +201,11 @@ def stream_decontaminate(
 
     st = with_shingle_hashes(stream, text_col, n, "__g")
     if impl == "expr":
-        hit = F.arrays_overlap("__g", F.lit(grams))
+        # null text -> null gram array -> arrays_overlap yields NULL;
+        # coalesce to False so null-text rows pass (matching the pandas
+        # impl and the batch op, which explode null to no grams)
+        hit = F.coalesce(F.arrays_overlap("__g", F.lit(grams)),
+                         F.lit(False))
     elif impl == "pandas":
         import numpy as np
         import pandas as pd

@@ -169,11 +169,15 @@ def g_aggmap(r: random.Random, k: int) -> str:
     return " ".join(parts)
 
 
-def g_insert_vals(r: random.Random, k: int) -> str:
+def g_insert_vals(r: random.Random, k: int, dup_keys: bool = False) -> str:
     """k rows matching t's [a b g h] schema. Inserted b values sit in
     [100, 120) — outside gen_tables' b range — so the distinct-b
-    invariant (well-defined xasc order) survives the insert."""
+    invariant (well-defined xasc order) survives the insert.
+    ``dup_keys`` forces a repeated key column value (upsert: existing
+    keys last-win, NEW keys append every occurrence — both fuzzed)."""
     a = [r.randint(-5, 9) for _ in range(k)]
+    if dup_keys and k >= 2:
+        a[r.randrange(k)] = a[r.randrange(k)]
     b = r.sample([100 + x / 4 for x in range(80)], k)
     g = [r.choice(SYM_POOL) for _ in range(k)]
     h = [r.randint(-3, 3) for _ in range(k)]
@@ -202,8 +206,10 @@ def g_query(r: random.Random) -> str:
         return q
     if kind == 16:
         # §2.1 upsert with leading-1 key on column a: colliding keys
-        # exercise last-wins update, fresh keys append
-        return f"(upsert t 1 {g_insert_vals(r, r.randint(1, 2))})"
+        # exercise last-wins in-place update, fresh keys append every
+        # occurrence; dup_keys forces repeated batch keys half the time
+        return (f"(upsert t 1 "
+                f"{g_insert_vals(r, r.randint(1, 3), r.random() < 0.5)})")
     if kind == 12:
         # §2.3 asof-join (greatest <=, null backfill, dup-ts last-wins)
         q = "(asof-join [g ts] t2 u2)"

@@ -239,6 +239,14 @@ def test_upsert_in_place_first_occurrence(spark):
     got = [(r.k, r.v) for r in upsert(target, rows, n_keys=1).collect()]
     assert got == [(1, 99.0), (2, 20.0), (1, 30.0), (3, 40.0),
                    (5, 1.0), (4, 2.0)]
+    # duplicate NEW keys append every occurrence in input order (the
+    # batch matches the ORIGINAL index — live-probed, r7 review):
+    # (upsert t 1 [5 4 5]) with 4,5 absent -> three appended rows
+    straddle = spark.createDataFrame(
+        [(5, 1.0), (4, 2.0), (5, 3.0)], "k long, v double")
+    got2 = [(r.k, r.v) for r in upsert(target, straddle, n_keys=1).collect()]
+    assert got2 == [(1, 10.0), (2, 20.0), (1, 30.0), (3, 40.0),
+                    (5, 1.0), (4, 2.0), (5, 3.0)]
 
 
 def test_salted_join_matches_plain(tables):
