@@ -39,35 +39,47 @@ def _keys(on) -> list[str]:
     return [on] if isinstance(on, str) else list(on)
 
 
-def dedup_last(df: DataFrame, keys: Sequence[str], order_col: Column | None = None) -> DataFrame:
-    """Keep the last row per key, in table order (reference hash-index
-    last-write-wins, ref core/index.c:2886). Spark has no implicit row
-    order, so 'last' is defined by ``order_col`` (default: parquet read
-    order via monotonically_increasing_id).
+def dedup_last(df: DataFrame, keys: Sequence[str], order_col: Column | None = None,
+               *, keep: str = "last") -> DataFrame:
+    """Keep one row per key, in table order. Spark has no implicit row
+    order, so position is defined by ``order_col`` (default: parquet
+    read order via monotonically_increasing_id).
 
-    Implemented as a single hash aggregation (max_by of the packed row) —
-    partial/final combine, no sort, no window: at scale this is one
-    shuffle with map-side combine, strictly cheaper than the
-    row_number-window formulation."""
+    ``keep="last"`` is the mutation-index rule (upsert overwrites, ref
+    core/index.c:2886 last-write-wins); ``keep="first"`` is the JOIN
+    probe rule — the reference's left-join/inner-join keep the FIRST
+    right row per key (live-pinned r8 against the binary:
+    (left-join [k] L R) with R keys [1 1] backfills y from the first
+    row; kdb keyed tables keep the first row per key the same way).
+
+    Implemented as a single hash aggregation (max_by/min_by of the
+    packed row) — partial/final combine, no sort, no window: at scale
+    this is one shuffle with map-side combine, strictly cheaper than
+    the row_number-window formulation."""
     order_col = order_col if order_col is not None else F.monotonically_increasing_id()
+    pick = F.max_by if keep == "last" else F.min_by
     payload = [c for c in df.columns if c not in keys]
     packed = df.select(
         *keys, F.struct(*payload).alias("__rf_row"), order_col.alias("__rf_ord")
     )
     agg = packed.groupBy(*keys).agg(
-        F.max_by("__rf_row", "__rf_ord").alias("__rf_row")
+        pick("__rf_row", "__rf_ord").alias("__rf_row")
     )
     return agg.select(*keys, *[F.col(f"__rf_row.{c}").alias(c) for c in payload])
 
 
 def left_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
               *, dedup: bool = True, order_col: Column | None = None,
-              overwrite: bool = False) -> DataFrame:
+              overwrite: bool = False, keep: str = "last") -> DataFrame:
     """Left outer equi-join with reference dedup semantics
     (ref core/join.c:158, core/index.c:2886).
 
-    ``dedup=True`` reproduces the reference's key->single-row index (last
-    match wins); pass False for standard SQL multiplicity.
+    ``dedup=True`` reproduces the reference's key->single-row index;
+    pass False for standard SQL multiplicity. ``keep`` picks which
+    duplicate right row survives — the reference's own join keeps the
+    FIRST (live-pinned r8; the Rayfall front-end passes "first"), the
+    batch-surface default stays "last" (the documented gate/oracle
+    semantics since r1).
 
     ``overwrite=True`` applies the reference's (kdb lj) rule for non-key
     columns present on BOTH sides: on a matched row the RIGHT value
@@ -77,7 +89,7 @@ def left_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
     which the batch operator surface has always had; the Rayfall
     front-end passes True."""
     keys = _keys(on)
-    r = dedup_last(right, keys, order_col) if dedup else right
+    r = dedup_last(right, keys, order_col, keep=keep) if dedup else right
     if not overwrite:
         return left.join(r, keys, "left")
     overlap = [c for c in r.columns if c in left.columns and c not in keys]
@@ -96,12 +108,21 @@ def left_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
 
 
 def inner_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
-               *, overwrite: bool = False) -> DataFrame:
+               *, overwrite: bool = False, dedup: bool = False,
+               order_col: Column | None = None, keep: str = "first") -> DataFrame:
     """Inner equi-join (ref core/join.c:200, core/index.c:2930).
 
     ``overwrite=True``: non-key columns on both sides take the RIGHT
-    value (every row is matched) — see :func:`left_join`."""
+    value (every row is matched) — see :func:`left_join`.
+
+    ``dedup=True`` reproduces the reference's key->single-row index
+    (core/index.c:2930 probes a hash index, so each left row matches at
+    most ONE right row — the FIRST per key, live-pinned r8, same rule
+    as left_join); the default keeps SQL multiplicity, which the batch
+    surface has always had. The Rayfall front-end passes True."""
     keys = _keys(on)
+    if dedup:
+        right = dedup_last(right, keys, order_col, keep=keep)
     if not overwrite:
         return left.join(right, keys, "inner")
     overlap = [c for c in right.columns if c in left.columns and c not in keys]

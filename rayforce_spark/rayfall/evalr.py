@@ -329,12 +329,20 @@ class Interp:
                 # by key) — same staging as asof below
                 lt = left.withColumn(
                     "__rf_ord", F.monotonically_increasing_id())
-                fn = J.left_join if head == "left-join" else J.inner_join
                 # overwrite: shared non-key columns take the RIGHT value
                 # on matched rows (kdb lj/ij rule, live-pinned by
-                # ref_diff_tables)
-                return (fn(lt, right, keys, overwrite=True)
-                        .orderBy("__rf_ord").drop("__rf_ord"))
+                # ref_diff_tables). Both verbs probe the reference's
+                # key->single-row index (core/index.c:2886,2930), which
+                # keeps the FIRST right row per key (live-pinned r8
+                # with duplicate right keys; kdb keyed tables do the
+                # same).
+                if head == "left-join":
+                    out = J.left_join(lt, right, keys, overwrite=True,
+                                      keep="first")
+                else:
+                    out = J.inner_join(lt, right, keys, overwrite=True,
+                                       dedup=True, keep="first")
+                return out.orderBy("__rf_ord").drop("__rf_ord")
             if len(keys) < 2:
                 raise RayfallError("asof-join needs at least [key time] columns")
             # keep the left table's row order (see _eval_window_join)
@@ -1052,12 +1060,21 @@ class Interp:
         if staged:
             if any(isinstance(c, A.AggExpr) for c in cols.values()):
                 # flat aggregates over staged columns: one row, no
-                # order to preserve — Q.select's agg path handles it
-                return Q.select(df, cols or None, where=where, take=take)
-            out = df.select(
-                *[self._plain(c).alias(n) for n, c in cols.items()],
-                F.col("__rfmono"),
-            ).orderBy("__rfmono").drop("__rfmono")
+                # order to preserve — but take: keeps cyclic semantics
+                out = Q.select(df, cols or None, where=where)
+                return self._apply_take(out, take)
+            # a where: that only stages order verbs (none in the maps)
+            # is consumed HERE — the order_maps block above didn't run
+            if where is not None:
+                df = df.filter(where)
+            if cols:
+                sel = [self._plain(c).alias(n) for n, c in cols.items()]
+            else:
+                # map-less select: all original (non-staged) columns
+                sel = [F.col(c) for c in df.columns
+                       if not c.startswith("__rf")]
+            out = (df.select(*sel, F.col("__rfmono"))
+                   .orderBy("__rfmono").drop("__rfmono"))
             return self._apply_take(out, take)
         if cols and by is None:
             # constant-map semantics (live-pinned by ref_diff_tables):
@@ -1145,11 +1162,24 @@ class Interp:
             arr = F.sort_array(F.collect_list(x).over(whole),
                                asc=(head == "asc"))
             return F.element_at(arr, pos)
-        key = x if head == "iasc" else -x
+        if head == "iasc":
+            pairs = F.sort_array(
+                F.collect_list(
+                    F.struct(x.alias("v"),
+                             (pos - 1).alias("p"))).over(whole))
+            return F.element_at(pairs, pos)["p"]
+        # idesc: descending by value, ties in arrival order (stable,
+        # values.idesc parity). Negating the VALUE breaks strings and
+        # NaN ordering, so sort the struct descending and negate the
+        # bounded integer POSITION instead: ties compare -p descending
+        # == p ascending. Spark's sort is Double.compare total order
+        # (-0.0 < 0.0 < NaN), matching values._ord_key bit order.
         pairs = F.sort_array(
             F.collect_list(
-                F.struct(key.alias("v"), (pos - 1).alias("p"))).over(whole))
-        return F.element_at(pairs, pos)["p"]
+                F.struct(x.alias("v"),
+                         (-(pos - 1)).alias("p"))).over(whole),
+            asc=False)
+        return -F.element_at(pairs, pos)["p"]
 
     @staticmethod
     def _unstage(df: DataFrame) -> DataFrame:

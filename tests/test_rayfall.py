@@ -834,3 +834,56 @@ def test_order_verbs_in_query_maps(t4):
 def test_order_verbs_under_by_rejected(t4):
     with pytest.raises(RayfallError):
         t4.eval_str("(select {r: (rank b) from: t by: g})")
+
+
+def test_where_only_order_verbs_filter_applies(t4):
+    # order verbs appearing ONLY in where: still filter (live-pinned r8:
+    # (select {x: a from: t where: (> (rank b) 1)}) -> the two rows whose
+    # rank exceeds 1, in original order)
+    out = _cols(t4.eval_str("(select {x: a from: t where: (> (rank b) 1)})"))
+    assert out["x"] == [2, 1]
+    # the map-less form keeps every original column, filtered
+    out = _cols(t4.eval_str("(select {from: t where: (> (rank b) 1)})"))
+    assert list(out) == ["a", "b", "g", "h"]
+    assert out["a"] == [2, 1] and out["b"] == [6.0, 7.0]
+
+
+def test_staged_agg_take_is_cyclic(t4):
+    # take: on a staged aggregate keeps the reference's cyclic
+    # positive-n rule (live-pinned r8: one agg row repeats)
+    out = _cols(t4.eval_str("(select {s: (sum (asc b)) from: t take: 3})"))
+    assert out["s"] == [22.0, 22.0, 22.0]
+
+
+def test_order_verbs_on_strings_and_zeros(it):
+    # desc/idesc compile on symbol/string columns (no numeric negation;
+    # live-pinned r8: ['b 'a 'c] -> desc [c b a], idesc [2 0 1]) and
+    # idesc ties keep arrival order like values.idesc
+    it.eval_str('(set s (table [s] (list (list "b" "a" "c"))))')
+    out = _cols(it.eval_str("(select {d: (desc s) i: (idesc s) from: s})"))
+    assert out["d"] == ["c", "b", "a"]
+    assert out["i"] == [2, 0, 1]
+    out = _cols(it.eval_str(
+        "(select {z: (idesc a) from: (table [a] (list [5 5 3 5]))})"))
+    assert out["z"] == [0, 1, 3, 2]
+    # f64 bit order: -0.0 sorts before 0.0 (values._ord_key parity;
+    # live-pinned r8 asc [-0.0 0.0] / desc [0.0 -0.0] / idesc [0 1])
+    out = _cols(it.eval_str(
+        "(select {z: (asc a) w: (desc a) i: (idesc a) "
+        "from: (table [a] (list [0.0 -0.0]))})"))
+    assert [str(v) for v in out["z"]] == ["-0.0", "0.0"]
+    assert [str(v) for v in out["w"]] == ["0.0", "-0.0"]
+    assert out["i"] == [0, 1]
+
+
+def test_join_right_dedup_keeps_first(it):
+    # duplicate right keys: the reference's hash index keeps the FIRST
+    # right row per key for BOTH join verbs (live-pinned r8:
+    # (left-join [k] L R) -> y [100 None]; (inner-join [k] L R) -> one
+    # row y 100) — kdb keyed-table rule, not upsert's last-write-wins
+    it.eval_str("(set l (table [k x] (list [1 2] [10 20])))")
+    it.eval_str("(set r (table [k y] (list [1 1] [100 200])))")
+    lj = _cols(it.eval_str("(left-join [k] l r)"))
+    assert lj["k"] == [1, 2] and lj["y"] == [100, None]
+    ij = _cols(it.eval_str("(inner-join [k] l r)"))
+    assert ij["k"] == [1] and ij["x"] == [10] and ij["y"] == [100]
