@@ -1123,6 +1123,25 @@ def q_sample_pipeline(spark, sf):
     return cap_per_key(s, "lang", 30, "doc_id")
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023, datapipe.dsir) as a
+    gated query (r8 — closes the one pytest-only evidence gap): target
+    domain = the deterministic doc_id %% 23 == 0 slice, raw pool = the
+    rest; log_w = mean-per-bigram [nll under the raw-pool LM - nll
+    under the target LM] (both the same add-0.1 bigram model the
+    quality_filter oracle already replays), then Gumbel-top-k with the
+    ENGINE-PORTABLE Knuth-hash noise (salt 3) — the oracle replays the
+    full sampler, weights AND noise, in plain bigint arithmetic. Plan:
+    two LM scorings + one TakeOrdered(k); no global sort."""
+    from rayforce_spark.datapipe import dsir_select
+
+    (d,) = _t(spark, sf, "documents")
+    target = d.filter(F.col("doc_id") % 23 == 0)
+    raw = d.filter(F.col("doc_id") % 23 != 0)
+    return dsir_select(raw, target, "text", "doc_id", k=200,
+                       salt=3).select("doc_id", "lang", "log_w")
+
+
 def q_multimodal_features(spark, sf):
     """mapInPandas feature extraction over binary media columns — BOTH
     decoder tiers in one gated row (r7):
@@ -1286,6 +1305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
     "sample_pipeline": q_sample_pipeline,
+    "dsir_select": q_dsir_select,
     "multimodal_features": q_multimodal_features,
     "grouped_lambda": q_grouped_lambda,
     "group_indices": q_group_indices,
@@ -1815,6 +1835,69 @@ ORACLE: dict[str, str] = {
                  '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
                AS scrubbed
         FROM documents
+    """,
+    "dsir_select": """
+        -- DSIR replay: add-0.1 bigram LM nll under the raw-pool model
+        -- and the target model (left joins + smoothing fallback for
+        -- bigrams unseen by the target LM), log_w = round(raw - tgt, 6),
+        -- Gumbel noise from the same Knuth bucket sample_pipeline uses
+        WITH raw AS (
+          SELECT doc_id, lang, string_split(trim(lower(text)), ' ') AS w
+          FROM documents WHERE doc_id % 23 <> 0
+        ), tgt AS (
+          SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+          FROM documents WHERE doc_id % 23 = 0
+        ), uni_r AS (
+          SELECT u.w, count(*) AS c1
+          FROM (SELECT unnest(w) AS w FROM raw) u GROUP BY 1
+        ), big_r AS (
+          SELECT g, count(*) AS c2 FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+            FROM raw WHERE len(w) >= 2) GROUP BY 1
+        ), v_r AS (SELECT count(*) AS v FROM uni_r),
+        uni_t AS (
+          SELECT u.w, count(*) AS c1
+          FROM (SELECT unnest(w) AS w FROM tgt) u GROUP BY 1
+        ), big_t AS (
+          SELECT g, count(*) AS c2 FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+            FROM tgt WHERE len(w) >= 2) GROUP BY 1
+        ), v_t AS (SELECT count(*) AS v FROM uni_t),
+        docg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS g
+          FROM raw WHERE len(w) >= 2
+        ), nll AS (
+          SELECT d.doc_id,
+                 round(avg(-ln((coalesce(br.c2, 0) + 0.1)
+                               / (coalesce(ur.c1, 0) + 0.1 * v_r.v))),
+                       6) AS nr,
+                 round(avg(-ln((coalesce(bt.c2, 0) + 0.1)
+                               / (coalesce(ut.c1, 0) + 0.1 * v_t.v))),
+                       6) AS nt
+          FROM docg d
+          LEFT JOIN big_r br USING (g)
+          LEFT JOIN uni_r ur ON ur.w = string_split(d.g, ' ')[1]
+          LEFT JOIN big_t bt ON bt.g = d.g
+          LEFT JOIN uni_t ut ON ut.w = string_split(d.g, ' ')[1]
+          CROSS JOIN v_r CROSS JOIN v_t
+          GROUP BY 1
+        ), lw AS (
+          SELECT r.doc_id, r.lang, round(n.nr - n.nt, 6) AS log_w
+          FROM raw r JOIN nll n USING (doc_id)
+        ), pri AS (
+          -- the sampler rounds log_w FIRST, then adds the noise
+          SELECT doc_id, lang, log_w,
+                 round(log_w
+                   - ln(-ln((((doc_id + 3) % 2147483647) * 2654435761
+                             % 2147483647 % 1000000 + 0.5)
+                            / 1000000.0)), 6) AS p
+          FROM lw
+        )
+        SELECT doc_id, lang, log_w FROM pri
+        ORDER BY p DESC, doc_id LIMIT 200
     """,
     "sample_pipeline": """
         -- Knuth multiplicative buckets over the Mersenne-prime field

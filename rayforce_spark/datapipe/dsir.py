@@ -7,10 +7,12 @@ weight each raw example by log p_target(x) - log p_raw(x), and resample
 with Gumbel-top-k. Here both distributions are the same add-alpha
 bigram LM ``datapipe.text.bigram_lm_score`` fits (length-normalized,
 i.e. mean per-bigram log-prob — the paper's normalization choice), and
-the Gumbel noise is DETERMINISTIC: u = xxhash64(id, salt) mapped to
-(0,1), g = -ln(-ln u) — the same reproducible-randomness idiom as
-``sampling.sample_hash``, so the selected subset is identical across
-runs, partitionings, and engines.
+the Gumbel noise is DETERMINISTIC and ENGINE-PORTABLE: u =
+(knuth_bucket(id, salt) + 0.5) / grain mapped to (0,1), g = -ln(-ln u)
+— the same Knuth-multiplicative reproducible-randomness idiom as
+``sampling.hash_bucket`` (plain bigint arithmetic, so a DuckDB/Trino
+oracle replays the exact subset), identical across runs,
+partitionings, and engines.
 
 Scale shape: two LM scorings (each: two count aggregations + a model
 join + a keyed re-aggregate — see bigram_lm_score) followed by ONE
@@ -24,11 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rayforce_spark.datapipe.sampling import _GRAIN, hash_bucket
 from rayforce_spark.datapipe.text import bigram_lm_score
-
-# map a 64-bit hash to (0,1) strictly — never exactly 0 or 1, so the
-# double log below is always finite
-_U01_DEN = float(2**64 + 2)
 
 
 def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
@@ -60,8 +59,9 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str,
     w = dsir_weights(raw, target, text_col, id_col, alpha=alpha)
     pri = F.col("log_w")
     if noise:
-        u = (F.xxhash64(F.col(id_col), F.lit(salt)).cast("double")
-             + F.lit(float(2**63 + 1))) / F.lit(_U01_DEN)
+        # strictly inside (0,1) — the +0.5 keeps both logs finite
+        u = ((hash_bucket(id_col, _GRAIN, salt).cast("double")
+              + F.lit(0.5)) / F.lit(float(_GRAIN)))
         pri = F.round(pri - F.log(-F.log(u)), 6)
     return (
         w.filter(F.col("log_w").isNotNull())

@@ -244,6 +244,24 @@ def main():
     if not ok_sg:
         failures.append("dedup_segments.agg_join")
 
+    # 7d-quater (r8). DSIR importance resampling: the top-k selection
+    # must be a TakeOrdered (no global Sort -> single-partition
+    # exchange), and the two LM scorings stay joins, never a cartesian
+    from rayforce_spark.datapipe import dsir_select as _dsir
+
+    pds = plan_of(_dsir(docs.filter(F.col("doc_id") % 23 != 0),
+                        docs.filter(F.col("doc_id") % 23 == 0),
+                        "text", "doc_id", k=50, salt=3))
+    ok_ds = ("TakeOrderedAndProject" in pds
+             and "CartesianProduct" not in pds
+             and "Exchange SinglePartition" not in pds)
+    print(f"[{'ok' if ok_ds else 'VIOLATION'}] dsir.take_ordered: "
+          f"take_ordered={'TakeOrderedAndProject' in pds}, "
+          f"cartesian={'CartesianProduct' in pds}, "
+          f"global={'Exchange SinglePartition' in pds}")
+    if not ok_ds:
+        failures.append("dsir.take_ordered")
+
     # 7e. prefix-filtered exact jaccard (r6): candidate generation must
     # be a hash join on the prefix token — never a cartesian/BNLJ — and
     # no global (single-partition) exchange anywhere in the plan

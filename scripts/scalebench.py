@@ -38,7 +38,7 @@ QUERIES = [
     "asof_join", "window_join", "top_k_per_group", "moving_window",
     "scan_cumsum", "sessionize", "quality_filter", "text_quality",
     "pii_scrub", "dedup_exact", "dedup_minhash", "knn_cosine",
-    "sample_pipeline", "ngram_bigrams",
+    "sample_pipeline", "ngram_bigrams", "dsir_select",
 ]
 
 
