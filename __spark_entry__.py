@@ -999,20 +999,22 @@ def q_text_quality(spark, sf):
     Rae et al. 2021 arXiv:2112.11446 §A1.1 adapted to word-occurrence
     fractions): token count, fingerprint, length, language id, quality
     score, most-common-2-gram fraction, duplicate-3-gram fraction, and
-    the combined repetition gate — all JVM-expression columns over one
-    scan (the repetition fold is a sorted-array aggregate, no explode,
-    no shuffle)."""
+    the combined repetition gate. The repetition stats run the Arrow
+    pandas twin (r8: one tokenization pass per doc, integer stats only
+    — division/round stay JVM; the zero-shuffle expression fold is
+    pinned bit-equal by test_repetition_pandas_impl_bit_equal and was
+    the r7 gate's slowest row at 71 s/sf0.1); everything else stays
+    JVM-expression columns over one scan."""
     from rayforce_spark.datapipe import (
         doc_fingerprint,
-        dup_ngram_frac,
         language_id,
         quality_score,
-        repetition_ok,
+        repetition_metrics,
         token_count,
-        top_ngram_frac,
     )
 
     (d,) = _t(spark, sf, "documents")
+    rep = repetition_metrics(F.col("text"), impl="pandas")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tok"),
@@ -1020,9 +1022,9 @@ def q_text_quality(spark, sf):
         F.length("text").alias("len_chars"),
         language_id(F.col("text")).alias("lang_guess"),
         quality_score(F.col("text")).alias("quality"),
-        top_ngram_frac(F.col("text"), 2).alias("top2gram_frac"),
-        dup_ngram_frac(F.col("text"), 3).alias("dup3gram_frac"),
-        repetition_ok(F.col("text")).alias("rep_ok"),
+        rep["top2gram_frac"].alias("top2gram_frac"),
+        rep["dup3gram_frac"].alias("dup3gram_frac"),
+        rep["rep_ok"].alias("rep_ok"),
     )
 
 

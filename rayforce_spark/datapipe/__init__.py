@@ -68,7 +68,9 @@ from rayforce_spark.datapipe.text import (
     language_id,
     ngram_counts,
     quality_score,
+    repetition_metrics,
     repetition_ok,
+    repetition_stats,
     scrub_pii,
     token_count,
     top_ngram_frac,
@@ -109,7 +111,9 @@ __all__ = [
     "bigram_lm_score",
     "doc_fingerprint",
     "dup_ngram_frac",
+    "repetition_metrics",
     "repetition_ok",
+    "repetition_stats",
     "top_ngram_frac",
     "filter_by_lm_quantile",
     "filter_by_quality_quantile",

@@ -125,8 +125,21 @@ def ngram_counts(df, text_col: str, *, n: int = 2,
     return out.limit(top_k) if top_k is not None else out
 
 
+def _guard_global_window(by, global_ok: bool, what: str) -> None:
+    """``by=None`` builds a GLOBAL cume_dist window — every row through
+    ONE task's sort. Fine for a bounded sample; a silent serialization
+    point for a 100 TB corpus. Require the caller to say so."""
+    if by is None and not global_ok:
+        raise ValueError(
+            f"{what}: by=None sorts the whole input in a single "
+            "partition (global window). Pass by=<group column> (e.g. "
+            "per-language), or global_ok=True if the input is known "
+            "to be driver-scale.")
+
+
 def filter_by_quality_quantile(df, text_col: str, *, q: float,
-                               by: str | None = None):
+                               by: str | None = None,
+                               global_ok: bool = False):
     """Keep documents whose quality_score sits at or above the ``q``
     percent-rank of the corpus (optionally within each ``by`` group —
     e.g. per language, so low-resource languages aren't starved by a
@@ -136,10 +149,11 @@ def filter_by_quality_quantile(df, text_col: str, *, q: float,
     boundary membership) and behaves under heavy ties: a tie-block at
     the top keeps cume_dist 1.0, where rank-based percent_rank would
     mark the whole block below the cutoff. One window shuffle
-    (per-group; a global filter uses a single partition and is for
-    modest corpora — pass ``by``)."""
+    (per-group; ``by=None`` is a single-partition global sort and
+    raises unless ``global_ok=True`` — r8 guard)."""
     from pyspark.sql import Window
 
+    _guard_global_window(by, global_ok, "filter_by_quality_quantile")
     w = Window.partitionBy(*([by] if by else [])).orderBy(
         quality_score(F.col(text_col)))
     return (
@@ -181,6 +195,87 @@ def _ngram_run_stats(grams: Column) -> Column:
         agg["maxrun"].alias("maxrun"), agg["dup"].alias("dup"),
         F.size(grams).alias("total"),
     )
+
+
+def _repetition_stats_pandas():
+    """Arrow-vectorized twin of the two repetition folds, ONE
+    tokenization pass per document: returns the INTEGER run stats
+    (2-gram top count / total, 3-gram duplicate occurrences / total);
+    the division + round(…,6) stay JVM expressions shared with the
+    expr path, so cross-impl equality is exact integer equality — no
+    float-rounding argument needed (cf. dedup._cosine_units_pandas,
+    which does need one). Pinned bit-equal over the gate corpus by
+    test_repetition_pandas_impl_bit_equal. ~40x faster per doc than
+    the interpreted sorted-array aggregate at sf0.1 (the r7 gate's
+    slowest row, 71 s -> seconds)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("struct<maxrun2:int,total2:int,dup3:int,total3:int>",
+                PandasUDFType.SCALAR)
+    def _stats(texts):
+        import re
+        from collections import Counter
+
+        # tokenizer parity with tokens(): Spark's trim strips SPACES
+        # only (not Java String.trim's <=0x20 — pinned by the
+        # whitespace-only edge row in the bit-equality test); Spark's
+        # split is Pattern.split(limit=-1), which KEEPS leading and
+        # trailing empty fields, exactly like re.split; Java regex \s
+        # is ASCII [ \t\n\x0B\f\r] == re.ASCII's
+        ws = re.compile(r"\s+", re.ASCII)
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((0, 0, 0, 0))
+                continue
+            toks = ws.split(t.lower().strip(" "))
+            n2 = len(toks) - 1
+            m2 = max(Counter(zip(toks, toks[1:])).values()) if n2 >= 1 else 0
+            n3 = len(toks) - 2
+            d3 = (sum(c for c in
+                      Counter(zip(toks, toks[1:], toks[2:])).values()
+                      if c >= 2) if n3 >= 1 else 0)
+            rows.append((m2, max(n2, 0), d3, max(n3, 0)))
+        return pd.DataFrame(
+            rows, columns=["maxrun2", "total2", "dup3", "total3"])
+
+    return _stats
+
+
+def repetition_stats(text: Column, *, impl: str = "expr") -> Column:
+    """The integer core of the Gopher repetition metrics as one struct
+    ``(maxrun2, total2, dup3, total3)``. ``impl="expr"`` is the
+    zero-shuffle JVM sorted-array fold (scan-stage, no Python);
+    ``impl="pandas"`` is the Arrow twin — identical integers, an order
+    of magnitude faster per row (the production choice when a Python
+    runtime is acceptable)."""
+    if impl == "pandas":
+        return _repetition_stats_pandas()(text)
+    s2 = _ngram_run_stats(ngrams(text, 2))
+    s3 = _ngram_run_stats(ngrams(text, 3))
+    return F.struct(
+        s2["maxrun"].cast("int").alias("maxrun2"),
+        s2["total"].cast("int").alias("total2"),
+        s3["dup"].cast("int").alias("dup3"),
+        s3["total"].cast("int").alias("total3"),
+    )
+
+
+def repetition_metrics(text: Column, *, impl: str = "expr") -> Column:
+    """Both Gopher fractions + the combined gate from ONE stats pass:
+    struct ``(top2gram_frac, dup3gram_frac, rep_ok)``. The fractions
+    and thresholds are computed JVM-side from the integer stats, so
+    expr and pandas impls agree bit-for-bit by construction."""
+    st = repetition_stats(text, impl=impl)
+    top2 = F.when(st["total2"] > 0,
+                  F.round(st["maxrun2"] / st["total2"], 6)).otherwise(0.0)
+    dup3 = F.when(st["total3"] > 0,
+                  F.round(st["dup3"] / st["total3"], 6)).otherwise(0.0)
+    ok = (top2 <= REPETITION_THRESHOLDS["top2"]) & (
+        dup3 <= REPETITION_THRESHOLDS["dup3"])
+    return F.struct(top2.alias("top2gram_frac"),
+                    dup3.alias("dup3gram_frac"), ok.alias("rep_ok"))
 
 
 def top_ngram_frac(text: Column, n: int = 2) -> Column:
@@ -254,16 +349,20 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
 
 def filter_by_lm_quantile(df, text_col: str, id_col: str, *, q: float,
                           by: str | None = None, alpha: float = 0.1,
-                          keep_score: bool = False):
+                          keep_score: bool = False,
+                          global_ok: bool = False):
     """CCNet perplexity floor: keep documents at/below the ``q``
     cume_dist of corpus-bigram-LM negative log likelihood (low = fluent
     for this corpus), optionally within each ``by`` group (per-language
     buckets, as CCNet does). Docs with no bigrams (null score) pass
     unconditionally. The single shared implementation behind curate()'s
     lm_floor stage and the gate's quality_filter leg — the oracle
-    replays the same model, so tie/null semantics must not drift."""
+    replays the same model, so tie/null semantics must not drift.
+    ``by=None`` is a single-partition global sort and raises unless
+    ``global_ok=True`` (r8 guard)."""
     from pyspark.sql import Window
 
+    _guard_global_window(by, global_ok, "filter_by_lm_quantile")
     scored = bigram_lm_score(df, text_col, id_col, alpha=alpha)
     w = Window.partitionBy(*([by] if by else [])).orderBy("lm_nll")
     with_cd = (scored.filter(F.col("lm_nll").isNotNull())
@@ -279,11 +378,12 @@ def filter_by_lm_quantile(df, text_col: str, id_col: str, *, q: float,
 REPETITION_THRESHOLDS = {"top2": 0.20, "dup3": 0.18}
 
 
-def repetition_ok(text: Column) -> Column:
+def repetition_ok(text: Column, *, impl: str = "expr") -> Column:
     """Gopher-style repetition gate: most-common-2-gram fraction <= 0.20
-    AND duplicate-3-gram fraction <= 0.18 (REPETITION_THRESHOLDS)."""
-    return (top_ngram_frac(text, 2) <= REPETITION_THRESHOLDS["top2"]) & (
-        dup_ngram_frac(text, 3) <= REPETITION_THRESHOLDS["dup3"])
+    AND duplicate-3-gram fraction <= 0.18 (REPETITION_THRESHOLDS).
+    One stats pass via :func:`repetition_metrics` (both fractions from
+    a single fold / a single Arrow batch)."""
+    return repetition_metrics(text, impl=impl)["rep_ok"]
 
 
 # PII patterns shared by engine and oracle: RE2/Java-compatible (no

@@ -416,8 +416,28 @@ def test_filter_by_quality_quantile_ties_keep_top_block(spark):
     )
     from rayforce_spark.datapipe import filter_by_quality_quantile
 
-    kept = filter_by_quality_quantile(df, "text", q=0.5)
+    kept = filter_by_quality_quantile(df, "text", q=0.5, global_ok=True)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_quantile_filters_guard_global_window(spark):
+    # by=None single-partition-sorts the corpus — r8 guard: raise
+    # loudly unless the caller opts in with global_ok=True
+    import pytest as _pt
+
+    from rayforce_spark.datapipe import filter_by_quality_quantile
+    from rayforce_spark.datapipe.text import filter_by_lm_quantile
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="global"):
+        filter_by_quality_quantile(df, "text", q=0.5)
+    with _pt.raises(ValueError, match="global"):
+        filter_by_lm_quantile(df, "text", "doc_id", q=0.5)
+    # the opt-in still works on both
+    assert filter_by_quality_quantile(
+        df, "text", q=0.0, global_ok=True).count() == 1
+    assert filter_by_lm_quantile(
+        df, "text", "doc_id", q=1.0, global_ok=True).count() == 1
 
 
 def test_scrub_pii_patterns(spark):
@@ -909,3 +929,30 @@ def test_embedding_pandas_impl_bit_equal(tables):
         e, "embedding", "vec_id", threshold=-2.0, impl="pandas").collect()}
     assert expr.keys() == pand.keys() and expr
     assert all(expr[k] == pand[k] for k in expr)  # ==, no tolerance
+
+
+def test_repetition_pandas_impl_bit_equal(tables, spark):
+    """The Arrow repetition-stats twin returns IDENTICAL integers to the
+    JVM sorted-array fold over the whole gate corpus plus the
+    tokenizer's edge shapes (None / empty / whitespace-only / short
+    docs) — the gate's r8 impl swap is value-safe by integer equality
+    (no float-rounding argument needed: division + round stay JVM)."""
+    from rayforce_spark.datapipe import repetition_metrics, repetition_stats
+
+    edge = spark.createDataFrame(
+        [(9000001, None), (9000002, ""), (9000003, "   \t  "),
+         (9000004, "one"), (9000005, "a b"), (9000006, "a b a b a b"),
+         (9000007, "x y z x y z x y z w")],
+        "doc_id long, text string")
+    d = tables["documents"].select("doc_id", "text").unionByName(edge)
+    rows = d.select(
+        "doc_id",
+        repetition_stats(F.col("text"), impl="expr").alias("e"),
+        repetition_stats(F.col("text"), impl="pandas").alias("p"),
+        repetition_metrics(F.col("text"), impl="expr").alias("me"),
+        repetition_metrics(F.col("text"), impl="pandas").alias("mp"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert tuple(r.e) == tuple(r.p), (r.doc_id, r.e, r.p)
+        assert tuple(r.me) == tuple(r.mp), (r.doc_id, r.me, r.mp)
