@@ -54,7 +54,14 @@ def replay_journal(spark: SparkSession, path: str, schema: T.StructType | str) -
     return spark.read.schema(schema).json(path)
 
 
-def read_journal_stream(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+def read_journal_stream(spark: SparkSession, path: str, schema: T.StructType | str,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
     """Subscribe to the journal as a stream; downstream transformations +
-    writeStream replace the reference's timer/event-loop consumers."""
-    return spark.readStream.schema(schema).json(path)
+    writeStream replace the reference's timer/event-loop consumers.
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    journal files (throughput/latency knob; also what the STREAMCHECK
+    crash-recovery leg uses to guarantee a kill lands mid-stream)."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.json(path)

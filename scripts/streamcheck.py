@@ -64,8 +64,94 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 STABLE_SECS = 8
 TIMEOUT_SECS = 300
 
+# When True (the second, crash-recovery pass over CHECKS), every
+# _stream_table call runs the kill-and-resume protocol instead of a
+# clean run: durable sink + checkpoint, stop the query after >=1
+# committed non-empty micro-batch (maxFilesPerTrigger=1 guarantees
+# files remain), restart from the same checkpoint, then apply the
+# normal drain/settle/stability poll. The caller-facing contract is
+# unchanged: a DataFrame of the final sink contents.
+RECOVERY = False
+
 
 def _stream_table(spark, out_df, name, mode="append", expect_input=None):
+    if RECOVERY:
+        return _stream_table_restart(spark, out_df, name, mode,
+                                     expect_input)
+    return _stream_table_clean(spark, out_df, name, mode, expect_input)
+
+
+def _committed_rows(q, acc: dict) -> int:
+    for p in q.recentProgress:
+        acc[p.batchId] = p.numInputRows
+    return sum(acc.values())
+
+
+def _stream_table_restart(spark, out_df, name, mode="append",
+                          expect_input=None):
+    """Kill-and-resume: prove the stateful ops' exactly-once claims —
+    state restores from the checkpoint and the durable sink doesn't
+    double-emit (the file sink's metadata log dedups, the complete-mode
+    memory sink recomputes). Phase 1 stops the query as soon as one
+    non-empty micro-batch has committed; phase 2 restarts the SAME plan
+    on the SAME checkpoint and drains."""
+    base = tempfile.mkdtemp(prefix=f"screcov_{name}_")
+    ck, sink = os.path.join(base, "ck"), os.path.join(base, "out")
+
+    def start():
+        w = (out_df.writeStream.outputMode(mode)
+             .option("checkpointLocation", ck))
+        if mode == "complete":  # file sinks can't do complete
+            return w.format("memory").queryName(name).start()
+        return w.format("parquet").option("path", sink).start()
+
+    def table():
+        return (spark.table(name) if mode == "complete"
+                else spark.read.parquet(sink))
+
+    seen: dict[int, int] = {}
+    q = start()
+    try:
+        deadline = time.time() + TIMEOUT_SECS
+        while time.time() < deadline:
+            if _committed_rows(q, seen) > 0:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    _committed_rows(q, seen)  # final accounting after stop
+    phase1 = sum(seen.values())
+
+    q = start()
+    try:
+        seen2: dict[int, int] = {}
+        last_batch_rows = None
+        last_n, last_change = -1, time.time()
+        deadline = time.time() + TIMEOUT_SECS
+        while time.time() < deadline:
+            _committed_rows(q, seen2)
+            if seen2:
+                last_batch_rows = seen2[max(seen2)]
+            drained = (expect_input is None
+                       or phase1 + sum(seen2.values()) >= expect_input)
+            settled = (last_batch_rows == 0
+                       or not q.status.get("isTriggerActive", False))
+            try:
+                n = table().count()
+            except Exception:  # sink not yet materialized
+                n = -1
+            if n != last_n:
+                last_n, last_change = n, time.time()
+            elif (drained and settled
+                  and time.time() - last_change > STABLE_SECS):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return table()
+
+
+def _stream_table_clean(spark, out_df, name, mode="append", expect_input=None):
     """Run a streaming DataFrame into a memory sink until the row count
     is stable for STABLE_SECS. Two sharp edges, both hit in r7:
     * processAllAvailable() is NOT usable here — the stateful ops use
@@ -476,6 +562,15 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark("streamcheck")
     t = load_tables(spark, SF_DIR)
+
+    def run_one(fn, tmp):
+        try:
+            return fn(spark, t, tmp)
+        except Exception as e:  # record, keep going
+            return {"op": fn.__name__.replace("check_", ""), "match": False,
+                    "stream_rows": -1, "batch_rows": -1,
+                    "notes": f"EXC: {type(e).__name__}: {e}"}
+
     results = []
     for fn in CHECKS:
         if only and fn.__name__.replace("check_", "") not in only:
@@ -483,17 +578,40 @@ def main():
         tmp = tempfile.mkdtemp(prefix="streamcheck_")
         t0 = time.time()
         try:
-            r = fn(spark, t, tmp)
-        except Exception as e:  # record, keep going
-            r = {"op": fn.__name__.replace("check_", ""), "match": False,
-                 "stream_rows": -1, "batch_rows": -1,
-                 "notes": f"EXC: {type(e).__name__}: {e}"}
+            r = run_one(fn, tmp)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         r["sec"] = round(time.time() - t0, 1)
+
+        # crash-recovery leg (r8): same op, fresh feed, kill after the
+        # first committed micro-batch and resume from the checkpoint.
+        # maxFilesPerTrigger=1 (patched onto the journal source for
+        # this pass only) guarantees the kill lands mid-stream.
+        global RECOVERY
+        import rayforce_spark.streaming as _RS
+        orig_src = _RS.read_journal_stream
+        tmp2 = tempfile.mkdtemp(prefix="streamcheck_rec_")
+        t1 = time.time()
+        RECOVERY = True
+        _RS.read_journal_stream = (
+            lambda sp, path, schema: orig_src(sp, path, schema,
+                                              max_files_per_trigger=1))
+        try:
+            r2 = run_one(fn, tmp2)
+        finally:
+            RECOVERY = False
+            _RS.read_journal_stream = orig_src
+            shutil.rmtree(tmp2, ignore_errors=True)
+        r["recovery"] = r2["match"]
+        r["recovery_sec"] = round(time.time() - t1, 1)
+        if not r2["match"]:
+            r["notes"] += f"; RECOVERY FAIL: {r2['notes']}"
+
         print(f"[streamcheck] {r['op']}: "
               f"{'OK' if r['match'] else 'MISMATCH'} "
-              f"({r['stream_rows']} rows, {r['sec']}s) {r['notes']}",
+              f"(recovery {'OK' if r['recovery'] else 'MISMATCH'}) "
+              f"({r['stream_rows']} rows, {r['sec']}s+"
+              f"{r['recovery_sec']}s) {r['notes']}",
               file=sys.stderr)
         results.append(r)
 
@@ -501,12 +619,14 @@ def main():
         "metric": "stream_batch_equivalence",
         "sf_dir": SF_DIR,
         "ok": sum(1 for r in results if r["match"]),
+        "recovery_ok": sum(1 for r in results if r.get("recovery")),
         "total": len(results),
         "results": results,
     }
     if only:  # partial run: report only, don't overwrite the record
         print(json.dumps(out))
-        return 0 if out["ok"] == out["total"] else 1
+        return (0 if out["ok"] == out["total"]
+            and out["recovery_ok"] == out["total"] else 1)
     tag = os.path.basename(SF_DIR.rstrip("/"))
     fname = ("STREAMCHECK.json" if tag == "sf0.01"
              else f"STREAMCHECK_{tag}.json")
@@ -514,11 +634,14 @@ def main():
         json.dump(out, f, indent=2)
     lines = "\n".join(
         f"| {r['op']} | {'✅' if r['match'] else '❌'} | "
-        f"{r['stream_rows']} | {r['sec']} | {r['notes']} |"
+        f"{'✅' if r.get('recovery') else '❌'} | "
+        f"{r['stream_rows']} | {r['sec']}+{r.get('recovery_sec', 0)} | "
+        f"{r['notes']} |"
         for r in results)
     if tag != "sf0.01":  # canonical .md tracks the gate scale only
         print(json.dumps(out))
-        return 0 if out["ok"] == out["total"] else 1
+        return (0 if out["ok"] == out["total"]
+            and out["recovery_ok"] == out["total"] else 1)
     with open(os.path.join(REPO, "STREAMCHECK.md"), "w") as f:
         f.write(f"""# STREAMCHECK — batch-vs-stream equivalence
 
@@ -530,14 +653,15 @@ docstring for each operator's equivalence contract, e.g. sentinel events
 to close trailing sessions, a right-side flush row to advance the asof
 watermark).
 
-| operator | match | rows | sec | notes |
-|---|---|---|---|---|
+| operator | match | recovery | rows | sec | notes |
+|---|---|---|---|---|---|
 {lines}
 
-**{out['ok']}/{out['total']} equivalent.**
+**{out['ok']}/{out['total']} equivalent; {out['recovery_ok']}/{out['total']} recover from a mid-stream kill (stop after the first committed micro-batch, restart from checkpoint) with the final multiset still equal to the batch twin.**
 """)
     print(json.dumps(out))
-    return 0 if out["ok"] == out["total"] else 1
+    return (0 if out["ok"] == out["total"]
+            and out["recovery_ok"] == out["total"] else 1)
 
 
 if __name__ == "__main__":
