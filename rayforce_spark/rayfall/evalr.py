@@ -839,18 +839,53 @@ class Interp:
 
             path = self.eval(args[0])
             df = self.eval(args[1])
-            set_splayed(df, str(path))
+            # the reference's splay preserves row ORDER by file position
+            # (order is semantics in this data model); parquet has no
+            # cross-file row position, so the Rayfall surface persists
+            # an explicit ordinal restored+dropped on read. The raw
+            # python API (sources/splayed.py) keeps the unordered
+            # scale contract — a 100 TB splay should not sort on read.
+            set_splayed(
+                df.withColumn("__rf_ord", F.monotonically_increasing_id()),
+                str(path))
             return df
         if head == "get-splayed":
             from rayforce_spark.sources.splayed import get_splayed
 
-            return get_splayed(self.spark, str(self.eval(args[0])))
+            out = get_splayed(self.spark, str(self.eval(args[0])))
+            if "__rf_ord" in out.columns:
+                out = out.orderBy("__rf_ord").drop("__rf_ord")
+            return out
         if head == "set-parted":
             from rayforce_spark.sources.parted import set_parted
 
             root = str(self.eval(args[0]))
             df = self.eval(args[1])
-            import datetime as dt
+
+            # the reference's per-partition idiom (docs data-types/
+            # table.md:76, core/vary.c:176 — a plain path set): each
+            # (set-parted "db/<part>/<name>/" slice) call writes ONE
+            # partition directory; (get-parted "db/" 'name) later reads
+            # the union. Spark analog: one parquet partition dir
+            # db/<name>/date=<part>/ so the partition column stays
+            # virtual/directory-derived and prunable.
+            import re as _re
+
+            m = _re.fullmatch(r"(.+)/([^/]+)/([^/]+)/", root)
+            if m and not any(
+                    t in ("date", "timestamp", "timestamp_ntz")
+                    for _, t in df.dtypes):
+                base, part, name = m.groups()
+                import os as _os
+
+                # persist row order within the partition (same ordinal
+                # contract as the set-splayed branch above)
+                df.withColumn(
+                    "__rf_ord", F.monotonically_increasing_id(),
+                ).write.parquet(
+                    _os.path.join(base, name, f"date={part}"),
+                    mode="overwrite")
+                return df
 
             date_cols = [c for c, t in df.dtypes if t in ("date", "timestamp", "timestamp_ntz")]
             if not date_cols:
@@ -864,7 +899,14 @@ class Interp:
 
             root = str(self.eval(args[0]))
             name = str(self.eval(args[1])) if len(args) > 1 else ""
-            return get_parted(self.spark, _os.path.join(root, name) if name else root)
+            out = get_parted(self.spark, _os.path.join(root, name) if name else root)
+            if "__rf_ord" in out.columns:
+                # partitions in dir order, written row order within each
+                # (the reference's get-parted concat order)
+                keys = (["date", "__rf_ord"] if "date" in out.columns
+                        else ["__rf_ord"])
+                out = out.orderBy(*keys).drop("__rf_ord")
+            return out
         if head == "read-csv":
             sep = str(self.eval(args[2])) if len(args) > 2 else ","
             return self._read_csv(self.eval(args[0]), str(self.eval(args[1])), sep)
@@ -1430,23 +1472,34 @@ class Interp:
             out = obj.withColumn(col, ops[fname](F.col(col)))
         elif isinstance(obj, list):
             out = list(obj)
+
+            def _chk(i: int) -> int:
+                # the reference rejects negative / out-of-range indices
+                # with 'index (ref tests/lang.c:5236); python's wrapping
+                # negative indexing would silently hit the tail instead
+                # (live-fuzzed divergence, r8)
+                i = int(i)
+                if i < 0 or i >= len(out):
+                    raise RayfallError(f"alter: index {i} out of range")
+                return i
+
             if fname == "set":
                 # replace at index/indices (ref examples/update.rfl)
                 idx, val = rest
                 if isinstance(idx, list):
                     vals = val if isinstance(val, list) else [val] * len(idx)
                     for i, v in zip(idx, vals):
-                        out[int(i)] = v
+                        out[_chk(i)] = v
                 else:
-                    out[int(idx)] = val
+                    out[_chk(idx)] = val
             elif fname == "concat":
                 out = V.concat(out, rest[0])
             elif fname == "remove":
                 idx = rest[0]
-                drop = {int(i) for i in (idx if isinstance(idx, list) else [idx])}
+                drop = {_chk(i) for i in (idx if isinstance(idx, list) else [idx])}
                 out = [v for i, v in enumerate(out) if i not in drop]
             elif fn is not None and len(rest) == 2:
-                idx, val = int(rest[0]), rest[1]
+                idx, val = _chk(rest[0]), rest[1]
                 out[idx] = fn(out[idx], val)
             elif fn is not None and len(rest) == 1:
                 out = fn(out, rest[0])

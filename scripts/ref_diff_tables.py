@@ -190,8 +190,109 @@ def g_insert_vals(r: random.Random, k: int, dup_keys: bool = False) -> str:
             f"[{' '.join(map(str, h))}])")
 
 
-def g_query(r: random.Random) -> str:
-    kind = r.randint(0, 16)
+def g_storage_query(r: random.Random, n: int, uid: int, kind: int) -> str | None:
+    """§2.1/§2.2 mutation + storage templates (r8, verdict directive 7).
+
+    Storage programs carry a literal ``{DIR}`` that the runner replaces
+    with a PER-ENGINE scratch directory before eval — each engine writes
+    its own native layout (ours: parquet; ref: splayed column files /
+    dated partition dirs) and reads it back, so the round-TRIP is what's
+    compared, not the bytes on disk. Multi-form top-level sequences are
+    used instead of ``(do …)`` because the reference's do+set errors
+    with 'value (live-probed); every program is self-contained (binds
+    its own uid-suffixed names first), so a mid-block reference crash +
+    re-seed cannot desync later queries.
+
+    Surfaces the fuzz must avoid, live-pinned reference limitations:
+    * ENUM vectors don't serialize over the reference's own wire
+      (core/serde.c size_obj returns 0 for TYPE_ENUM → truncated
+      replies), so splayed/parted symbol columns are read back through
+      ``(value (at … 'g))`` which de-enumerates server-side.
+    * group-by on an enum column and bare select/xasc/meta over
+      get-parted error with 'type in the reference; aggregates and
+      explicit-map selects work, so compositions stick to those.
+    * Row order across our parquet splay files is not written-order
+      (Spark packs scan files by size), so order-sensitive reads are
+      composed under xasc on a distinct column.
+    """
+    if kind == 17:
+        # alter on a column-derived vector: set / concat / remove, with
+        # an occasional out-of-range index (both engines must reject —
+        # ref 'index, tests/lang.c:5236; python wrapping would silently
+        # hit the tail, a real divergence this template caught in dev)
+        col = r.choice(["a", "b", "h"])
+        bad = n == 0 or r.random() < 0.15
+        i = r.choice([-1, n + 2]) if bad else r.randrange(n)
+        val = fmt_f(r.uniform(-3, 6)) if col == "b" else g_scalar(r)
+        ops = [f"(alter 'va{uid} set {i} {val})"]
+        roll = r.random()
+        if roll < 0.4:
+            ops.append(f"(alter 'va{uid} concat {val})")
+        elif roll < 0.6 and n > 1:
+            ops.append(f"(alter 'va{uid} remove {r.randrange(n)})")
+        return (f"(set va{uid} (at t '{col})) "
+                + " ".join(ops) + f" va{uid}")
+    if kind == 18:
+        # splayed round-trip, numeric projection (symbol col g would
+        # come back as an un-serializable ENUM — kind 19 covers it)
+        pre = ("(set nt%d (select {a: a b: b h: h from: t})) "
+               '(set-splayed "{DIR}/s%d/" nt%d) ' % (uid, uid, uid))
+        roll = r.random()
+        if roll < 0.35:
+            return pre + '(xasc (get-splayed "{DIR}/s%d/") \'b)' % uid
+        if roll < 0.7:
+            agg = r.choice(["sum", "min", "max", "count", "avg", "dev", "var"])
+            return pre + (
+                "(xasc (select {s0: (%s b) from: "
+                '(get-splayed "{DIR}/s%d/") by: h}) \'h)' % (agg, uid))
+        return pre + (
+            "(xasc (select {x: %s y: b from: "
+            '(get-splayed "{DIR}/s%d/") where: %s}) \'y)'
+            % (g_colexpr(r), uid, g_pred(r)))
+    if kind == 19:
+        if r.random() < 0.5:
+            # splayed symbol column: written as enum+symfile by the ref,
+            # plain parquet strings by us; (value …) de-enumerates theirs
+            return ('(set-splayed "{DIR}/g%d/" t) '
+                    '(value (at (get-splayed "{DIR}/g%d/") \'g))'
+                    % (uid, uid))
+        # temporal splay: I64 ts + TIME/i32 tm survive the round-trip
+        # (explicit maps — the enum g column would not serialize)
+        return ('(set-splayed "{DIR}/w%d/" t2) '
+                "(select {ts: ts tm: tm v: v from: "
+                '(get-splayed "{DIR}/w%d/")})' % (uid, uid))
+    if kind == 20 and n >= 2:
+        # parted: two dated partition writes (the reference's
+        # per-partition path idiom), then read the union back
+        k = r.randint(1, n - 1)
+        pre = ("(set pa%d (select {from: t take: %d})) "
+               "(set pb%d (select {from: t take: -%d})) "
+               '(set-parted "{DIR}/p%d/2024.01.01/tab/" pa%d) '
+               '(set-parted "{DIR}/p%d/2024.01.02/tab/" pb%d) '
+               % (uid, k, uid, n - k, uid, uid, uid, uid))
+        roll = r.random()
+        if roll < 0.4:
+            a1 = r.choice(["sum", "min", "max", "avg"])
+            a2 = r.choice(["sum", "min", "max", "count"])
+            return pre + (
+                "(select {s0: (%s a) s1: (%s h) s2: (count b) from: "
+                '(get-parted "{DIR}/p%d/" \'tab)})' % (a1, a2, uid))
+        if roll < 0.8:
+            return pre + (
+                "(xasc (select {x: b y: (+ a h) from: "
+                '(get-parted "{DIR}/p%d/" \'tab) where: %s}) \'x)'
+                % (uid, g_pred(r)))
+        return pre + '(count (get-parted "{DIR}/p%d/" \'tab))' % uid
+    return None
+
+
+def g_query(r: random.Random, n: int = 4, uid: int = 0) -> str:
+    kind = r.randint(0, 20)
+    if kind >= 17:
+        q = g_storage_query(r, n, uid, kind)
+        if q is not None:
+            return q
+        kind = r.randint(0, 16)
     if kind == 15:
         # §2.1 insert (value form — returns the extended table): single
         # row and column-block shapes, optionally composed under a query
@@ -346,9 +447,16 @@ def main():
     from rayforce_spark.rayfall.serde import Table
     from rayforce_spark.session import get_spark
 
+    import shutil
+    import tempfile
+
     spark = get_spark("ref_diff_tables")
     r = random.Random(args.seed)
     srv = spawn_reference_server()
+    # per-engine scratch roots for the storage templates ({DIR} in the
+    # program text) — each engine round-trips its own on-disk layout
+    ours_base = tempfile.mkdtemp(prefix="rdt_ours_")
+    ref_base = tempfile.mkdtemp(prefix="rdt_ref_")
     counts = {"match": 0, "both_error": 0, "mismatch": 0,
               "ours_error": 0, "ref_error": 0, "ref_crash": 0,
               "ref_nan_group_agg": 0}
@@ -357,8 +465,10 @@ def main():
     total = 0
     try:
         for blk in range(args.blocks):
-            t_src, u_src, _ = gen_tables(r)
+            t_src, u_src, t_rows = gen_tables(r)
             t2_src, u2_src = gen_ts_tables(r)
+            odir = os.path.join(ours_base, f"b{blk}")
+            rdir = os.path.join(ref_base, f"b{blk}")
             setters = (t_src, u_src, t2_src, u2_src)
             interp = Interp(spark)
             ok = True
@@ -375,17 +485,18 @@ def main():
                 continue
             qs = set()
             while len(qs) < args.per_block:
-                qs.add(g_query(r))
+                qs.add(g_query(r, t_rows, len(qs)))
             for q in sorted(qs):
                 total += 1
                 ours = theirs = None
                 ours_err = theirs_err = None
                 try:
-                    ours = tnorm(ours_to_value(interp.eval_str(q)))
+                    ours = tnorm(ours_to_value(
+                        interp.eval_str(q.replace("{DIR}", odir))))
                 except Exception as ex:  # noqa: BLE001
                     ours_err = f"{type(ex).__name__}: {ex}"
                 try:
-                    tv = reference_eval(srv, q)
+                    tv = reference_eval(srv, q.replace("{DIR}", rdir))
                     if isinstance(tv, Table):
                         tv = dict(tv)
                     theirs = tnorm(tv)
@@ -420,11 +531,15 @@ def main():
                     counts["mismatch"] += 1
                     diverge.insert(0, (q, src, f"ours: {ours!r}",
                                        f"ref: {theirs!r}"))
+            shutil.rmtree(odir, ignore_errors=True)
+            shutil.rmtree(rdir, ignore_errors=True)
             if (blk + 1) % 5 == 0:
                 print(f"[block {blk + 1}/{args.blocks}] {counts}",
                       file=sys.stderr)
     finally:
         srv.stop()
+        shutil.rmtree(ours_base, ignore_errors=True)
+        shutil.rmtree(ref_base, ignore_errors=True)
 
     lines = [
         "# REF_DIFF_TABLES — table-query differential fuzzing vs the "
@@ -433,7 +548,15 @@ def main():
         f"{args.blocks} random (t,u) table pairs x {args.per_block} "
         "queries over select/update/where/by/take, xasc/xdesc, "
         "left-join/inner-join, asof-join, window-join/window-join1, "
-        "first/last/count/at/concat/rank) "
+        "first/last/count/at/concat/rank, insert/upsert (value and "
+        "in-place forms), alter set/concat/remove on column-derived "
+        "vectors, and STORAGE round-trips — set-splayed/get-splayed "
+        "(numeric tables and enum-backed symbol columns) and "
+        "set-parted/get-parted (two dated partition writes via the "
+        "reference's per-partition path idiom, read back as a union) — "
+        "each engine writing its own native layout into its own scratch "
+        "dir and reading it back, so the round-TRIP values are compared, "
+        "not bytes on disk) "
         "evaluated in BOTH engines — ours via `rayfall.Interp` over a "
         "live SparkSession (tables are DataFrames, the same operator "
         "code the driver gate runs), the reference via a live "
@@ -471,7 +594,24 @@ def main():
         "while our implementation is typed-generic; (2) shared non-key "
         "columns in lj/ij/aj take the RIGHT value on matched rows (kdb "
         "rule) and wj empty windows yield null aggregates (count 0) — "
-        "both now implemented and pinned in tests/test_rayfall.py.\n")
+        "both now implemented and pinned in tests/test_rayfall.py.\n"
+        "\nStorage/mutation limitations pinned by the r8 templates: "
+        "(3) ENUM vectors do not serialize over the reference's own "
+        "wire (core/serde.c size_obj has no TYPE_ENUM case → truncated "
+        "replies), so splayed/parted symbol columns are compared "
+        "through `(value (at … 'g))`, which de-enumerates server-side; "
+        "(4) the reference's get-parted result rejects bare "
+        "select/xasc/meta and enum group-by with 'type (and `(at gp "
+        "'col)` crashes the server) — compositions stick to its working "
+        "surface: aggregates and explicit-map selects; (5) the r8 alter "
+        "templates caught a real our-side divergence in dev: python's "
+        "wrapping negative index silently hit the vector tail where the "
+        "reference rejects with 'index — now guarded (evalr) and "
+        "exercised here; (6) our parquet splay does not preserve "
+        "cross-file row order, so the Rayfall storage verbs persist an "
+        "explicit `__rf_ord` ordinal restored+dropped on read (row "
+        "order is semantics in this data model; the raw python API "
+        "keeps the unordered 100 TB-scale contract).\n")
     if crashes:
         lines.append("## Inputs that crashed the reference process\n")
         lines += [f"* `{c}`" for c in crashes] + [""]
