@@ -14,11 +14,13 @@ the Gumbel noise is DETERMINISTIC and ENGINE-PORTABLE: u =
 oracle replays the exact subset), identical across runs,
 partitionings, and engines.
 
-Scale shape: two LM scorings (each: two count aggregations + a model
-join + a keyed re-aggregate — see bigram_lm_score) followed by ONE
-TakeOrdered(k) — no global sort, no driver-side loop. The target corpus
-is small by definition (a benchmark/domain sample), so its model is
-cheap; the raw pool streams through joins.
+Scale shape: the raw pool is tokenized/exploded ONCE into per-doc
+bigram counts, both models' count tables join against that single
+stream, one keyed re-aggregate emits both NLLs, then ONE
+TakeOrdered(k) — no global sort, no driver-side loop, no second pass
+over the corpus. The target corpus is small by definition (a
+benchmark/domain sample), so its model is cheap; the raw pool streams
+through joins.
 """
 
 from __future__ import annotations
@@ -27,23 +29,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rayforce_spark.datapipe.sampling import _GRAIN, hash_bucket
-from rayforce_spark.datapipe.text import bigram_lm_score
+from rayforce_spark.datapipe.text import (
+    _doc_bigram_counts,
+    _lm_counts,
+    _lm_nll,
+)
 
 
 def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
                  id_col: str, *, alpha: float = 0.1) -> DataFrame:
     """``raw`` plus ``log_w`` = mean-per-bigram [log p_target - log
     p_raw] (positive = looks more like the target domain than the pool;
-    null for docs with no bigrams)."""
-    scored = bigram_lm_score(
-        raw, text_col, id_col, alpha=alpha, out_col="__nll_raw")
-    scored = bigram_lm_score(
-        scored, text_col, id_col, alpha=alpha, out_col="__nll_tgt",
-        model_df=target)
-    return scored.withColumn(
-        "log_w",
-        F.round(F.col("__nll_raw") - F.col("__nll_tgt"), 6),
-    ).drop("__nll_raw", "__nll_tgt")
+    null for docs with no bigrams).
+
+    Single corpus pass (r8): the raw pool is tokenized/exploded ONCE
+    and both models join against the same per-doc bigram-count stream —
+    the two-scoring formulation re-exploded and re-joined the whole
+    corpus per model (~2x the heavy side for identical numbers)."""
+    uni_r, big_r, v_r = _lm_counts(raw, text_col)
+    uni_t, big_t, v_t = _lm_counts(target, text_col)
+    doc_g = _doc_bigram_counts(raw, text_col, id_col)
+    j = (doc_g
+         .join(big_r.withColumnRenamed("c2", "c2r"), "g", "left")
+         .join(big_t.withColumnRenamed("c2", "c2t"), "g", "left")
+         .withColumn("w1", F.split("g", " ").getItem(0))
+         .join(uni_r.withColumnRenamed("w", "w1")
+               .withColumnRenamed("c1", "c1r"), "w1", "left")
+         .join(uni_t.withColumnRenamed("w", "w1")
+               .withColumnRenamed("c1", "c1t"), "w1", "left"))
+    per = j.groupBy("__did").agg(
+        F.round(F.sum(F.col("__n") * _lm_nll("c2r", "c1r", v_r, alpha))
+                / F.sum("__n"), 6).alias("__nll_raw"),
+        F.round(F.sum(F.col("__n") * _lm_nll("c2t", "c1t", v_t, alpha))
+                / F.sum("__n"), 6).alias("__nll_tgt"))
+    return (
+        raw.join(per, raw[id_col] == per["__did"], "left")
+        .withColumn(
+            "log_w",
+            F.round(F.col("__nll_raw") - F.col("__nll_tgt"), 6))
+        .drop("__did", "__nll_raw", "__nll_tgt"))
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, text_col: str,

@@ -318,33 +318,59 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
     smoothing mass.
 
     Plan: two count aggregations over the exploded token/bigram streams
-    (hash shuffles with map-side combine), one join of doc-bigram
-    occurrences against the bigram count table (Spark picks broadcast
-    while the model fits, shuffled-hash beyond), one keyed re-aggregate
-    per doc. At 100 TB the model table is the interesting knob: cap it
-    upstream (min-count prune) and the join side shrinks; scoring stays
-    a join, never a per-row python loop."""
-    mdl = model_df if model_df is not None else df
-    uni = (mdl.select(F.explode(tokens(F.col(text_col))).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
-    big = (mdl.select(F.explode(ngrams(F.col(text_col), 2)).alias("g"))
-           .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
-    v = uni.count()
-    doc_g = df.select(F.col(id_col).alias("__did"),
-                      F.explode(ngrams(F.col(text_col), 2)).alias("g"))
+    (hash shuffles with map-side combine), per-doc bigram counts
+    pre-aggregated before the model joins (r8: the weighted mean
+    sum(n·nll)/sum(n) is the same number with in-doc repetition folded
+    out of every join), one join against the bigram count table (Spark
+    picks broadcast while the model fits, shuffled-hash beyond), one
+    keyed re-aggregate per doc. At 100 TB the model table is the
+    interesting knob: cap it upstream (min-count prune) and the join
+    side shrinks; scoring stays a join, never a per-row python loop."""
+    uni, big, v = _lm_counts(model_df if model_df is not None else df,
+                             text_col)
+    doc_g = _doc_bigram_counts(df, text_col, id_col)
     scored = (
         doc_g.join(big, "g", "left")
         .withColumn("w1", F.split("g", " ").getItem(0))
         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
-        .withColumn(
-            "__nll",
-            -F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
-                   / (F.coalesce(F.col("c1"), F.lit(0))
-                      + F.lit(alpha * v))))
-        .groupBy("__did").agg(F.round(F.avg("__nll"), 6).alias(out_col))
+        .withColumn("__nll", _lm_nll("c2", "c1", v, alpha))
+        .groupBy("__did").agg(
+            F.round(F.sum(F.col("__n") * F.col("__nll")) / F.sum("__n"),
+                    6).alias(out_col))
     )
     return df.join(scored, df[id_col] == scored["__did"], "left").drop(
         "__did")
+
+
+def _lm_counts(mdl, text_col: str):
+    """Add-alpha bigram LM count tables: (unigram counts ``w,c1``,
+    bigram counts ``g,c2``, vocabulary size). The unigram table is
+    persisted before the eager vocabulary count — otherwise the
+    tokenize+explode+aggregate pass runs twice (once for V, again when
+    the scoring join executes); it is vocab-sized, so caching it is
+    cheap at any corpus scale."""
+    uni = (mdl.select(F.explode(tokens(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1"))).persist()
+    big = (mdl.select(F.explode(ngrams(F.col(text_col), 2)).alias("g"))
+           .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
+    return uni, big, uni.count()
+
+
+def _doc_bigram_counts(df, text_col: str, id_col: str):
+    """Per-doc bigram OCCURRENCE counts ``(__did, g, __n)`` — the
+    pre-aggregation (map-side combined) shrinks the model-join input by
+    the in-doc repetition factor, and the per-doc mean becomes the
+    weighted mean sum(__n·nll)/sum(__n) — identical math, fewer rows
+    through every downstream join."""
+    return (df.select(F.col(id_col).alias("__did"),
+                      F.explode(ngrams(F.col(text_col), 2)).alias("g"))
+            .groupBy("__did", "g").agg(F.count(F.lit(1)).alias("__n")))
+
+
+def _lm_nll(c2: str, c1: str, v: int, alpha: float):
+    """-log P(w2|w1) with add-alpha smoothing over count columns."""
+    return -F.log((F.coalesce(F.col(c2), F.lit(0)) + F.lit(alpha))
+                  / (F.coalesce(F.col(c1), F.lit(0)) + F.lit(alpha * v)))
 
 
 def filter_by_lm_quantile(df, text_col: str, id_col: str, *, q: float,

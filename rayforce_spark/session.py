@@ -204,6 +204,15 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     # NTZ wall-clock -> instant goes through the session tz; pin UTC so
     # externally created sessions agree with DuckDB's epoch_us()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # engine confs a plain (driver-created) session lacks, all
+    # runtime-settable: the 200-partition default is pure task overhead
+    # at local gate scale (a real cluster sizes this in spark-defaults),
+    # and AQE coalescing keeps post-shuffle partitions data-sized
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   cpus if cpus.isdigit() else "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     out = {}
     for t in tables or TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
