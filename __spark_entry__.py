@@ -1144,6 +1144,35 @@ def q_dsir_select(spark, sf):
                        salt=3).select("doc_id", "lang", "log_w")
 
 
+def q_sequence_packing(spark, sf):
+    """Sequence packing for LM training batches (datapipe.packing, r8) —
+    BOTH packings over the documents corpus in one gated row:
+
+    * pack_offsets — GPT-style concatenate-and-chunk (Brown et al. 2020
+      §2.2): Knuth-hash shard (engine-portable bigint), id-ordered
+      exclusive token cumsum within the shard, budget-2048 chunk
+      indices. Pure per-shard window cumsum — one shuffle, no global
+      sort, no Python.
+    * pack_greedy — doc-boundary first-fit (never split a doc; open a
+      new pack on overflow): a stateful running scan, one Arrow batch
+      per shard via applyInPandas, which the oracle replays EXACTLY as
+      a recursive CTE (one recursion step per doc per shard).
+
+    Joined on doc_id so the oracle verifies offsets AND the greedy pack
+    assignment row-for-row."""
+    from rayforce_spark.datapipe import pack_greedy, pack_offsets
+
+    (d,) = _t(spark, sf, "documents")
+    off = pack_offsets(d, "text", "doc_id", budget=2048, shards=8,
+                       salt=5).select("doc_id", "shard", "n_tok",
+                                      "tok_start", "pack_first",
+                                      "pack_last")
+    grd = pack_greedy(d, "text", "doc_id", budget=2048, shards=8,
+                      salt=5).select(
+        "doc_id", F.col("pack").alias("greedy_pack"))
+    return off.join(grd, "doc_id")
+
+
 def q_multimodal_features(spark, sf):
     """mapInPandas feature extraction over binary media columns — BOTH
     decoder tiers in one gated row (r7):
@@ -1308,6 +1337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "sample_pipeline": q_sample_pipeline,
     "dsir_select": q_dsir_select,
+    "sequence_packing": q_sequence_packing,
     "multimodal_features": q_multimodal_features,
     "grouped_lambda": q_grouped_lambda,
     "group_indices": q_group_indices,
@@ -1925,6 +1955,51 @@ ORACLE: dict[str, str] = {
                                        ORDER BY doc_id) AS rn
           FROM s
         ) WHERE rn <= 30
+    """,
+    "sequence_packing": """
+        -- both packings replayed exactly: the Knuth shard + exclusive
+        -- token cumsum + budget-2048 chunk indices in plain window SQL,
+        -- and the doc-boundary first-fit scan as a recursive CTE (one
+        -- recursion step per doc within each shard — the same running
+        -- reset the Arrow batch applies)
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 ((doc_id + 5) % 2147483647) * 2654435761
+                   % 2147483647 % 8 AS shard,
+                 len(string_split(trim(lower(text)), ' ')) AS n_tok
+          FROM documents
+        ), offs AS (
+          SELECT doc_id, shard, n_tok,
+                 coalesce(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS tok_start
+          FROM toks
+        ), numbered AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY shard ORDER BY doc_id) AS rn
+          FROM toks
+        ), scan AS (
+          SELECT shard, rn, doc_id, n_tok,
+                 CAST(0 AS BIGINT) AS pack,
+                 CAST(n_tok AS BIGINT) AS running
+          FROM numbered WHERE rn = 1
+          UNION ALL
+          SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+                 CASE WHEN s.running > 0 AND s.running + n.n_tok > 2048
+                      THEN s.pack + 1 ELSE s.pack END,
+                 CASE WHEN s.running > 0 AND s.running + n.n_tok > 2048
+                      THEN CAST(n.n_tok AS BIGINT)
+                      ELSE s.running + n.n_tok END
+          FROM scan s
+          JOIN numbered n ON n.shard = s.shard AND n.rn = s.rn + 1
+        )
+        SELECT o.doc_id, o.shard, o.n_tok, o.tok_start,
+               o.tok_start // 2048 AS pack_first,
+               (o.tok_start + greatest(o.n_tok - 1, 0)) // 2048
+                 AS pack_last,
+               g.pack AS greedy_pack
+        FROM offs o JOIN scan g USING (doc_id)
     """,
     "multimodal_features": """
         -- the fake decoder is md5(utf8(text) || '0'): each feature is one

@@ -52,6 +52,15 @@ def main():
     dsir = dsir_select(kept, domain, "text", "doc_id", k=20, salt=1)
     print(f"DSIR-selected {dsir.count()} docs toward the long-doc domain")
 
+    # pack the curated pool into training sequences: doc-boundary
+    # first-fit packs (never split a doc) at a 2048-token budget
+    from rayforce_spark.datapipe import pack_greedy
+
+    packed = pack_greedy(kept, "text", "doc_id", budget=2048, shards=4)
+    n_packs = packed.select("shard", "pack").distinct().count()
+    print(f"packed {packed.count()} curated docs into {n_packs} "
+          "training sequences (budget 2048 tokens)")
+
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 3)
     print("top-3 cosine neighbors per query vector:")

@@ -54,6 +54,7 @@ from rayforce_spark.datapipe.similarity import (
 from rayforce_spark.datapipe.pipeline import curate
 from rayforce_spark.datapipe.sessions import sessionize_batch
 from rayforce_spark.datapipe.dsir import dsir_select, dsir_weights
+from rayforce_spark.datapipe.packing import pack_greedy, pack_offsets
 from rayforce_spark.datapipe.decontam import (
     contaminated_ids,
     decontaminate,
@@ -106,6 +107,8 @@ __all__ = [
     "contaminated_ids",
     "decontaminate",
     "dsir_select",
+    "pack_greedy",
+    "pack_offsets",
     "dsir_weights",
     "flag_contaminated",
     "bigram_lm_score",

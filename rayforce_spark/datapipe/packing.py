@@ -1,0 +1,103 @@
+"""Sequence packing for LM training batches, Spark-first.
+
+Two deterministic, engine-portable packings of a document corpus into
+fixed token-budget training sequences:
+
+* :func:`pack_offsets` — GPT-style concatenate-and-chunk (Brown et al.
+  2020 §2.2: documents are concatenated and the token stream is cut
+  into context-length chunks; documents straddle chunk boundaries by
+  design). Pure window cumsum — no Python anywhere.
+* :func:`pack_greedy` — doc-boundary-respecting first-fit (the common
+  SFT/packed-batch loader rule: never split a document; open a new
+  pack when the next document would overflow the budget; a document
+  longer than the budget gets a pack of its own). A stateful running
+  scan, so it runs as one Arrow batch per shard via applyInPandas —
+  and replays exactly in SQL as a recursive CTE (the oracle does).
+
+Both shard the corpus first with the Knuth-multiplicative
+``sampling.hash_bucket`` (plain bigint arithmetic — identical value in
+any engine), order by the id column within each shard, and never
+impose a global order: the window/scan is PER SHARD, so the plan is
+one hash shuffle + partitioned sort, no single-partition exchange. At
+100 TB the shard count is the lever — size shards so one shard's
+token stream fits an executor (the packs themselves are independent
+across shards by construction, exactly like the loader's data files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rayforce_spark.datapipe.sampling import hash_bucket
+from rayforce_spark.datapipe.text import token_count
+
+
+def pack_offsets(df: DataFrame, text_col: str, id_col: str, *,
+                 budget: int, shards: int = 32, salt: int = 0,
+                 tokenizer=None) -> DataFrame:
+    """Concatenate-and-chunk packing offsets.
+
+    Adds ``shard``, ``n_tok``, ``tok_start`` (exclusive token cumsum in
+    id order within the shard), ``pack_first`` = tok_start // budget
+    and ``pack_last`` = (tok_start + max(n_tok-1, 0)) // budget — the
+    first/last training chunk this document's tokens land in. A
+    document with pack_first < pack_last straddles chunk boundaries,
+    which is the point of this packing style.
+
+    Plan: one shuffle on the shard key, one partitioned sort, one
+    running-sum window — no global window (each shard is independent),
+    no Python. ``tokenizer`` defaults to the whitespace
+    :func:`text.token_count`; any integer Column expression works.
+    """
+    n: Column = (tokenizer or token_count)(F.col(text_col))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        df.withColumn("shard", hash_bucket(id_col, shards, salt))
+        .withColumn("n_tok", n)
+        .withColumn("tok_start",
+                    F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("pack_first",
+                    F.floor(F.col("tok_start") / F.lit(budget)))
+        .withColumn(
+            "pack_last",
+            F.floor((F.col("tok_start")
+                     + F.greatest(F.col("n_tok") - 1, F.lit(0)))
+                    / F.lit(budget)))
+    )
+
+
+def pack_greedy(df: DataFrame, text_col: str, id_col: str, *,
+                budget: int, shards: int = 32, salt: int = 0) -> DataFrame:
+    """First-fit doc-boundary packing: within each shard, documents in
+    id order are appended to the current pack until the next document
+    would overflow ``budget``, which opens a new pack; an oversized
+    document (n_tok > budget) always gets a pack of its own. Adds
+    ``shard``, ``n_tok``, ``pack``.
+
+    The running reset makes this a stateful scan (not a prefix sum), so
+    each shard packs inside one Arrow batch (applyInPandas) — and the
+    same scan replays in SQL as a recursive CTE, which is how the
+    oracle gate verifies it row-for-row.
+    """
+    base = (df.withColumn("shard", hash_bucket(id_col, shards, salt))
+            .withColumn("n_tok", token_count(F.col(text_col))))
+    schema = T.StructType(base.schema.fields
+                          + [T.StructField("pack", T.LongType())])
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        packs, pack, running = [], 0, 0
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if running > 0 and running + n > budget:
+                pack += 1
+                running = 0
+            packs.append(pack)
+            running += n
+        pdf["pack"] = packs
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(_pack, schema)

@@ -587,7 +587,10 @@ fresh (2x gate per BASELINE.json).
   Comet/Gluten numbers show 2-4x on exactly these TPC-H/H2O aggregate
   shapes, which would bring every gq row under the 2x gate.
   (Re-checked r7: still no accelerator jar on disk and still no egress —
-  the adjudication stands.)
+  the adjudication stands. Re-checked 2026-08-15, round 8: full-disk
+  `find -iname '*comet*' -o -iname '*gluten*'` finds nothing, pyspark's
+  jars dir has no comet/gluten/velox artifact, and Maven Central still
+  returns HTTP 000 — unchanged.)
 - **gq6 fresh-instance anomaly (r6) — investigated r7, verdict: N=1
   tail, not a regression.** The r6 table published gq6 fresh = 1061 ms
   (10.2x) vs 283.7 ms merged-min with no investigation. Re-measured on

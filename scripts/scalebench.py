@@ -39,6 +39,7 @@ QUERIES = [
     "scan_cumsum", "sessionize", "quality_filter", "text_quality",
     "pii_scrub", "dedup_exact", "dedup_minhash", "knn_cosine",
     "sample_pipeline", "ngram_bigrams", "dsir_select",
+    "sequence_packing",
 ]
 
 

@@ -956,3 +956,67 @@ def test_repetition_pandas_impl_bit_equal(tables, spark):
     for r in rows:
         assert tuple(r.e) == tuple(r.p), (r.doc_id, r.e, r.p)
         assert tuple(r.me) == tuple(r.mp), (r.doc_id, r.me, r.mp)
+
+
+def test_pack_offsets_concat_and_chunk(spark):
+    # GPT-style concatenate-and-chunk (Brown et al. 2020): exclusive
+    # token cumsum in id order within each shard; chunk indices at
+    # budget granularity; docs may straddle chunk boundaries
+    from rayforce_spark.datapipe import pack_offsets
+
+    d = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([5, 3, 4, 6, 2, 7])],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_offsets(
+        d, "text", "doc_id", budget=8, shards=1, salt=0).collect()}
+    # one shard -> pure id order: offsets 0,5,8,12,18,20
+    starts = [out[i].tok_start for i in range(6)]
+    assert starts == [0, 5, 8, 12, 18, 20]
+    assert [out[i].n_tok for i in range(6)] == [5, 3, 4, 6, 2, 7]
+    # doc 1 (tokens 5..7) sits inside chunk 0; doc 2 (8..11) in chunk 1;
+    # doc 5 (20..26) straddles chunks 2 and 3
+    assert (out[1].pack_first, out[1].pack_last) == (0, 0)
+    assert (out[2].pack_first, out[2].pack_last) == (1, 1)
+    assert (out[5].pack_first, out[5].pack_last) == (2, 3)
+    # sharding is deterministic + engine-portable (knuth hash): same
+    # assignment across two runs, and per-shard offsets restart at 0
+    two = pack_offsets(d, "text", "doc_id", budget=8, shards=3, salt=1)
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(map(tuple, pack_offsets(
+        d, "text", "doc_id", budget=8, shards=3, salt=1).collect()))
+    assert a == b
+    assert {r.tok_start for r in two.collect()
+            if r.shard is not None} >= {0}
+
+
+def test_pack_greedy_first_fit_invariants(spark):
+    # doc-boundary first-fit: no pack exceeds the budget unless it is a
+    # single oversized doc; packs are contiguous in id order per shard
+    from collections import defaultdict
+
+    from rayforce_spark.datapipe import pack_greedy
+
+    import random
+    rng = random.Random(5)
+    docs = [(i, " ".join(["t"] * rng.randint(1, 13)))
+            for i in range(60)]
+    docs.append((60, " ".join(["t"] * 40)))  # oversized vs budget 16
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pack_greedy(d, "text", "doc_id", budget=16, shards=4,
+                       salt=2).collect()
+    assert len(rows) == 61
+    by_pack = defaultdict(list)
+    for r in rows:
+        by_pack[(r.shard, r.pack)].append(r)
+    for (_, _), members in by_pack.items():
+        tot = sum(m.n_tok for m in members)
+        assert tot <= 16 or len(members) == 1  # oversized doc alone
+    # contiguity: within a shard, pack ids are non-decreasing in id
+    # order and increase by at most 1
+    by_shard = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_shard[r.shard].append(r.pack)
+    for packs in by_shard.values():
+        assert packs[0] == 0
+        assert all(0 <= b - a <= 1 for a, b in zip(packs, packs[1:]))
