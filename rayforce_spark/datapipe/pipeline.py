@@ -65,6 +65,7 @@ def curate(
     neardup_opts: dict | None = None,
     min_quality_quantile: float | None = None,
     quality_by: str | None = None,
+    quality_global_ok: bool = False,
     lm_floor_quantile: float | None = None,
     decontam_against: DataFrame | None = None,
     decontam_n: int = 8,
@@ -116,14 +117,16 @@ def curate(
 
     if min_quality_quantile is not None:
         out = filter_by_quality_quantile(
-            out, text_col, q=min_quality_quantile, by=quality_by)
+            out, text_col, q=min_quality_quantile, by=quality_by,
+            global_ok=quality_global_ok)
 
     if lm_floor_quantile is not None:
         # CCNet leg: per-group corpus-bigram-LM perplexity floor
         from rayforce_spark.datapipe.text import filter_by_lm_quantile
 
         out = filter_by_lm_quantile(
-            out, text_col, id_col, q=lm_floor_quantile, by=quality_by)
+            out, text_col, id_col, q=lm_floor_quantile, by=quality_by,
+            global_ok=quality_global_ok)
 
     if decontam_against is not None:
         out = decontaminate(out, decontam_against, text_col, id_col,

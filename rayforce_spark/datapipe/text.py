@@ -344,13 +344,16 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
 
 def _lm_counts(mdl, text_col: str):
     """Add-alpha bigram LM count tables: (unigram counts ``w,c1``,
-    bigram counts ``g,c2``, vocabulary size). The unigram table is
-    persisted before the eager vocabulary count — otherwise the
-    tokenize+explode+aggregate pass runs twice (once for V, again when
-    the scoring join executes); it is vocab-sized, so caching it is
-    cheap at any corpus scale."""
+    bigram counts ``g,c2``, vocabulary size). The eager vocabulary
+    count means the unigram aggregation runs twice (once for V, again
+    when the scoring join executes) — deliberately NOT papered over
+    with .persist(): SQL CacheManager entries live until an explicit
+    unpersist or session end, so a library function that persists on
+    every model fit leaks one cached table per call in a long-lived
+    session; the recompute is a single map-side-combined pass
+    (measured ~0 at gate scale)."""
     uni = (mdl.select(F.explode(tokens(F.col(text_col))).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c1"))).persist()
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
     big = (mdl.select(F.explode(ngrams(F.col(text_col), 2)).alias("g"))
            .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
     return uni, big, uni.count()

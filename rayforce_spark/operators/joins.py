@@ -56,6 +56,8 @@ def dedup_last(df: DataFrame, keys: Sequence[str], order_col: Column | None = No
     packed row) — partial/final combine, no sort, no window: at scale
     this is one shuffle with map-side combine, strictly cheaper than
     the row_number-window formulation."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"dedup_last: keep must be 'first' or 'last', got {keep!r}")
     order_col = order_col if order_col is not None else F.monotonically_increasing_id()
     pick = F.max_by if keep == "last" else F.min_by
     payload = [c for c in df.columns if c not in keys]

@@ -871,20 +871,30 @@ class Interp:
             # virtual/directory-derived and prunable.
             import re as _re
 
-            m = _re.fullmatch(r"(.+)/([^/]+)/([^/]+)/", root)
+            # the partition segment must LOOK like a partition value
+            # (date-like: digits with ./-/_ separators, e.g. 2024.01.01)
+            # — a plain nested path like "/data/db/trades/" must NOT be
+            # silently reinterpreted as a partition write (it previously
+            # raised, and should keep raising)
+            m = _re.fullmatch(r"(.+)/([0-9][0-9.\-_]*)/([^/]+)/", root)
             if m and not any(
                     t in ("date", "timestamp", "timestamp_ntz")
                     for _, t in df.dtypes):
                 base, part, name = m.groups()
                 import os as _os
 
+                from rayforce_spark.sources._sidecar import (
+                    write_schema_sidecar,
+                )
+
                 # persist row order within the partition (same ordinal
                 # contract as the set-splayed branch above)
-                df.withColumn(
-                    "__rf_ord", F.monotonically_increasing_id(),
-                ).write.parquet(
-                    _os.path.join(base, name, f"date={part}"),
-                    mode="overwrite")
+                out_df = df.withColumn(
+                    "__rf_ord", F.monotonically_increasing_id())
+                part_dir = _os.path.join(base, name, f"date={part}")
+                out_df.write.parquet(part_dir, mode="overwrite")
+                # zero-row slices still need a readable schema
+                write_schema_sidecar(out_df, part_dir)
                 return df
 
             date_cols = [c for c, t in df.dtypes if t in ("date", "timestamp", "timestamp_ntz")]
@@ -1172,9 +1182,12 @@ class Interp:
                     and str(a[0]) in _ORDER_COL_VERBS and len(a) == 2):
                 inner = rewrite(a[1])
                 x = self._plain(self.compile_col(inner, df))
+                is_float = df.select(x).schema[0].dataType.simpleString() in (
+                    "double", "float")
                 name = f"__rfov{counter[0]}"
                 counter[0] += 1
-                df = df.withColumn(name, self._order_verb_col(str(a[0]), x))
+                df = df.withColumn(
+                    name, self._order_verb_col(str(a[0]), x, is_float))
                 return Sym(name)
             if isinstance(a, list):
                 return [rewrite(e) for e in a]
@@ -1184,7 +1197,7 @@ class Interp:
         return df, new
 
     @staticmethod
-    def _order_verb_col(head: str, x: Column) -> Column:
+    def _order_verb_col(head: str, x: Column, is_float: bool = False) -> Column:
         """One order verb as a window Column (these are total-order ops —
         a global window by construction; Rayfall-surface scale, same
         contract as the MAX_COLLECT-guarded literal paths). Semantics
@@ -1196,29 +1209,50 @@ class Interp:
         mono = F.col("__rfmono")
         pos = F.col("__rfpos")
         if head == "rank":
-            # stable ties via the original position
-            return F.row_number().over(_W.orderBy(x, mono)) - 1
+            # stable ties via the original position; nulls rank LARGEST
+            # (live-pinned r8: (rank [null 7 8]) -> [2 0 1])
+            return F.row_number().over(
+                _W.orderBy(x.asc_nulls_last(), mono)) - 1
         whole = (_W.orderBy(mono)
                  .rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing))
+        # every collect goes through a struct with an explicit
+        # leading is-null flag: collect_list of a BARE column silently
+        # DROPS nulls (misaligning every row), and the flag pins the
+        # reference's null order — null sorts as LARGEST (asc last,
+        # desc/idesc first; live-pinned r8 via left-join backfill:
+        # (asc [null 7 8]) -> [7 8 null], (desc …) -> [null 8 7],
+        # (iasc …) -> [1 2 0], (idesc …) -> [0 2 1])
+        nflag = x.isNull().alias("n")
+        # struct-field comparison NORMALIZES -0.0 == 0.0 (unlike
+        # sort_array over a bare double array, which uses
+        # Double.compare bit order) — recover values._ord_key parity
+        # with an explicit zero-sign field: only -0.0 casts to a
+        # "-"-prefixed string among x == 0.0 values (1/x would be the
+        # classic detector but ANSI mode rejects the division)
+        zkey = (F.when(x == 0.0,
+                       F.when(x.cast("string").startswith("-"), F.lit(-1))
+                       .otherwise(F.lit(1)))
+                .otherwise(F.lit(0)) if is_float else F.lit(0)).alias("z")
         if head in ("asc", "desc"):
-            arr = F.sort_array(F.collect_list(x).over(whole),
-                               asc=(head == "asc"))
-            return F.element_at(arr, pos)
+            arr = F.sort_array(
+                F.collect_list(
+                    F.struct(nflag, x.alias("v"), zkey)).over(whole),
+                asc=(head == "asc"))
+            return F.element_at(arr, pos)["v"]
         if head == "iasc":
             pairs = F.sort_array(
                 F.collect_list(
-                    F.struct(x.alias("v"),
+                    F.struct(nflag, x.alias("v"), zkey,
                              (pos - 1).alias("p"))).over(whole))
             return F.element_at(pairs, pos)["p"]
         # idesc: descending by value, ties in arrival order (stable,
         # values.idesc parity). Negating the VALUE breaks strings and
         # NaN ordering, so sort the struct descending and negate the
         # bounded integer POSITION instead: ties compare -p descending
-        # == p ascending. Spark's sort is Double.compare total order
-        # (-0.0 < 0.0 < NaN), matching values._ord_key bit order.
+        # == p ascending.
         pairs = F.sort_array(
             F.collect_list(
-                F.struct(x.alias("v"),
+                F.struct(nflag, x.alias("v"), zkey,
                          (-(pos - 1)).alias("p"))).over(whole),
             asc=False)
         return -F.element_at(pairs, pos)["p"]

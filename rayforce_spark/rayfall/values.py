@@ -678,10 +678,14 @@ def _ord_key(v):
 def _mixed_key(x: list):
     """Numeric vectors may mix ints and floats (int promotes); the bit
     key only applies when a float is present, and then every element
-    maps through it so the total order is consistent."""
+    maps through it so the total order is consistent. Nulls sort as
+    LARGEST — (asc [null 7 8]) -> [7 8 null], desc/idesc put the null
+    first (live-pinned r8 against the reference via left-join
+    backfill); the leading is-None tuple slot encodes that without
+    comparing None to values (python TypeError otherwise)."""
     if any(isinstance(v, float) for v in x):
-        return lambda v: _ord_key(float(v))
-    return lambda v: v
+        return lambda v: (v is None, 0 if v is None else _ord_key(float(v)))
+    return lambda v: (v is None, 0 if v is None else v)
 
 
 def asc(x: list) -> list:

@@ -206,11 +206,13 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # engine confs a plain (driver-created) session lacks, all
     # runtime-settable: the 200-partition default is pure task overhead
-    # at local gate scale (a real cluster sizes this in spark-defaults),
-    # and AQE coalescing keeps post-shuffle partitions data-sized
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   cpus if cpus.isdigit() else "32")
+    # at local gate scale. Only replace the STOCK default — a cluster
+    # (or user) that configured shuffle.partitions deliberately keeps
+    # its value; AQE coalescing keeps post-shuffle partitions data-sized
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       cpus if cpus.isdigit() else "32")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     out = {}

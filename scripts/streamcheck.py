@@ -109,6 +109,10 @@ def _stream_table_restart(spark, out_df, name, mode="append",
         return (spark.table(name) if mode == "complete"
                 else spark.read.parquet(sink))
 
+    # one dict across BOTH phases, keyed by batchId: a micro-batch the
+    # restarted query replays (same checkpoint, same batchId — the sink
+    # dedups it) overwrites its phase-1 entry instead of double-counting
+    # toward the drain check
     seen: dict[int, int] = {}
     q = start()
     try:
@@ -120,7 +124,6 @@ def _stream_table_restart(spark, out_df, name, mode="append",
     finally:
         q.stop()
     _committed_rows(q, seen)  # final accounting after stop
-    phase1 = sum(seen.values())
 
     q = start()
     try:
@@ -130,10 +133,11 @@ def _stream_table_restart(spark, out_df, name, mode="append",
         deadline = time.time() + TIMEOUT_SECS
         while time.time() < deadline:
             _committed_rows(q, seen2)
+            seen.update(seen2)
             if seen2:
                 last_batch_rows = seen2[max(seen2)]
             drained = (expect_input is None
-                       or phase1 + sum(seen2.values()) >= expect_input)
+                       or sum(seen.values()) >= expect_input)
             settled = (last_batch_rows == 0
                        or not q.status.get("isTriggerActive", False))
             try:
@@ -148,7 +152,12 @@ def _stream_table_restart(spark, out_df, name, mode="append",
             time.sleep(0.5)
     finally:
         q.stop()
-    return table()
+    # detach the result from the on-disk sink so the scratch dir (full
+    # parquet sink + checkpoint) can be removed — it otherwise
+    # accumulates sf-sized data in /tmp across the 8x2-scale sweeps
+    out = table().localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def _stream_table_clean(spark, out_df, name, mode="append", expect_input=None):

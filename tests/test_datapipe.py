@@ -1020,3 +1020,31 @@ def test_pack_greedy_first_fit_invariants(spark):
     for packs in by_shard.values():
         assert packs[0] == 0
         assert all(0 <= b - a <= 1 for a, b in zip(packs, packs[1:]))
+
+
+def test_curate_quality_global_window_optin(tables):
+    # the r8 by=None guard must be reachable THROUGH curate(): without
+    # a by-group it raises with actionable advice, and
+    # quality_global_ok=True is the documented opt-in
+    import pytest
+
+    from rayforce_spark.datapipe import curate
+
+    d = tables["documents"]
+    kw = dict(neardup_threshold=None, exact_dedup=False)
+    with pytest.raises(ValueError, match="global_ok"):
+        curate(d, min_quality_quantile=0.5, **kw)
+    out = curate(d, min_quality_quantile=0.5, quality_global_ok=True, **kw)
+    assert 0 < out.count() <= d.count()
+    with pytest.raises(ValueError, match="global_ok"):
+        curate(d, lm_floor_quantile=0.9, **kw)
+
+
+def test_dedup_last_rejects_unknown_keep(spark):
+    import pytest
+
+    from rayforce_spark.operators.joins import dedup_last
+
+    d = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="keep"):
+        dedup_last(d, ["k"], keep="lastt")

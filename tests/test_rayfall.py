@@ -939,3 +939,38 @@ def test_parted_per_partition_path_idiom(it, tmp_path):
         "(select {s0: (sum a) s1: (count b) from: "
         f"(get-parted \"{root}/\" 'tab)}})"))
     assert agg["s0"] == [10] and agg["s1"] == [4]
+
+
+def test_order_verbs_null_as_largest(it):
+    # live-pinned r8 against the reference (null produced by left-join
+    # backfill): null sorts LARGEST — (asc [null 7 8]) -> [7 8 null],
+    # (desc) -> [null 8 7], (iasc) -> [1 2 0], (idesc) -> [0 2 1],
+    # (rank) -> [2 0 1]. The window path previously collect_list'ed the
+    # bare column, which silently DROPS nulls (misaligning every row);
+    # the local path raised TypeError comparing None
+    it.eval_str("(set t (table [g v] (list ['aa 'bb 'cc] [5 3 4])))")
+    it.eval_str("(set u (table [g w] (list ['bb 'cc 'dd] [7 8 9])))")
+    it.eval_str("(set j (left-join [g] t u))")
+    out = _cols(it.eval_str(
+        "(select {a: (asc w) d: (desc w) i: (iasc w) x: (idesc w)"
+        " r: (rank w) from: j})"))
+    assert out["a"] == [7, 8, None]
+    assert out["d"] == [None, 8, 7]
+    assert out["i"] == [1, 2, 0]
+    assert out["x"] == [0, 2, 1]
+    assert out["r"] == [2, 0, 1]
+    # local vector path agrees with the window path
+    assert it.eval_str("(asc (at j 'w))") == [7, 8, None]
+    assert it.eval_str("(desc (at j 'w))") == [None, 8, 7]
+    assert it.eval_str("(iasc (at j 'w))") == [1, 2, 0]
+    assert it.eval_str("(idesc (at j 'w))") == [0, 2, 1]
+    assert it.eval_str("(rank (at j 'w))") == [2, 0, 1]
+
+
+def test_set_parted_plain_nested_path_still_raises(it, tmp_path):
+    # a nested path whose middle segment is NOT partition-shaped (no
+    # leading digit) must keep raising, not silently write a sibling
+    # dir with a bogus partition value (r8 review finding)
+    it.eval_str("(set t (table [a] (list [1 2])))")
+    with pytest.raises(RayfallError):
+        it.eval_str(f'(set-parted "{tmp_path}/db/trades/" t)')
