@@ -261,6 +261,17 @@ def g_storage_query(r: random.Random, n: int, uid: int, kind: int) -> str | None
         return ('(set-splayed "{DIR}/w%d/" t2) '
                 "(select {ts: ts tm: tm v: v from: "
                 '(get-splayed "{DIR}/w%d/")})' % (uid, uid))
+    if kind == 21:
+        # order verbs over a NULL-containing column (asof-join backfill
+        # manufactures the nulls): pins the live null-as-largest rule —
+        # asc last, desc/idesc first, rank largest — in BOTH engines
+        # (r8: the window path dropped nulls via bare collect_list and
+        # the local path raised TypeError before this was fixed)
+        verb = r.choice(["asc", "desc", "iasc", "idesc", "rank"])
+        if r.random() < 0.5:
+            return ("(select {x: (%s w) y: v from: "
+                    "(asof-join [g ts] t2 u2)})" % verb)
+        return "(%s (at (asof-join [g ts] t2 u2) 'w))" % verb
     if kind == 20 and n >= 2:
         # parted: two dated partition writes (the reference's
         # per-partition path idiom), then read the union back
@@ -287,7 +298,7 @@ def g_storage_query(r: random.Random, n: int, uid: int, kind: int) -> str | None
 
 
 def g_query(r: random.Random, n: int = 4, uid: int = 0) -> str:
-    kind = r.randint(0, 20)
+    kind = r.randint(0, 21)
     if kind >= 17:
         q = g_storage_query(r, n, uid, kind)
         if q is not None:
@@ -548,7 +559,7 @@ def main():
         f"{args.blocks} random (t,u) table pairs x {args.per_block} "
         "queries over select/update/where/by/take, xasc/xdesc, "
         "left-join/inner-join, asof-join, window-join/window-join1, "
-        "first/last/count/at/concat/rank, insert/upsert (value and "
+        "first/last/count/at/concat/rank, order verbs over null-containing columns (asof-join backfill; pins the null-as-largest rule in both engines), insert/upsert (value and "
         "in-place forms), alter set/concat/remove on column-derived "
         "vectors, and STORAGE round-trips — set-splayed/get-splayed "
         "(numeric tables and enum-backed symbol columns) and "
