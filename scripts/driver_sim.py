@@ -34,12 +34,32 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
+        # the real driver is representation-strict: it fetches via pandas,
+        # where an integer-valued float64 hashes differently from an int64
+        # (r8: sequence_packing went red on 0.0-vs-0 while this sim read
+        # ok because it collapsed integral floats here). Tag the type so
+        # the sim fails exactly where the driver would.
+        return f"f{v:.10g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+def hugeint_cols(con, sql):
+    """Column names a pandas-fetching driver would coerce to float64:
+    DuckDB types windowed/plain SUM over integers as (U)HUGEINT, which has
+    no numpy integer representation — fetchdf() silently converts it to
+    float64 even when every value is integral. DESCRIBE binds the query
+    without executing it."""
+    try:
+        rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return set()
+    return {
+        r[0]
+        for r in rows
+        if "HUGEINT" in str(r[1]).upper() or "DECIMAL" in str(r[1]).upper()
+    }
 
 
 def table_hash(cols, rows):
@@ -112,9 +132,20 @@ def run(sf_dir, only=None, skip=None, smoke=True):
             continue
         t1 = time.time()
         try:
+            huge = hugeint_cols(con, oracles[name])
             r = con.execute(oracles[name])
             d_cols = [d[0] for d in r.description]
             d_rows = r.fetchall()
+            if huge:
+                # emulate the driver's pandas fetch: HUGEINT -> float64
+                hidx = [i for i, c in enumerate(d_cols) if c in huge]
+                d_rows = [
+                    tuple(
+                        float(v) if i in hidx and v is not None else v
+                        for i, v in enumerate(row)
+                    )
+                    for row in d_rows
+                ]
         except Exception as e:
             out[name] = {"status": "fail", "rows": len(s_rows),
                          "secs": secs, "detail": f"duckdb error: {e}"}

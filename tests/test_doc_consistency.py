@@ -21,6 +21,21 @@ def _entry():
     return E
 
 
+def test_gate_registry_is_exactly_50():
+    """The driver evaluates at most 50 queries per round — r1 emitted only
+    the first 50 of 56, r5 left 8 of 58 unchecked, r8 silently dropped
+    array_ops/cube_pivot at positions 51-52. The registry must hold
+    EXACTLY 50 so every entry gets a CORRECTNESS row, and every entry
+    must have an oracle (or be a documented rows-only exception)."""
+    E = _entry()
+    q, o = E.queries(), E.oracle_sql()
+    assert len(q) == 50, f"driver gate cap is 50, got {len(q)}: {sorted(q)}"
+    assert set(o) <= set(q), f"orphan oracles: {sorted(set(o) - set(q))}"
+    assert not (set(q) - set(o)), (
+        f"queries without an oracle row: {sorted(set(q) - set(o))}"
+    )
+
+
 def test_coverage_md_gate_names_exist():
     E = _entry()
     keys = set(E.queries())
