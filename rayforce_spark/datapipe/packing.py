@@ -51,7 +51,11 @@ def pack_offsets(df: DataFrame, text_col: str, id_col: str, *,
     no Python. ``tokenizer`` defaults to the whitespace
     :func:`text.token_count`; any integer Column expression works.
     """
-    n: Column = (tokenizer or token_count)(F.col(text_col))
+    # null text tokenizes to null — coalesce to 0 so a null row neither
+    # shifts the cumsum (SUM skips nulls) nor leaves its own tok_start/
+    # pack_* null (ADVICE r8)
+    n: Column = F.coalesce((tokenizer or token_count)(F.col(text_col)),
+                           F.lit(0))
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     return (
@@ -70,7 +74,8 @@ def pack_offsets(df: DataFrame, text_col: str, id_col: str, *,
 
 
 def pack_greedy(df: DataFrame, text_col: str, id_col: str, *,
-                budget: int, shards: int = 32, salt: int = 0) -> DataFrame:
+                budget: int, shards: int = 32, salt: int = 0,
+                max_shard_rows: int | None = 50_000_000) -> DataFrame:
     """First-fit doc-boundary packing: within each shard, documents in
     id order are appended to the current pack until the next document
     would overflow ``budget``, which opens a new pack; an oversized
@@ -81,13 +86,35 @@ def pack_greedy(df: DataFrame, text_col: str, id_col: str, *,
     each shard packs inside one Arrow batch (applyInPandas) — and the
     same scan replays in SQL as a recursive CTE, which is how the
     oracle gate verifies it row-for-row.
+
+    Scale shape (r9): the stateful scan only needs ``(id, n_tok)`` — 16
+    bytes/row — so ONLY that slim projection goes through the Arrow
+    batch; the pack assignment joins back onto the full rows by id. The
+    text column never enters Python (the r8 shape materialized every
+    column of the shard in one pandas frame — at 100 TB with the
+    default 32 shards that is ~3 TB of text per executor task). The
+    residual per-shard slim frame is guarded: a shard wider than
+    ``max_shard_rows`` (default 50M rows ≈ 800 MB of pandas) raises
+    with the shard count to pass, instead of silently OOMing the
+    executor — the same class of guard as text._guard_global_window
+    (pass ``max_shard_rows=None`` to disable for driver-scale input).
     """
     base = (df.withColumn("shard", hash_bucket(id_col, shards, salt))
-            .withColumn("n_tok", token_count(F.col(text_col))))
-    schema = T.StructType(base.schema.fields
-                          + [T.StructField("pack", T.LongType())])
+            .withColumn("n_tok",
+                        F.coalesce(token_count(F.col(text_col)),
+                                   F.lit(0))))
+    slim = base.select(id_col, "shard", "n_tok")
+    schema = T.StructType([slim.schema[id_col],
+                           T.StructField("pack", T.LongType())])
+    limit = max_shard_rows
 
     def _pack(pdf):
+        if limit is not None and len(pdf) > limit:
+            raise ValueError(
+                f"pack_greedy: shard holds {len(pdf)} docs > "
+                f"max_shard_rows={limit}; raise shards= (need >= "
+                f"~{shards * (len(pdf) + limit - 1) // limit}) or pass "
+                "max_shard_rows=None for driver-scale input")
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         packs, pack, running = [], 0, 0
         for n in pdf["n_tok"]:
@@ -98,6 +125,7 @@ def pack_greedy(df: DataFrame, text_col: str, id_col: str, *,
             packs.append(pack)
             running += n
         pdf["pack"] = packs
-        return pdf
+        return pdf[[id_col, "pack"]]
 
-    return base.groupBy("shard").applyInPandas(_pack, schema)
+    assign = slim.groupBy("shard").applyInPandas(_pack, schema)
+    return base.join(assign, id_col)

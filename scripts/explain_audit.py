@@ -262,6 +262,39 @@ def main():
     if not ok_ds:
         failures.append("dsir.take_ordered")
 
+    # 7d-quinquies (r9). sequence packing: pack_offsets is one hash
+    # exchange feeding a per-shard window (never a global sort);
+    # pack_greedy's Arrow batch must carry ONLY the slim
+    # (id, shard, n_tok) projection — the text column entering
+    # FlatMapGroupsInPandas is the r8 whole-shard-of-text shape
+    # (~3 TB/task at 100 TB with the default 32 shards)
+    from rayforce_spark.datapipe import pack_greedy, pack_offsets
+
+    ppo = plan_of(pack_offsets(docs, "text", "doc_id",
+                               budget=2048, shards=8))
+    n_pox = ppo.count("Exchange hashpartitioning")
+    ok_po = n_pox == 1 and "Exchange SinglePartition" not in ppo
+    print(f"[{'ok' if ok_po else 'VIOLATION'}] pack_offsets.one_shuffle: "
+          f"{n_pox} hash exchange(s), "
+          f"global={'Exchange SinglePartition' in ppo}")
+    if not ok_po:
+        failures.append("pack_offsets.one_shuffle")
+
+    ppg = plan_of(pack_greedy(docs, "text", "doc_id",
+                              budget=2048, shards=8))
+    fmg_lines = [ln for ln in ppg.splitlines()
+                 if "FlatMapGroupsInPandas" in ln]
+    ok_pg = (bool(fmg_lines)
+             and all("text" not in ln for ln in fmg_lines)
+             and "Exchange SinglePartition" not in ppg
+             and "CartesianProduct" not in ppg)
+    print(f"[{'ok' if ok_pg else 'VIOLATION'}] pack_greedy.slim_arrow: "
+          f"arrow_batch={bool(fmg_lines)}, "
+          f"text_in_batch={any('text' in ln for ln in fmg_lines)}, "
+          f"global={'Exchange SinglePartition' in ppg}")
+    if not ok_pg:
+        failures.append("pack_greedy.slim_arrow")
+
     # 7e. prefix-filtered exact jaccard (r6): candidate generation must
     # be a hash join on the prefix token — never a cartesian/BNLJ — and
     # no global (single-partition) exchange anywhere in the plan

@@ -1022,6 +1022,54 @@ def test_pack_greedy_first_fit_invariants(spark):
         assert all(0 <= b - a <= 1 for a, b in zip(packs, packs[1:]))
 
 
+def test_pack_null_text_and_shard_guard(spark):
+    # r9: null text packs as 0 tokens in BOTH packers (r8 shape: null
+    # n_tok crashed pack_greedy's int() and left pack_offsets' pack_*
+    # null); the per-shard row guard raises with actionable advice
+    # instead of OOMing the executor, and max_shard_rows=None opts out
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from rayforce_spark.datapipe import pack_greedy, pack_offsets
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")],
+        "doc_id long, text string")
+    off = {r.doc_id: r for r in pack_offsets(
+        d, "text", "doc_id", budget=4, shards=1).collect()}
+    assert off[1].n_tok == 0
+    # null doc occupies no tokens: doc 2 starts right after doc 0
+    assert (off[0].tok_start, off[1].tok_start, off[2].tok_start) == (0, 3, 3)
+    assert off[1].pack_first == off[1].pack_last == 0
+    grd = {r.doc_id: r for r in pack_greedy(
+        d, "text", "doc_id", budget=4, shards=1).collect()}
+    assert grd[1].n_tok == 0
+    assert [grd[i].pack for i in range(3)] == [0, 0, 1]  # 3+0 then 2
+
+    big = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("x y z").alias("text"))
+    with pytest.raises(PythonException, match="max_shard_rows"):
+        pack_greedy(big, "text", "doc_id", budget=4, shards=1,
+                    max_shard_rows=3).collect()
+    assert pack_greedy(big, "text", "doc_id", budget=4, shards=1,
+                       max_shard_rows=None).count() == 10
+
+
+def test_pack_greedy_slim_arrow_batch(spark):
+    # the text column must never enter the Arrow batch — the stateful
+    # scan runs over (id, shard, n_tok) only and joins back (r9 scale
+    # fix: the r8 shape materialized whole shards of text in pandas)
+    from rayforce_spark.datapipe import pack_greedy
+
+    d = spark.createDataFrame([(0, "a b"), (1, "c")],
+                              "doc_id long, text string")
+    plan = pack_greedy(d, "text", "doc_id", budget=4,
+                       shards=2)._jdf.queryExecution().executedPlan().toString()
+    fmg = [ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln]
+    assert fmg, plan
+    assert all("text" not in ln for ln in fmg), fmg
+
+
 def test_curate_quality_global_window_optin(tables):
     # the r8 by=None guard must be reachable THROUGH curate(): without
     # a by-group it raises with actionable advice, and
