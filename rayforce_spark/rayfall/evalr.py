@@ -872,11 +872,14 @@ class Interp:
             import re as _re
 
             # the partition segment must LOOK like a partition value
-            # (date-like: digits with ./-/_ separators, e.g. 2024.01.01)
-            # — a plain nested path like "/data/db/trades/" must NOT be
-            # silently reinterpreted as a partition write (it previously
-            # raised, and should keep raising)
-            m = _re.fullmatch(r"(.+)/([0-9][0-9.\-_]*)/([^/]+)/", root)
+            # (date-shaped: >=4 leading digits, optional ./-/_ separated
+            # components, e.g. 2024.01.01 or 2024-01) — a plain nested
+            # path like "/data/db/trades/" or "/db/01/trades/" must NOT
+            # be silently reinterpreted as a partition write (it
+            # previously raised, and should keep raising; r8 ADVICE
+            # tightened the digit-leading heuristic)
+            m = _re.fullmatch(
+                r"(.+)/([0-9]{4}(?:[.\-_][0-9]{1,2}){0,2})/([^/]+)/", root)
             if m and not any(
                     t in ("date", "timestamp", "timestamp_ntz")
                     for _, t in df.dtypes):

@@ -208,8 +208,14 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     # runtime-settable: the 200-partition default is pure task overhead
     # at local gate scale. Only replace the STOCK default — a cluster
     # (or user) that configured shuffle.partitions deliberately keeps
-    # its value; AQE coalescing keeps post-shuffle partitions data-sized
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # its value (checked via the launch SparkConf, not the value: a
+    # deliberate "200" must survive — r8 ADVICE); AQE coalescing keeps
+    # post-shuffle partitions data-sized
+    explicitly_set = spark.sparkContext.getConf().contains(
+        "spark.sql.shuffle.partitions")
+    if (not explicitly_set
+            and spark.conf.get("spark.sql.shuffle.partitions",
+                               "200") == "200"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
         spark.conf.set("spark.sql.shuffle.partitions",
                        cpus if cpus.isdigit() else "32")

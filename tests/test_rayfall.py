@@ -968,9 +968,21 @@ def test_order_verbs_null_as_largest(it):
 
 
 def test_set_parted_plain_nested_path_still_raises(it, tmp_path):
-    # a nested path whose middle segment is NOT partition-shaped (no
-    # leading digit) must keep raising, not silently write a sibling
-    # dir with a bogus partition value (r8 review finding)
+    # a nested path whose middle segment is NOT partition-shaped must
+    # keep raising, not silently write a sibling dir with a bogus
+    # partition value (r8 review finding; r9: digit-leading but
+    # non-date-shaped segments like "01" also raise — the heuristic
+    # requires >=4 leading digits, the reference's dated idiom)
     it.eval_str("(set t (table [a] (list [1 2])))")
     with pytest.raises(RayfallError):
         it.eval_str(f'(set-parted "{tmp_path}/db/trades/" t)')
+    with pytest.raises(RayfallError):
+        it.eval_str(f'(set-parted "{tmp_path}/db/01/trades/" t)')
+    with pytest.raises(RayfallError):
+        it.eval_str(f'(set-parted "{tmp_path}/db/123/trades/" t)')
+    # date-shaped segments still route to the partition write
+    it.eval_str(f'(set-parted "{tmp_path}/db2/2024.01.01/trades/" t)')
+    it.eval_str(f'(set-parted "{tmp_path}/db2/2024-02/trades/" t)')
+    got = _cols(it.eval_str(f"(get-parted \"{tmp_path}/db2/\" 'trades)"))
+    assert got["a"] == [1, 2, 1, 2]
+    assert got["date"] == ["2024-02", "2024-02", "2024.01.01", "2024.01.01"]
