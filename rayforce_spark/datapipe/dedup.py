@@ -478,6 +478,14 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
             F.size("__st").alias("sz"),
         )
     )
+    # this subtree feeds FOUR plan sites (both prefix self-join sides +
+    # both verify re-attach joins); exchange reuse only saves the
+    # identical self-join sides, and AQE's broadcast of the re-attach
+    # sides re-runs the whole shingle+df+sort aggregation each time
+    # (measured: 4x ~6 s at sf0.1 — the row's dominant cost). A lazy
+    # localCheckpoint materializes it once, distributed (executor-local
+    # blocks, MEMORY_AND_DISK), same device dedup_clusters already uses.
+    docs = docs.localCheckpoint(eager=False)
     # prefix length = sz - ceil(t*sz) + 1; ceil(num*sz/den) integer-exact
     plen = (F.col("sz")
             - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1))
@@ -578,50 +586,58 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         )
     if bands > 63:
         raise ValueError(f"bands ({bands}) must be <= 63 (63-bit fingerprint)")
+    # the fingerprint is 16 bytes/doc — a lazy localCheckpoint
+    # materializes it once so neither self-join side (nor an AQE
+    # broadcast of one) re-runs the 63-bit aggregation over the token
+    # explosion
     fp = (simhash(df, text_col, id_col, token_hash=token_hash)
-          .withColumnRenamed(id_col, "__id"))
+          .withColumnRenamed(id_col, "__id")
+          .localCheckpoint(eager=False))
     chunk = 64 // bands
+
+    def _chunk(col: Column, b: int) -> Column:
+        return (F.shiftrightunsigned(col, b * chunk)
+                .bitwiseAND(F.lit((1 << chunk) - 1)))
+
     banded = fp.select(
         "__id", "simhash",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", b * chunk)
-                .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"),
+                     _chunk(F.col("simhash"), b).alias("key"))
             for b in range(bands)
         ])).alias("bk"),
     ).select("__id", "simhash", "bk.band", "bk.key")
-    # same bucket-groupBy pair expansion as minhash_lsh_pairs: the
-    # fingerprint subtree runs once, no self-join
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list(F.struct("__id", "simhash")).alias("rows"))
-        .filter(F.size("rows") > 1)
-        .withColumn("rows", F.array_sort("rows"))
-    )
-    pair_gen = F.flatten(
-        F.transform(
-            F.col("rows"),
-            lambda x, i: F.transform(
-                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
-                lambda y: F.struct(
-                    x["__id"].alias("id_a"), y["__id"].alias("id_b"),
-                    x["simhash"].alias("ha"), y["simhash"].alias("hb"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_gen).alias("p"))
-        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # banded (band, key) self-join with CANONICAL-BAND emission: a pair
+    # agreeing in several bands is emitted only by the FIRST band whose
+    # chunks agree (= first zero chunk of the fingerprint XOR — a pure
+    # bit expression), so no dropDuplicates pass over the raw candidate
+    # stream is needed. The r8 shape (bucket collect_list + O(k²)
+    # array-expression pair expansion + dedup shuffle) built the whole
+    # k² block of a hot bucket as ONE array in ONE task — at sf0.1 the
+    # largest bucket held 2642 docs = 3.5M structs in a single row, and
+    # the 23.4M-row dedup shuffle followed (measured 30 s; this shape is
+    # ~3 s). A join streams the same k² pairs through normal task
+    # parallelism, and the hamming + canonical-band filters run inside
+    # the join projection so only final pairs ever materialize.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_band = F.array_position(
+        F.array(*[(_chunk(xor, i) == F.lit(0)) for i in range(bands)]),
+        F.lit(True),
+    ) - 1
+    hamming = F.bit_count(xor)
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter((F.col("a.band") == first_band)
+                & (hamming <= F.lit(max_hamming)))
+        .select(F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                hamming.alias("hamming"))
     )
 
 

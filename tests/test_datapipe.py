@@ -129,6 +129,24 @@ def test_simhash_dup_pairs(spark):
     assert got == {(1, 2)}
 
 
+def test_simhash_canonical_band_no_duplicate_pairs(spark):
+    # r9 self-join rewrite: a near-identical pair agrees in MANY bands
+    # (identical docs agree in all of them) but must be emitted exactly
+    # once — by the first agreeing band — with no dropDuplicates pass
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, base) for i in range(8)]           # 8 identical docs
+    rows += [(100 + i, base + f" x{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_dup_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    # the 8 identical docs form a full clique at hamming 0
+    clique = {(a, b) for a in range(8) for b in range(8) if a < b}
+    assert clique <= set(pairs)
+    assert all(r.id_a < r.id_b for r in out)
+    assert all(r.hamming <= 8 for r in out)
+
+
 def test_embedding_dup_pairs(tables, duck):
     out = embedding_dup_pairs(
         tables["embeddings"], "embedding", "vec_id", threshold=0.4
