@@ -843,7 +843,14 @@ def _recall_gate(exact: DataFrame, approx: DataFrame, keys: list[str],
     release condition re-runs the production config in the same job and
     measures its recall against that exact result. Fully distributed: one
     left join + one count aggregate, re-attached via a 1-row broadcast
-    hash join on a constant key (no collect, no cartesian/BNLJ)."""
+    hash join on a constant key (no collect, no cartesian/BNLJ).
+
+    Both inputs feed TWO plan sites (the recall count and the release
+    join), and AQE's broadcasts defeat exchange reuse — lazy
+    localCheckpoints materialize each expensive pipeline once (r9:
+    dedup_embedding's exact all-pairs leg was running twice)."""
+    exact = exact.localCheckpoint(eager=False)
+    approx = approx.localCheckpoint(eager=False)
     marked = approx.select(*keys).distinct().withColumn("__hit", F.lit(1))
     ok = (
         exact.join(marked, keys, "left")
@@ -949,12 +956,13 @@ def q_dedup_embedding(spark, sf):
     from rayforce_spark.datapipe.similarity import embedding_dup_pairs_lsh
 
     (e,) = _t(spark, sf, "embeddings")
-    # impl="pandas": the Arrow-vectorized fixed-point scorer — BIT-equal
-    # to the expression path (pinned over every all-pairs cosine at both
-    # SFs by test_embedding_pandas_impl_bit_equal), ~4x faster on the
-    # gate's heaviest row (r6)
+    # impl="block" (r9): the cogrouped block scorer — BIT-equal to the
+    # expression path (pinned over every all-pairs cosine by
+    # test_embedding_pandas_impl_bit_equal), and never materializes the
+    # n² pair table (the r6 "pandas" impl shipped ~2 GB of pair vectors
+    # through Arrow at sf0.1 for a 920-row result; exact leg 17 s -> ~3 s)
     exact = embedding_dup_pairs(
-        e, "embedding", "vec_id", threshold=0.4, impl="pandas"
+        e, "embedding", "vec_id", threshold=0.4, impl="block"
     ).withColumn("cos", F.round("cos", 6))
     prod = embedding_dup_pairs_lsh(
         e, "embedding", "vec_id", threshold=0.4, dim=64, planes=2, tables=12,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _tokens(text: Column) -> Column:
@@ -754,7 +755,8 @@ def _cosine_units_pandas():
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                         *, threshold: float = 0.95,
-                        impl: str = "expr") -> DataFrame:
+                        impl: str = "expr",
+                        nblocks: int | None = None) -> DataFrame:
     """EXACT cosine near-duplicate pairs (all-pairs). O(n²) compare with
     the smaller side broadcast — correct but quadratic: use as the
     verifier/oracle, or behind an LSH candidate filter (see
@@ -764,10 +766,26 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     (bit-identical values — see :func:`_cosine_units_pandas`; sf0.01
     all-pairs 21 s -> ~4 s, the gate's heaviest row): the JVM
     expression fold pays interpreted-lambda cost per element, which
-    dominates at n² pairs."""
+    dominates at n² pairs.
+
+    ``impl="block"`` (r9, fastest): never materializes the pair table
+    at all — a cogrouped block scorer. Rows hash into ``nblocks``
+    blocks; the full table replicates to every block (this is the
+    quadratic verifier — replication is the job); each cogroup task
+    scores its block × everything as numpy outer products with the
+    SAME per-product fixed-point rounding (bit-equal by construction,
+    pinned by test_embedding_pandas_impl_bit_equal), and only rows
+    passing the threshold leave Python. The ``pandas`` shape shipped
+    every pair's two vectors through Arrow — 2M pairs × 128 doubles =
+    ~2 GB at sf0.1 for a 920-row result; this ships n×nblocks input
+    vectors and the result. sf0.1 exact leg: 17 s -> ~3 s."""
     v = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
+    if impl == "block":
+        return _embedding_pairs_block(df, vec_col, id_col,
+                                      threshold=threshold,
+                                      nblocks=nblocks)
     if impl == "pandas":
         cos_fn = _cosine_units_pandas()
         pairs = (
@@ -794,6 +812,93 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         )
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def _embedding_pairs_block(df: DataFrame, vec_col: str, id_col: str,
+                           *, threshold: float,
+                           nblocks: int | None) -> DataFrame:
+    """Blocked all-pairs scorer (see embedding_dup_pairs impl="block").
+    Rows hash into blocks (__side=0); the full table replicates to
+    every block key (__side=1); ONE tagged union groups by block and
+    each task computes its block's slice of the n² cosine matrix in
+    numpy — per-product rounding identical to :func:`_prod_units` /
+    :func:`_cosine_units_pandas`, so values are bit-equal across all
+    three impls. Inner chunking bounds the outer-product temp
+    (chunk × n × dim) regardless of block size.
+
+    Deliberately a tagged UNION + groupBy.applyInPandas rather than
+    groupBy().cogroup(): the optimizer prunes a cogroup side's data
+    columns when the query's output columns aren't all consumed
+    (observed under .count(): the replicated side arrived with ONLY the
+    key column and the UDF crashed) — a single grouped input never
+    loses columns."""
+    import pandas as pd
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField("id_a", id_field.dataType),
+        T.StructField("id_b", id_field.dataType),
+        T.StructField("cos", T.DoubleType()),
+    ])
+    spark = df.sparkSession
+    if nblocks is None:
+        nblocks = max(2, spark.sparkContext.defaultParallelism)
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    blocked = v.select(
+        "__id", "__v",
+        F.pmod(F.xxhash64("__id"), F.lit(nblocks)).alias("__blk"),
+        F.lit(0).alias("__side"))
+    everything = v.select(
+        "__id", "__v",
+        F.explode(F.array(*[F.lit(i) for i in range(nblocks)]))
+        .alias("__blk"),
+        F.lit(1).alias("__side"))
+    thr = threshold
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pa = pdf[pdf["__side"] == 0]
+        pb = pdf[pdf["__side"] == 1]
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype=pdf["__id"].dtype),
+            "id_b": pd.Series(dtype=pdf["__id"].dtype),
+            "cos": pd.Series(dtype="float64"),
+        })
+        if not len(pa) or not len(pb):
+            return empty
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in pa["__v"]])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in pb["__v"]])
+        ida = pa["__id"].to_numpy()
+        idb = pb["__id"].to_numpy()
+
+        def units(m):
+            p = m * _COS_UNIT
+            return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+
+        nb = units(B * B).sum(axis=1) / _COS_UNIT
+        na = units(A * A).sum(axis=1) / _COS_UNIT
+        outs = []
+        # chunk the block side so the (chunk, n, dim) product temp stays
+        # ~100 MB at dim 64 regardless of block size
+        chunk = max(1, 200_000 // max(1, B.shape[0]))
+        for s in range(0, A.shape[0], chunk):
+            Ac = A[s:s + chunk]
+            dot = units(Ac[:, None, :] * B[None, :, :]).sum(-1) / _COS_UNIT
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / np.sqrt(na[s:s + chunk, None] * nb[None, :])
+            mask = ((ida[s:s + chunk, None] < idb[None, :])
+                    & np.isfinite(cos) & (cos >= thr))
+            ii, jj = np.nonzero(mask)
+            outs.append(pd.DataFrame({
+                "id_a": ida[s + ii], "id_b": idb[jj], "cos": cos[ii, jj]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        blocked.unionByName(everything)
+        .groupBy("__blk")
+        .applyInPandas(_score, out_schema)
+    )
 
 
 def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",

@@ -947,6 +947,13 @@ def test_embedding_pandas_impl_bit_equal(tables):
         e, "embedding", "vec_id", threshold=-2.0, impl="pandas").collect()}
     assert expr.keys() == pand.keys() and expr
     assert all(expr[k] == pand[k] for k in expr)  # ==, no tolerance
+    # r9: the cogrouped block scorer is the third impl of the same
+    # fixed-point spec — same keys, bit-equal values
+    blk = {(r.id_a, r.id_b): r.cos for r in embedding_dup_pairs(
+        e, "embedding", "vec_id", threshold=-2.0, impl="block",
+        nblocks=5).collect()}
+    assert expr.keys() == blk.keys()
+    assert all(expr[k] == blk[k] for k in expr)
 
 
 def test_repetition_pandas_impl_bit_equal(tables, spark):
