@@ -1538,13 +1538,15 @@ ORACLE: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
     """,
     "left_join_dedup": """
+        -- keep="first" (r9 default flip, live-pinned r8: the reference's
+        -- join index keeps the FIRST right row per key)
         SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
         FROM orders LEFT JOIN (
           SELECT * FROM (
             SELECT l_orderkey, l_linenumber, l_quantity,
                    row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_linenumber DESC,
-                                               l_quantity DESC) AS rn
+                                      ORDER BY l_linenumber ASC,
+                                               l_quantity ASC) AS rn
             FROM lineitem) WHERE rn = 1)
         ON o_orderkey = l_orderkey
     """,

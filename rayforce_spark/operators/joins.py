@@ -4,7 +4,9 @@ Reference semantics (SURVEY §2.3, ref core/join.c, core/index.c):
 
 * all joins are multi-column equi-key;
 * ``left-join`` de-duplicates the right side by key — the hash index maps
-  key -> single row, last match wins (ref core/index.c:2886);
+  key -> single row, FIRST match wins (ref core/index.c:2886; live-pinned
+  r8 against the binary — SURVEY §2.3's "last match wins" reading was
+  wrong, and r9 flipped the batch default to keep="first" to match);
 * ``asof-join``: exact-match leading keys + greatest right temporal value
   <= left value (ref core/index.c:3194, docs queries/joins.md:108-152);
 * ``window-join``: per left row, aggregate right rows whose time falls in
@@ -72,16 +74,19 @@ def dedup_last(df: DataFrame, keys: Sequence[str], order_col: Column | None = No
 
 def left_join(left: DataFrame, right: DataFrame, on: Union[str, Sequence[str]],
               *, dedup: bool = True, order_col: Column | None = None,
-              overwrite: bool = False, keep: str = "last") -> DataFrame:
+              overwrite: bool = False, keep: str = "first") -> DataFrame:
     """Left outer equi-join with reference dedup semantics
     (ref core/join.c:158, core/index.c:2886).
 
     ``dedup=True`` reproduces the reference's key->single-row index;
     pass False for standard SQL multiplicity. ``keep`` picks which
-    duplicate right row survives — the reference's own join keeps the
-    FIRST (live-pinned r8; the Rayfall front-end passes "first"), the
-    batch-surface default stays "last" (the documented gate/oracle
-    semantics since r1).
+    duplicate right row survives — the default is "first", the
+    reference's own join-probe rule (live-pinned r8 against the binary:
+    the hash index keeps the first right row per key, same as kdb keyed
+    tables; SURVEY §2.3's earlier "last match wins" reading was wrong).
+    r9 flipped the batch default to match — the r1-era "last" default
+    was a pre-pin guess; pass keep="last" for last-write-wins
+    (the UPSERT rule, which dedup_last keeps as ITS default).
 
     ``overwrite=True`` applies the reference's (kdb lj) rule for non-key
     columns present on BOTH sides: on a matched row the RIGHT value

@@ -36,9 +36,12 @@ def test_left_join_unique_key(tables, duck):
     )
 
 
-def test_left_join_dedup_last_wins(tables, duck):
-    """Reference left-join de-duplicates the right side by key
-    (ref core/index.c:2886); 'last' defined by l_linenumber here."""
+def test_left_join_dedup_first_wins(tables, duck):
+    """Reference left-join de-duplicates the right side by key keeping
+    the FIRST row per key (ref core/index.c:2886, live-pinned r8 — the
+    hash index probe returns the first build row; r9 flipped the batch
+    default to match). 'first' defined by l_linenumber here; keep="last"
+    stays available as the upsert rule."""
     right = tables["lineitem"].select(
         F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
     )
@@ -50,6 +53,25 @@ def test_left_join_dedup_last_wins(tables, duck):
     )
     assert_matches_duckdb(
         out, duck,
+        """SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+           FROM orders LEFT JOIN (
+             SELECT * FROM (
+               SELECT l_orderkey, l_linenumber, l_quantity,
+                      row_number() OVER (PARTITION BY l_orderkey
+                                         ORDER BY l_linenumber ASC,
+                                                  l_quantity ASC) AS rn
+               FROM lineitem) WHERE rn = 1)
+           ON o_orderkey = l_orderkey""",
+    )
+    last = left_join(
+        tables["orders"].select("o_orderkey", "o_totalprice"),
+        right,
+        "o_orderkey",
+        order_col=F.struct("l_linenumber", "l_quantity"),
+        keep="last",
+    )
+    assert_matches_duckdb(
+        last, duck,
         """SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
            FROM orders LEFT JOIN (
              SELECT * FROM (
