@@ -33,6 +33,9 @@ def main():
 
     from rayforce_spark.session import get_spark, load_tables
 
+    # sampled BEFORE the session spins up 32 executor threads, so it
+    # reflects pre-existing box load, not our own
+    load_at_start = [round(x, 2) for x in os.getloadavg()[:2]]
     spark = get_spark("rayforce_spark_bench")
     t = load_tables(spark, SF_DIR)
     # cached inputs (BASELINE methodology: reference is in-memory);
@@ -106,7 +109,9 @@ def main():
         "unit": "sec",
         "queries": times,
         "reps": spread,
-        "instance": _instance_fingerprint(spark),
+        "instance": {**_instance_fingerprint(spark),
+                     "loadavg_start_1m": load_at_start[0],
+                     "loadavg_start_5m": load_at_start[1]},
         **_prev_round_compare(times, spread),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
@@ -128,6 +133,13 @@ def _instance_fingerprint(spark) -> dict:
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         "pid": os.getpid(),
+        # box-load attribution (r8 judge: 5 "slower" verdicts went
+        # unadjudicated because nobody recorded whether the box was
+        # idle; load > 0.5 at start inflates the headline ~+16%).
+        # loadavg_end is sampled here at bench END (includes our own
+        # 32 threads); loadavg_start_* (merged by main) is the
+        # pre-existing-load signal
+        "loadavg_end_1m": round(os.getloadavg()[0], 2),
     }
 
 

@@ -190,8 +190,37 @@ def g_insert_vals(r: random.Random, k: int, dup_keys: bool = False) -> str:
             f"[{' '.join(map(str, h))}])")
 
 
+def g_vals3(r: random.Random, k: int, dup_keys: bool = False) -> str:
+    """k rows matching the [a b h] numeric projection (the splayed
+    round-trip shape). b in [100, 120) keeps the distinct-b xasc
+    invariant; ``dup_keys`` repeats an EXISTING t key value in column a
+    (upsert: update-in-place path) half the time."""
+    a = [r.randint(-5, 9) for _ in range(k)]
+    if dup_keys and k >= 2:
+        a[r.randrange(k)] = a[r.randrange(k)]
+    b = r.sample([100 + x / 4 for x in range(80)], k)
+    h = [r.randint(-3, 3) for _ in range(k)]
+    if k == 1:
+        return f"(list {a[0]} {fmt_f(b[0])} {h[0]})"
+    return ("(list "
+            f"[{' '.join(map(str, a))}] "
+            f"[{' '.join(map(fmt_f, b))}] "
+            f"[{' '.join(map(str, h))}])")
+
+
 def g_storage_query(r: random.Random, n: int, uid: int, kind: int) -> str | None:
-    """§2.1/§2.2 mutation + storage templates (r8, verdict directive 7).
+    """§2.1/§2.2 mutation + storage templates (r8, verdict directive 7;
+    r9 adds the mutation-x-storage COMPOSITIONS — kinds 22-24: mutate
+    before persist, mutate the read-back table, and mutate before a
+    dated partition split — ref core/io.c:214,343 + core/update.c:414).
+
+    Journal replay (hopen file + write + read) is NOT fuzzable against
+    the reference: its own examples/journal.rfl errors on replay with
+    "expected LAMBDA, got LIST" run natively on the built binary, and
+    over IPC (read h) returns a status dict without evaluating items —
+    live-probed r9. Our expression journal (evalr._FileJournal) and the
+    data journal (streaming/journal.py) are pinned by pytest +
+    STREAMCHECK recovery instead.
 
     Storage programs carry a literal ``{DIR}`` that the runner replaces
     with a PER-ENGINE scratch directory before eval — each engine writes
@@ -272,6 +301,73 @@ def g_storage_query(r: random.Random, n: int, uid: int, kind: int) -> str | None
             return ("(select {x: (%s w) y: v from: "
                     "(asof-join [g ts] t2 u2)})" % verb)
         return "(%s (at (asof-join [g ts] t2 u2) 'w))" % verb
+    if kind == 22:
+        # r9: mutate BEFORE persist — insert/upsert on the numeric
+        # projection, splay the MUTATED table, read it back (the
+        # reference's insert-into-a-splayed-table workflow: build the
+        # new slice in memory, persist, reread — ref core/io.c:343 +
+        # core/update.c:414)
+        if r.random() < 0.5:
+            mut = f"(insert ma{uid} {g_vals3(r, r.randint(1, 3))})"
+        else:
+            mut = (f"(upsert ma{uid} 1 "
+                   f"{g_vals3(r, r.randint(1, 3), r.random() < 0.5)})")
+        pre = (f"(set ma{uid} (select {{a: a b: b h: h from: t}})) "
+               f"(set mb{uid} {mut}) "
+               '(set-splayed "{DIR}/mm%d/" mb%d) ' % (uid, uid))
+        if r.random() < 0.5:
+            return pre + '(xasc (get-splayed "{DIR}/mm%d/") \'b)' % uid
+        agg = r.choice(["sum", "min", "max", "count", "avg"])
+        return pre + (
+            "(xasc (select {s0: (%s b) s1: (count a) from: "
+            '(get-splayed "{DIR}/mm%d/") by: h}) \'h)' % (agg, uid))
+    if kind == 23:
+        # r9: mutate the READ-BACK table — splay, get-splayed into a
+        # name, then insert/upsert on the reread table (row order of the
+        # reread table is load-bearing for upsert's key index; both
+        # engines must preserve written order)
+        if r.random() < 0.5:
+            mut = f"(insert rb{uid} {g_vals3(r, r.randint(1, 3))})"
+        else:
+            mut = (f"(upsert rb{uid} 1 "
+                   f"{g_vals3(r, r.randint(1, 3), r.random() < 0.5)})")
+        return (f"(set na{uid} (select {{a: a b: b h: h from: t}})) "
+                '(set-splayed "{DIR}/rr%d/" na%d) ' % (uid, uid)
+                + '(set rb%d (get-splayed "{DIR}/rr%d/")) ' % (uid, uid)
+                + f"(xasc {mut} 'b)")
+    if kind == 24 and n >= 2:
+        # r9: mutate BEFORE the dated partition split — upsert/insert on
+        # the full table, split the MUTATED table into two partition
+        # writes, read the union back (aggregates + explicit-map
+        # selects only: get-parted's live-pinned working surface; the
+        # reverse order — mutating a get-parted result — is a reference
+        # 'type error, and even `(set x (get-parted …))` truncates on
+        # the wire because the echoed reply carries ENUM columns)
+        if r.random() < 0.5:
+            mut = f"(insert t {g_insert_vals(r, r.randint(1, 3))})"
+        else:
+            mut = (f"(upsert t 1 "
+                   f"{g_insert_vals(r, r.randint(1, 3), r.random() < 0.5)})")
+        # split on the PRE-mutation row count n (<= rows of mu for both
+        # insert and upsert): head-k + tail-(n-k) is deterministic in
+        # both engines regardless of how many rows the mutation added
+        # (take beyond-length would CYCLE in this data model)
+        k = r.randint(1, n - 1)
+        pre = (f"(set mu{uid} {mut}) "
+               f"(set pc{uid} (select {{from: mu{uid} take: {k}}})) "
+               f"(set pd{uid} (select {{from: mu{uid} take: -{n - k}}})) "
+               '(set-parted "{DIR}/q%d/2024.01.01/tab/" pc%d) '
+               '(set-parted "{DIR}/q%d/2024.01.02/tab/" pd%d) '
+               % (uid, uid, uid, uid))
+        if r.random() < 0.5:
+            a1 = r.choice(["sum", "min", "max", "avg"])
+            a2 = r.choice(["sum", "min", "max", "count"])
+            return pre + (
+                "(select {s0: (%s a) s1: (%s h) s2: (count b) from: "
+                '(get-parted "{DIR}/q%d/" \'tab)})' % (a1, a2, uid))
+        return pre + (
+            "(xasc (select {x: b y: (+ a h) from: "
+            '(get-parted "{DIR}/q%d/" \'tab)}) \'x)' % uid)
     if kind == 20 and n >= 2:
         # parted: two dated partition writes (the reference's
         # per-partition path idiom), then read the union back
@@ -298,7 +394,7 @@ def g_storage_query(r: random.Random, n: int, uid: int, kind: int) -> str | None
 
 
 def g_query(r: random.Random, n: int = 4, uid: int = 0) -> str:
-    kind = r.randint(0, 21)
+    kind = r.randint(0, 24)
     if kind >= 17:
         q = g_storage_query(r, n, uid, kind)
         if q is not None:
