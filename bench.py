@@ -103,7 +103,7 @@ def main():
             times[name] = -1.0
 
     total = round(sum(v for v in times.values() if v > 0), 4)
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -114,6 +114,24 @@ def main():
                      "loadavg_start_5m": load_at_start[1]},
         **_prev_round_compare(times, spread),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # full evidence (reps, fingerprint, variance-aware compare) goes to a
+    # committed sidecar; stdout stays a COMPACT single line — the round
+    # driver keeps only the last ~2000 chars of output and BENCH_r08
+    # recorded parsed:null because the r8 enriched line overflowed that
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    cs = detail.get("compare_summary", {})
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": detail["sf"],
+        "load_1m": load_at_start[0],
+        "compare_summary": cs,
+        "detail": "BENCH_DETAIL.json",
     }))
 
 
@@ -161,15 +179,22 @@ def _prev_round_compare(times: dict, spread: dict) -> dict:
             prevs.append((int(m.group(1)), p))
     if not prevs:
         return {}
-    rnd, path = max(prevs)
-    try:
-        with open(path) as f:
-            prev = json.load(f)
-        # the round driver wraps our JSON line under "parsed"
-        prev = prev.get("parsed", prev)
-    except (OSError, ValueError):
-        return {}
-    if not isinstance(prev, dict):
+    # newest round with a PARSEABLE record: the driver keeps only a
+    # 2000-char output tail, and BENCH_r08 recorded parsed:null (the r8
+    # line overflowed) — skip such rounds instead of silently comparing
+    # against nothing
+    prev = rnd = None
+    for rr, path in sorted(prevs, reverse=True):
+        try:
+            with open(path) as f:
+                cand = json.load(f)
+            cand = cand.get("parsed", cand)
+        except (OSError, ValueError):
+            continue
+        if isinstance(cand, dict) and cand.get("queries"):
+            prev, rnd = cand, rr
+            break
+    if prev is None:
         return {}
     pq, pr = prev.get("queries", {}), prev.get("reps", {})
     cmpd = {}

@@ -660,7 +660,11 @@ def main():
         "vectors, and STORAGE round-trips — set-splayed/get-splayed "
         "(numeric tables and enum-backed symbol columns) and "
         "set-parted/get-parted (two dated partition writes via the "
-        "reference's per-partition path idiom, read back as a union) — "
+        "reference's per-partition path idiom, read back as a union), "
+        "plus the r9 MUTATION-x-STORAGE compositions: insert/upsert "
+        "before set-splayed, insert/upsert ON the get-splayed read-back "
+        "table (written row order is load-bearing for the upsert key "
+        "index), and upsert/insert before the dated partition split — "
         "each engine writing its own native layout into its own scratch "
         "dir and reading it back, so the round-TRIP values are compared, "
         "not bytes on disk) "
@@ -718,7 +722,18 @@ def main():
         "cross-file row order, so the Rayfall storage verbs persist an "
         "explicit `__rf_ord` ordinal restored+dropped on read (row "
         "order is semantics in this data model; the raw python API "
-        "keeps the unordered 100 TB-scale contract).\n")
+        "keeps the unordered 100 TB-scale contract).\n"
+        "\nr9 additions: (7) journal replay is broken in the reference "
+        "build itself — its own examples/journal.rfl errors on (read h) "
+        "with \"expected LAMBDA, got LIST\" run natively, and over IPC "
+        "(read h) returns a status dict without evaluating items — so "
+        "journal round-trips are NOT differentially fuzzable; our "
+        "expression journal (evalr) and data journal "
+        "(streaming/journal.py) are pinned by pytest + STREAMCHECK "
+        "recovery instead; (8) `(set x (get-parted …))` truncates on the "
+        "reference's wire (the echoed reply carries ENUM columns) and "
+        "mutating a get-parted result is a reference 'type error, so the "
+        "mutation-x-parted template mutates BEFORE the partition split.\n")
     if crashes:
         lines.append("## Inputs that crashed the reference process\n")
         lines += [f"* `{c}`" for c in crashes] + [""]
