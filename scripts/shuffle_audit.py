@@ -34,6 +34,8 @@ DEFAULT = [
     "dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_clusters",
     "dedup_embedding", "knn_recall", "ngram_bigrams", "sample_pipeline",
     "quality_filter",  # r7: window shuffle + eval-sized decontam legs
+    "dsir_select",  # r8: single-pass twin-model scoring
+    "sequence_packing",  # r9: shard shuffle + slim greedy-pack join-back
 ]
 
 
