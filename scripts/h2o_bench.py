@@ -590,7 +590,28 @@ fresh (2x gate per BASELINE.json).
   the adjudication stands. Re-checked 2026-08-15, round 8: full-disk
   `find -iname '*comet*' -o -iname '*gluten*'` finds nothing, pyspark's
   jars dir has no comet/gluten/velox artifact, and Maven Central still
-  returns HTTP 000 — unchanged.)
+  returns HTTP 000 — unchanged. Re-checked 2026-08-15, round 9: same
+  three probes, same result — no jar anywhere on disk, nothing in
+  pyspark/jars, `curl repo1.maven.org` HTTP 000.)
+- **r8's five "slower" bench verdicts — adjudicated r9 on a verified
+  idle box** (1-min load 0.07 at bench start, recorded in
+  BENCH_DETAIL.json alongside the fingerprint; bench.py now stamps
+  loadavg start/end every run). Reproduced vs the same r7 baseline:
+  `scan_cumsum` 0.247 s (r7 0.273 — r8's +32% was drift),
+  `dedup_exact` 0.205 s (r7 0.209 — drift), `agg_arith` 0.269 s (+6%,
+  inside tolerance — r8's +15% mostly drift). Two signals persist on
+  the idle box: `tpch_q1`/`groupby_sum` +16-26% above r7 with no
+  commit touching either plan since r7, while other untouched rows got
+  FASTER (inner_join −23%) — consistent with every r8/r9 H2O instance
+  running 15-30% above historical minima, i.e. the box itself drifted,
+  not a plan (r7's BENCH record predates the fingerprint; the
+  loadavg+fingerprint now in every BENCH_DETAIL makes this checkable
+  next time). `text_quality` +50% (0.20→0.30 s) is REAL and
+  deliberate: the r8 Arrow repetition twin adds a fixed ~100 ms
+  Python-worker round-trip per run — the price of the 14× win at
+  corpus scale (gate row 71 s → 4.9 s at sf0.1); at bench's warm-cache
+  rep scale the fixed overhead dominates. Kept: the twin is the
+  production path.
 - **gq6 fresh-instance anomaly (r6) — investigated r7, verdict: N=1
   tail, not a regression.** The r6 table published gq6 fresh = 1061 ms
   (10.2x) vs 283.7 ms merged-min with no investigation. Re-measured on
