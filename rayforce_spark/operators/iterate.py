@@ -149,11 +149,76 @@ def apply_grouped(
     by: Sequence[str],
     fn: Callable,
     schema: str,
+    *,
+    impl: str = "batched",
 ) -> DataFrame:
     """Per-group lambda (the reference's grouped map/row idiom,
-    ref core/compose.c:1166 + MAPGROUP): Arrow-batched
-    applyInPandas — fn: pandas.DataFrame -> pandas.DataFrame."""
-    return df.groupBy(*by).applyInPandas(fn, schema)
+    ref core/compose.c:1166 + MAPGROUP) — fn: pandas.DataFrame ->
+    pandas.DataFrame, called once per group.
+
+    ``impl="spark"`` is the plain ``groupBy().applyInPandas`` — ONE
+    Arrow frame + Python round-trip PER GROUP, which is the dominant
+    cost when groups are small and many (measured: ~4 ms/group fixed
+    overhead → 30 s for 7.5k tiny groups at sf0.1).
+
+    ``impl="batched"`` (default, r9) keeps the per-group CONTRACT but
+    amortizes the transport: rows hash-shuffle on the keys and sort
+    within partitions, mapInPandas streams each partition's Arrow
+    batches, groups are cut by key-change inside the batch (a group
+    can span batch boundaries — the tail carries over), and fn runs
+    per group at pandas speed with no per-group JVM↔Python round trip.
+    Same one shuffle as impl="spark", ~10x fewer Arrow crossings.
+    fn must not depend on within-group row order beyond what the input
+    partitioning provides (same contract as impl="spark", where
+    Spark's group assembly order is likewise unspecified)."""
+    if impl == "spark":
+        return df.groupBy(*by).applyInPandas(fn, schema)
+    if impl != "batched":
+        raise ValueError(f"apply_grouped: unknown impl {impl!r}")
+    keys = list(by)
+
+    def _stream(batches):
+        import pandas as pd
+
+        def run_all(frame):
+            # one concatenated OUTPUT frame per input Arrow batch: a
+            # yield per group would ship 1000s of tiny Arrow batches
+            # back to the JVM (measured: comparable cost to the
+            # per-group round trips this impl exists to remove)
+            outs = [fn(g.reset_index(drop=True))
+                    for _, g in frame.groupby(keys, dropna=False,
+                                              sort=False)]
+            return pd.concat(outs, ignore_index=True) if outs else None
+
+        tail = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # rows arrive sorted by keys within the partition; every
+            # complete group (key != last row's key) can flush now, the
+            # last key's rows wait for the next batch
+            last = tuple(pdf.iloc[-1][k] for k in keys)
+            is_tail = pd.Series(True, index=pdf.index)
+            for k, v in zip(keys, last):
+                is_tail &= pdf[k].eq(v) | (pdf[k].isna() & pd.isna(v))
+            tail = pdf[is_tail]
+            head = pdf[~is_tail]
+            if len(head):
+                out = run_all(head)
+                if out is not None and len(out):
+                    yield out
+        if tail is not None and len(tail):
+            out = run_all(tail.reset_index(drop=True))
+            if out is not None and len(out):
+                yield out
+
+    return (
+        df.repartition(*keys)
+        .sortWithinPartitions(*keys)
+        .mapInPandas(_stream, schema)
+    )
 
 
 def apply_rows(df: DataFrame, fn: Callable, schema: str) -> DataFrame:

@@ -93,6 +93,43 @@ def test_apply_grouped(tables, duck):
     )
 
 
+def test_apply_grouped_batched_equals_spark_impl(spark):
+    # the r9 batched grouped-map must return the SAME per-group results
+    # as plain groupBy().applyInPandas — including when one group spans
+    # multiple Arrow batches (forced via a tiny maxRecordsPerBatch, so
+    # the tail-carry stitching path actually executes)
+    import pandas as pd
+
+    rows = [(k, i, float(k * 100 + i))
+            for k in range(7) for i in range(50)]  # 50-row groups
+    rows += [(99, i, float(i)) for i in range(400)]  # one fat group
+    df = spark.createDataFrame(rows, "k long, i int, v double")
+
+    def gstat(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("i").reset_index(drop=True)
+        pdf["centered"] = pdf["v"] - pdf["v"].mean()
+        pdf["n"] = len(pdf)
+        return pdf[["k", "i", "centered", "n"]]
+
+    schema = "k long, i int, centered double, n long"
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                          "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        got = {(r.k, r.i): (r.centered, r.n) for r in apply_grouped(
+            df, ["k"], gstat, schema).collect()}
+        ref = {(r.k, r.i): (r.centered, r.n) for r in apply_grouped(
+            df, ["k"], gstat, schema, impl="spark").collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got.keys() == ref.keys()
+    assert all(got[key] == ref[key] for key in ref)  # exact, n included
+    assert {key[0] for key in got} == {*range(7), 99}
+    # the 400-row group spanned >6 forced batches and must come back whole
+    assert sum(1 for key in got if key[0] == 99) == 400
+    assert all(got[key][1] == 400 for key in got if key[0] == 99)
+
+
 def test_right_combinators(spark):
     # fold-right/scan-right goldens (ref core/iter.c:1133,1579): with
     # subtraction the direction is observable: fold-right - 0 [1 2 3]
