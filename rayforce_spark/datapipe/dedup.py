@@ -912,64 +912,87 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     dedup workflows its docs build from pair output; here it is a
     first-class operator).
 
-    Min-label propagation with POINTER DOUBLING: every node starts
-    labeled with its own id; each round takes the min over its
-    neighbors' labels, then follows its new label's own label (the
-    shortcutting step), so label distance doubles per round —
-    O(log diameter) rounds instead of O(diameter). Long chains through
-    a dup graph are real (transitive near-dups), so the log bound is
-    the difference between ~6 rounds and dozens. ``max_iter`` is the
-    backstop.
+    Min-label propagation with GRAPH CONTRACTION (r9; Kiveris et al.'s
+    star-contraction family): each round computes every node's min
+    direct neighbor (plus itself), pointer-doubles that mapping once
+    (m <- m[m], so chains halve per round — O(log diameter)), applies
+    it to the ORIGINAL labels, then REWRITES the edge set through the
+    mapping, dropping self-loops and duplicates. On a contracted graph
+    node ids ARE current labels, so the per-round min needs NO join at
+    all (one grouped min over the edge list) — and near-dup graphs are
+    clique-heavy, so the edge set collapses after round one (a k-clique's
+    k² directed edges become self-loops the moment the clique agrees on
+    a label; measured sf0.1: 5.9M edges -> 0 after two rounds). The
+    pre-r9 shape kept the full 5.9M-edge list for every round and paid
+    an edges-joins-labels shuffle each time. Converged = edge set empty.
+    ``max_iter`` is the backstop.
 
     Scale shape: the (possibly expensive) pair pipeline is materialized
     ONCE into the edge list via ``localCheckpoint`` — without it every
     round would recompute the full upstream plan (an early version paid
-    the whole Jaccard inverted-index join per round). Each round is two
-    shuffle joins + one grouped min — no driver-side graph, no collect;
-    only the converged boolean (a 1-row limit/count over checkpointed
-    labels) reaches the driver. Executor-local checkpoint blocks are the
-    documented durability tradeoff — use a checkpoint dir on a real
+    the whole Jaccard inverted-index join per round). No driver-side
+    graph, no collect; only the emptiness boolean (a 1-row limit/count)
+    reaches the driver each round. Executor-local checkpoint blocks are
+    the documented durability tradeoff — use a checkpoint dir on a real
     cluster if executor loss matters mid-job.
 
     Only nodes that APPEAR in a pair come back (singletons are their own
     cluster trivially and stay out of the result — and out of the
     shuffle)."""
+    # materialize the pair pipeline ONCE, symmetrize in the SAME pass
+    # (explode of both directions, not a union of two selects — a union
+    # evaluates the whole upstream pair pipeline once PER BRANCH, which
+    # at sf0.1 was the full ~12 s Jaccard join run twice), and
+    # checkpoint exactly once
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"),
-                            F.col(id_a).alias("dst")))
-        .localCheckpoint(eager=True)  # materialize the pair pipeline ONCE
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+            F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+        )).alias("__e"))
+        .select("__e.src", "__e.dst")
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    g = edges
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src").agg(F.min("label").alias("nbr"))
-            .withColumnRenamed("src", "node")
-        )
-        stepped = labels.join(nbr, "node", "left").select(
-            "node",
-            F.col("label").alias("__old"),
-            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("__l1"),
-        )
-        # shortcut: label <- label[label] (pointer doubling)
-        hop = stepped.select(F.col("node").alias("__ln"),
-                             F.col("__l1").alias("__ll"))
-        new = (
-            stepped.join(hop, stepped["__l1"] == hop["__ln"], "left")
-            .select(
-                "node", "__old",
-                F.least("__l1", F.coalesce("__ll", "__l1")).alias("label"),
-            )
+        # min over direct neighbors ∪ self — node ids in g are current
+        # labels, so this is one grouped min, no label join
+        m = (g.groupBy("src").agg(F.min("dst").alias("m"))
+             .select(F.col("src").alias("n"),
+                     F.least("src", "m").alias("m")))
+        # pointer doubling: m <- m[m] (chains halve per round)
+        m = (m.alias("x")
+             .join(m.alias("y").withColumnRenamed("n", "__yn")
+                   .withColumnRenamed("m", "__ym"),
+                   F.col("x.m") == F.col("__yn"), "left")
+             .select(F.col("x.n").alias("n"),
+                     F.least("x.m", F.coalesce("__ym", "x.m")).alias("m"))
+             .localCheckpoint(eager=True))
+        # apply to the original nodes' labels
+        labels = (
+            labels.join(m, labels["label"] == m["n"], "left")
+            .select("node",
+                    F.least("label", F.coalesce("m", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = new.filter(F.col("label") != F.col("__old")).limit(1).count()
-        labels = new.drop("__old")
-        if changed == 0:
+        # contract the graph through the mapping; surviving edges are
+        # exactly the not-yet-merged component bridges
+        rs = m.select(F.col("n").alias("src"), F.col("m").alias("__ms"))
+        rd = m.select(F.col("n").alias("dst"), F.col("m").alias("__md"))
+        # relabeling a symmetric edge set keeps it symmetric — (a,b),(b,a)
+        # map to (la,lb),(lb,la) — so no re-symmetrization pass is needed
+        g = (
+            g.join(rs, "src", "left").join(rd, "dst", "left")
+            .select(F.coalesce("__ms", "src").alias("src"),
+                    F.coalesce("__md", "dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct().localCheckpoint(eager=True)
+        )
+        if g.limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
