@@ -772,8 +772,24 @@ def q_storage_roundtrip(spark, sf):
         F.lit("journal").alias("layout"),
         F.col("event_type").alias("key"), "n", "sum_k",
     )
+    # jsonl leg (r9): the LLM-corpus interchange format — distributed
+    # write of the documents table, explicit type-vector read back
+    # (sources/jsonl.py; beyond the reference's format surface)
+    from rayforce_spark.sources import read_jsonl, write_jsonl
+
+    (docs,) = _t(spark, sf, "documents")
+    p6 = tempfile.mkdtemp(prefix="rf_jsonl_") + "/documents"
+    write_jsonl(docs.select("doc_id", "lang"), p6)
+    s6 = select(
+        read_jsonl(spark, p6, ["doc_id", "lang"], ["i64", "symbol"]),
+        {"n": A.count(), "sum_k": A.sum_("doc_id")},
+        by="lang",
+    ).select(
+        F.lit("jsonl").alias("layout"),
+        F.col("lang").alias("key"), "n", "sum_k",
+    )
     return (s1.unionByName(s2).unionByName(s3)
-            .unionByName(s4).unionByName(s5))
+            .unionByName(s4).unionByName(s5).unionByName(s6))
 
 
 # -- datapipe: dedup / similarity / text / multimodal -----------------------
@@ -1719,6 +1735,10 @@ ORACLE: dict[str, str] = {
         SELECT 'journal', event_type, count(*),
                CAST(sum(event_id) AS BIGINT)
         FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'jsonl', lang, count(*),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM documents GROUP BY 2
     """,
     "dedup_exact": """
         -- r7 chain: corpus-global aligned-3-word segment dedup (first

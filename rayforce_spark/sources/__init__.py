@@ -12,9 +12,13 @@ The reference's disk formats map onto Parquet:
   journal (append expressions to a file handle, replay with read,
     ref core/io.c:214,343, examples/journal.rfl) -> an append-only JSON-lines
     log replayable in batch or as a stream (streaming/journal.py)
+
+Beyond the reference's surface: JSONL read/write (jsonl.py) — the
+LLM-corpus interchange format, same explicit type-vector contract.
 """
 
 from rayforce_spark.sources.csv import read_csv, write_csv
+from rayforce_spark.sources.jsonl import read_jsonl, write_jsonl
 from rayforce_spark.sources.splayed import get_splayed, set_splayed
 from rayforce_spark.sources.parted import get_parted, set_parted
 from rayforce_spark.sources.bucketed import get_bucketed, set_bucketed
@@ -22,6 +26,8 @@ from rayforce_spark.sources.bucketed import get_bucketed, set_bucketed
 __all__ = [
     "read_csv",
     "write_csv",
+    "read_jsonl",
+    "write_jsonl",
     "get_splayed",
     "set_splayed",
     "get_parted",

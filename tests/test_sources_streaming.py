@@ -35,6 +35,40 @@ def test_csv_roundtrip(spark, tables, tmp_path):
     }
 
 
+def test_jsonl_roundtrip_and_malformed(spark, tables, tmp_path):
+    # r9: JSONL (LLM-corpus interchange) — explicit type-vector read,
+    # distributed write; PERMISSIVE default tolerates a broken line
+    # (null row), strict=True fails fast on it
+    import pytest
+
+    from rayforce_spark.sources import read_jsonl, write_jsonl
+
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(tables["documents"].select("doc_id", "lang", "text"), path)
+    back = read_jsonl(spark, path, ["doc_id", "lang", "text"],
+                      ["i64", "symbol", "string"])
+    assert back.count() == tables["documents"].count()
+    assert dict(back.dtypes) == {
+        "doc_id": "bigint", "lang": "string", "text": "string"}
+    a = {r.doc_id: r.lang for r in back.collect()}
+    b = {r.doc_id: r.lang
+         for r in tables["documents"].select("doc_id", "lang").collect()}
+    assert a == b
+
+    bad = tmp_path / "bad_jsonl"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "lang": "en"}\nTHIS IS NOT JSON\n'
+        '{"doc_id": 2, "lang": "fr"}\n')
+    perm = read_jsonl(spark, str(bad), ["doc_id", "lang"],
+                      ["i64", "symbol"]).collect()
+    assert len(perm) == 3  # broken line -> null row, job survives
+    assert sorted(r.doc_id for r in perm if r.doc_id is not None) == [1, 2]
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_jsonl(spark, str(bad), ["doc_id", "lang"],
+                   ["i64", "symbol"], strict=True).collect()
+
+
 def test_splayed_roundtrip(spark, tables, tmp_path):
     path = str(tmp_path / "orders_splayed")
     set_splayed(tables["orders"], path, sort_within_partitions_by=["o_orderdate"])
