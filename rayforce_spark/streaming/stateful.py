@@ -458,3 +458,71 @@ def stream_embedding_neardup(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_pack(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int,
+    shards: int = 32,
+    salt: int = 0,
+) -> DataFrame:
+    """Streaming doc-boundary first-fit packing (the online twin of
+    datapipe.packing.pack_greedy): documents arrive on a stream, shard
+    by the SAME engine-portable Knuth hash, and a per-shard
+    ``(pack, running)`` state assigns each document its training pack
+    ON ARRIVAL — the ingest-time analog of the batch packer, so a
+    corpus packed as it lands matches an offline re-pack exactly
+    (STREAMCHECK pins the parity). Emits
+    ``(id, shard, n_tok, pack)`` in append mode.
+
+    Contract (same as the batch packer's id ordering): rows must
+    arrive per shard in ``id_col`` order across micro-batches — the
+    journal/ticker replay idiom; rows inside one micro-batch are
+    sorted here. Null text packs as 0 tokens (batch parity, r9).
+    State per shard is two longs — O(shards) memory; packs never
+    close, so no timeout (a pack stays open for the next document
+    until it overflows)."""
+    from rayforce_spark.datapipe.sampling import hash_bucket
+    from rayforce_spark.datapipe.text import token_count
+
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, shard long, n_tok long, "
+                  "pack long")
+    state_schema = "pack long, running long"
+    base = (stream
+            .withColumn("shard", hash_bucket(id_col, shards, salt))
+            .withColumn("n_tok", F.coalesce(token_count(F.col(text_col)),
+                                            F.lit(0)))
+            .select(id_col, "shard", "n_tok"))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:  # NoTimeout — defensive only
+            return
+        (shard,) = key
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf[id_col].tolist(), pdf["n_tok"].tolist()))
+        if not rows:
+            return
+        rows.sort(key=lambda r: r[0])
+        pack, running = state.get if state.exists else (0, 0)
+        out = []
+        for rid, n in rows:
+            n = int(n)
+            if running > 0 and running + n > budget:
+                pack += 1
+                running = 0
+            out.append((rid, shard, n, pack))
+            running += n
+        state.update((pack, running))
+        yield pd.DataFrame(out, columns=[id_col, "shard", "n_tok", "pack"])
+
+    return base.groupBy("shard").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -553,6 +553,32 @@ def check_decontaminate(spark, t, tmp):
     return r
 
 
+def check_pack(spark, t, tmp):
+    """Streaming first-fit packing == batch pack_greedy, row for row:
+    docs fed in id order (the packer's cross-batch contract), 4 journal
+    files so shard state must survive micro-batch boundaries."""
+    from rayforce_spark.datapipe import pack_greedy
+    from rayforce_spark.streaming import read_journal_stream, replay_journal
+    from rayforce_spark.streaming.stateful import stream_pack
+
+    docs = t["documents"].select("doc_id", "text")
+    rows = sorted((r.asDict() for r in docs.collect()),
+                  key=lambda r: r["doc_id"])
+    schema = "doc_id long, text string"
+    path = _feed(tmp, "pack", schema, _chunks(rows, 4))
+
+    out = stream_pack(read_journal_stream(spark, path, schema),
+                      budget=2048, shards=8, salt=5)
+    stream = _stream_table(spark, out, "sc_pack", expect_input=len(rows))
+
+    batch = pack_greedy(replay_journal(spark, path, schema),
+                        "text", "doc_id", budget=2048, shards=8,
+                        salt=5).select("doc_id", "shard", "n_tok", "pack")
+    return _result("stream_pack", stream, batch,
+                   f"{len(rows)} docs, budget 2048, 8 shards, "
+                   "4 micro-batch files (state spans batches)")
+
+
 CHECKS = [
     check_sessionize,
     check_asof,
@@ -562,6 +588,7 @@ CHECKS = [
     check_embedding_neardup,
     check_xbar,
     check_decontaminate,
+    check_pack,
 ]
 
 

@@ -266,3 +266,44 @@ def test_stream_embedding_neardup(spark, tmp_path):
         assert (1, 9) in got
     finally:
         q.stop()
+
+
+def test_stream_pack_matches_batch_across_batches(spark, tmp_path):
+    # streaming first-fit packing carries (pack, running) state across
+    # micro-batches and matches pack_greedy row-for-row when fed in id
+    # order (r9); NoTimeout -> the query drains, processAllAvailable ok
+    from rayforce_spark.datapipe import pack_greedy
+    from rayforce_spark.streaming import replay_journal
+    from rayforce_spark.streaming.stateful import stream_pack
+
+    jpath = str(tmp_path / "pack")
+    schema = "doc_id long, text string"
+    j = Journal(jpath, schema)
+    import random
+    rng = random.Random(9)
+    docs = [{"doc_id": i, "text": " ".join(["t"] * rng.randint(1, 13))}
+            for i in range(40)]
+    docs.append({"doc_id": 40, "text": " ".join(["t"] * 50)})  # oversized
+    docs.append({"doc_id": 41, "text": None})                  # null text
+    # three files -> three micro-batches; shard state must span them
+    for k in range(0, len(docs), 14):
+        j.append(docs[k:k + 14])
+        time.sleep(0.02)
+
+    out = stream_pack(read_journal_stream(
+        spark, jpath, schema, max_files_per_trigger=1),
+        budget=16, shards=3, salt=2)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("packs").start())
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: (r.shard, r.n_tok, r.pack)
+               for r in spark.sql("SELECT * FROM packs").collect()}
+    finally:
+        q.stop()
+    want = {r.doc_id: (r.shard, r.n_tok, r.pack)
+            for r in pack_greedy(
+                replay_journal(spark, jpath, schema), "text", "doc_id",
+                budget=16, shards=3, salt=2).collect()}
+    assert got == want and len(got) == 42
+    assert got[41][1] == 0  # null text -> 0 tokens in BOTH paths
