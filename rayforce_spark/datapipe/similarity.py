@@ -440,3 +440,90 @@ def embedding_dup_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def set_ivf(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    *,
+    nlist: int = 16,
+    iters: int = 5,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Persist an IVF index: train (or reuse) centroids, write them as
+    a tiny parquet sidecar under ``path/_centroids``, and write the
+    corpus PARTITIONED BY its nearest-list assignment under
+    ``path/data`` — the production train-once/probe-many layout. A
+    probe then reads only its ``nprobe`` list directories (parquet
+    partition pruning), not the corpus; re-probing never re-trains and
+    never re-shuffles. Returns the trained centroids."""
+    if centroids is None:
+        centroids = ivf_train(corpus, vec_col, id_col,
+                              nlist=nlist, iters=iters)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    if centroids:
+        (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__cv"))
+         .withColumn("__list", _nearest(F.col("__cv"), centroids, 1)[0])
+         .write.partitionBy("__list").mode("overwrite")
+         .parquet(f"{path}/data"))
+    return centroids
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/_centroids").collect()
+    out: list[list[float]] = [[] for _ in rows]
+    for r in rows:
+        out[r["list"]] = [float(x) for x in r["centroid"]]
+    return out
+
+
+def knn_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index (see :func:`set_ivf`): queries
+    explode to their ``nprobe`` nearest lists and join the
+    list-partitioned corpus on the PARTITION column, so the scan reads
+    only probed list directories (few queries -> dynamic partition
+    pruning; broad probes read what they touch). Exact fixed-point
+    cosine re-ranks, same contract as knn_ivf:
+    (query_id, neighbor_id, cos, rank)."""
+    centroids = load_ivf_centroids(spark, path)
+    if not centroids:
+        return (queries.select(F.col(query_id_col).alias("query_id"))
+                .limit(0)
+                .withColumn("neighbor_id", F.lit(None).cast("long"))
+                .withColumn("cos", F.lit(0.0))
+                .withColumn("rank", F.lit(1)))
+    c = spark.read.parquet(f"{path}/data").withColumn(
+        "__cn", norm_units(F.col("__cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__list", F.explode(_nearest(F.col("__qv"), centroids, nprobe))
+    ).withColumn("__qn", norm_units(F.col("__qv")))
+    cand = q.join(c, "__list").select(
+        "query_id", "neighbor_id",
+        cosine_from_units(
+            dot_units(F.col("__qv"), F.col("__cv")),
+            F.col("__qn"), F.col("__cn"),
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

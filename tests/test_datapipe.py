@@ -213,6 +213,35 @@ def test_knn_ivf_recall(tables):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_ivf_persisted_index_matches_inmemory(tables, tmp_path, spark):
+    # r9: set_ivf persists centroids + the list-partitioned corpus;
+    # knn_ivf_indexed probes the on-disk layout and must return exactly
+    # what knn_ivf returns with the SAME centroids in memory (train
+    # once, probe many across sessions); the data dir must actually be
+    # partitioned by list for probe-side pruning
+    import os
+
+    from rayforce_spark.datapipe.similarity import (
+        knn_ivf_indexed, load_ivf_centroids, set_ivf)
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_idx")
+    cents = set_ivf(emb, path, "embedding", "vec_id", nlist=8, iters=3)
+    assert load_ivf_centroids(spark, path) == cents
+    assert any(d.startswith("__list=")
+               for d in os.listdir(os.path.join(path, "data")))
+    mem = knn_ivf(emb, queries, "embedding", "vec_id", k=5,
+                  nprobe=3, centroids=cents)
+    disk = knn_ivf_indexed(spark, path, queries, "embedding",
+                           k=5, nprobe=3)
+    m = {(r.query_id, r.neighbor_id, r.rank, round(r.cos, 9))
+         for r in mem.collect()}
+    d = {(r.query_id, r.neighbor_id, r.rank, round(r.cos, 9))
+         for r in disk.collect()}
+    assert m == d and m
+
+
 def test_knn_cosine_double_matches_fixed(tables):
     # production double-scoring path returns the same top-k sets as the
     # oracle-exact fixed-point path (last-ulp drift never flips a rank
