@@ -42,6 +42,7 @@ from rayforce_spark.datapipe.sampling import (
     hash_bucket,
     mix_corpora,
     sample_hash,
+    shuffle_epoch,
     train_val_test_split,
 )
 from rayforce_spark.datapipe.similarity import (
@@ -84,6 +85,7 @@ __all__ = [
     "hash_bucket",
     "mix_corpora",
     "sample_hash",
+    "shuffle_epoch",
     "train_val_test_split",
     "dedup_clusters",
     "curate",

@@ -131,3 +131,34 @@ def mix_corpora(sources: Iterable[tuple[DataFrame, Column | str, float]],
     if out is None:
         raise ValueError("mix_corpora: no sources")
     return out
+
+
+def shuffle_epoch(df: DataFrame, key: Column | str, epoch: int,
+                  *, shards: int = 1024, salt: int = 0) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle WITHOUT a global sort
+    (training loaders reshuffle each epoch; an orderBy(rand()) is a
+    single total sort of 100 TB and non-reproducible). Adds
+    ``shard`` (which output file/partition the row lands in) and
+    ``pos`` (its position within that shard): shard = Knuth hash of
+    (key, salt+epoch), pos = rank of a second independent hash within
+    the shard — one hash shuffle + per-shard sort, the same plan shape
+    as any keyed window. Reading shards in (shard, pos) order IS the
+    epoch's permutation; epoch+1 gives an unrelated permutation from
+    the same expression (pure bigint arithmetic — reproducible across
+    runs, partitionings, and engines, like every sampler here).
+
+    100 TB shape: ``shards`` bounds the per-shard sort (corpus/shards
+    rows per task); write with ``.write.partitionBy`` or
+    repartition(shards, "shard") + sortWithinPartitions("shard","pos")
+    to lay files out in permutation order."""
+    from pyspark.sql import Window
+
+    eshard = hash_bucket(key, shards, salt=salt + 1_000_003 * (epoch + 1))
+    # independent second hash for the within-shard order (different
+    # salt stream; ties broken by the key itself for totality)
+    okey = hash_bucket(key, _GRAIN, salt=salt + 2_000_029 * (epoch + 1))
+    w = Window.partitionBy("shard").orderBy("__rf_ord", _col(key))
+    return (df.withColumn("shard", eshard)
+            .withColumn("__rf_ord", okey)
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .drop("__rf_ord"))

@@ -870,6 +870,45 @@ def test_cap_per_key(spark):
     assert by_key["c"] == [0]  # keys under the cap keep everything
 
 
+def test_shuffle_epoch_deterministic_permutation(spark):
+    # r9: per-epoch deterministic shuffle — (shard, pos) is a total
+    # permutation, identical across reruns, different across epochs,
+    # with no global sort in the plan (per-shard window only)
+    from rayforce_spark.datapipe import shuffle_epoch
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = shuffle_epoch(df, "doc_id", epoch=0, shards=8)
+    rows = a.collect()
+    assert len(rows) == 500
+    # totality: (shard, pos) unique, pos dense 0..n_shard-1 per shard
+    keyed = {(r.shard, r.pos) for r in rows}
+    assert len(keyed) == 500
+    from collections import Counter
+    per = Counter(r.shard for r in rows)
+    assert set(per) <= set(range(8))
+    for s, n in per.items():
+        assert {r.pos for r in rows if r.shard == s} == set(range(n))
+    # reproducible: same epoch -> identical assignment
+    b = {(r.doc_id, r.shard, r.pos)
+         for r in shuffle_epoch(df, "doc_id", epoch=0, shards=8).collect()}
+    assert b == {(r.doc_id, r.shard, r.pos) for r in rows}
+    # different epoch -> a different permutation
+    c = {(r.doc_id, r.shard, r.pos)
+         for r in shuffle_epoch(df, "doc_id", epoch=1, shards=8).collect()}
+    assert c != b and len(c) == 500
+    # no global window: the plan partitions its sort by shard
+    plan = a._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+    assert not any(
+        n.getClass().getSimpleName() in ("Window", "WindowGroupLimit")
+        and n.partitionSpec().isEmpty() for n in walk(plan))
+
+
 def test_mix_corpora(spark):
     from rayforce_spark.datapipe import mix_corpora, sample_hash
 
