@@ -1,0 +1,76 @@
+"""End-to-end training-batch preparation: curated corpus -> packed,
+epoch-shuffled training shards, plus a persisted ANN index.
+
+Chains the r9 additions on top of curate():
+  1. curate the corpus (dedup + quality + decontamination),
+  2. shuffle_epoch — deterministic per-epoch permutation, no global
+     sort, no RNG state,
+  3. pack_greedy — doc-boundary first-fit packs at a token budget
+     (text never enters Python; slim (id, n_tok) Arrow scan),
+  4. write the packed epoch as JSONL shards in (shard, pos) order —
+     the files a training loader streams,
+  5. set_ivf — persist a probe-ready ANN index over the embeddings
+     (train once, probe many).
+
+Run: python examples/train_prep.py [sf_dir]  (default /root/testdata/sf0.001)
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rayforce_spark.datapipe import curate, pack_greedy, shuffle_epoch
+from rayforce_spark.datapipe.similarity import knn_ivf_indexed, set_ivf
+from rayforce_spark.session import get_spark, load_tables
+from rayforce_spark.sources import read_jsonl, write_jsonl
+
+
+def main():
+    sf = (sys.argv[1] if len(sys.argv) > 1
+          and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.001")
+    spark = get_spark("example_train_prep")
+    t = load_tables(spark, sf)
+    out = tempfile.mkdtemp(prefix="train_prep_")
+
+    docs = t["documents"]
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    kept = curate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        segment_dedup=3,
+        neardup_threshold=0.8,
+        decontam_against=holdout, decontam_n=3,
+    )
+    print(f"curated: {docs.count()} -> {kept.count()} docs")
+
+    for epoch in range(2):
+        ep = shuffle_epoch(kept.select("doc_id", "text"), "doc_id",
+                           epoch=epoch, shards=4)
+        packed = pack_greedy(ep, "text", "doc_id", budget=512, shards=4)
+        path = f"{out}/epoch={epoch}"
+        write_jsonl(
+            packed.repartition(4, "shard")
+            .sortWithinPartitions("shard", "pos")
+            .select("doc_id", "shard", "pos", "pack", "n_tok", "text"),
+            path,
+        )
+        back = read_jsonl(spark, path,
+                          ["doc_id", "shard", "pos", "pack", "n_tok"],
+                          ["i64", "i64", "i64", "i64", "i64"])
+        n_packs = back.select("shard", "pack").distinct().count()
+        print(f"epoch {epoch}: {back.count()} docs -> {n_packs} packs "
+              f"at budget 512 ({path})")
+
+    idx = f"{out}/ivf"
+    set_ivf(t["embeddings"], idx, "embedding", "vec_id", nlist=8, iters=3)
+    probes = t["embeddings"].filter(F.col("vec_id") < 3)
+    nn = knn_ivf_indexed(spark, idx, probes, "embedding", k=3, nprobe=3)
+    print("ANN probes against the persisted index:")
+    nn.orderBy("query_id", "rank").show(9, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
