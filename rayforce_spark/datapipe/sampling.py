@@ -157,8 +157,8 @@ def shuffle_epoch(df: DataFrame, key: Column | str, epoch: int,
     # independent second hash for the within-shard order (different
     # salt stream; ties broken by the key itself for totality)
     okey = hash_bucket(key, _GRAIN, salt=salt + 2_000_029 * (epoch + 1))
-    w = Window.partitionBy("shard").orderBy("__rf_ord", _col(key))
+    w = Window.partitionBy("shard").orderBy("__rf_eord", _col(key))
     return (df.withColumn("shard", eshard)
-            .withColumn("__rf_ord", okey)
+            .withColumn("__rf_eord", okey)
             .withColumn("pos", F.row_number().over(w) - 1)
-            .drop("__rf_ord"))
+            .drop("__rf_eord"))
