@@ -982,7 +982,8 @@ def q_dedup_embedding(spark, sf):
     ).withColumn("cos", F.round("cos", 6))
     prod = embedding_dup_pairs_lsh(
         e, "embedding", "vec_id", threshold=0.4, dim=64, planes=2, tables=12,
-        impl="pandas",
+        impl="block",  # r9: per-bucket numpy verify — vectors ship once
+        # per table, not once per candidate pair (bit-equal, pinned)
     )
     return _recall_gate(exact, prod, ["id_a", "id_b"], 90)
 

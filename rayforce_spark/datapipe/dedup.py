@@ -815,6 +815,41 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def score_units_block(A, B, ida, idb, thr):
+    """numpy block cosine with the fixed-point per-product rounding of
+    :func:`_prod_units` (bit-equal to the expression fold — shared by
+    the all-pairs block scorer and the LSH bucket scorer). Returns
+    (ii, jj, cos[ii, jj]) for pairs with ida<idb and cos >= thr; inner
+    chunking bounds the (chunk, |B|, dim) outer-product temp."""
+    import numpy as np
+
+    def units(m):
+        p = m * _COS_UNIT
+        return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+
+    nb = units(B * B).sum(axis=1) / _COS_UNIT
+    na = units(A * A).sum(axis=1) / _COS_UNIT
+    out_i, out_j, out_c = [], [], []
+    chunk = max(1, 200_000 // max(1, B.shape[0]))
+    for s in range(0, A.shape[0], chunk):
+        Ac = A[s:s + chunk]
+        dot = units(Ac[:, None, :] * B[None, :, :]).sum(-1) / _COS_UNIT
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / np.sqrt(na[s:s + chunk, None] * nb[None, :])
+        mask = ((ida[s:s + chunk, None] < idb[None, :])
+                & np.isfinite(cos) & (cos >= thr))
+        ii, jj = np.nonzero(mask)
+        out_i.append(s + ii)
+        out_j.append(jj)
+        out_c.append(cos[ii, jj])
+    if not out_i:
+        import numpy as np
+        return (np.array([], dtype=int), np.array([], dtype=int),
+                np.array([], dtype=float))
+    return (np.concatenate(out_i), np.concatenate(out_j),
+            np.concatenate(out_c))
+
+
 def _embedding_pairs_block(df: DataFrame, vec_col: str, id_col: str,
                            *, threshold: float,
                            nblocks: int | None) -> DataFrame:
@@ -872,28 +907,8 @@ def _embedding_pairs_block(df: DataFrame, vec_col: str, id_col: str,
         B = np.stack([np.asarray(x, dtype=np.float64) for x in pb["__v"]])
         ida = pa["__id"].to_numpy()
         idb = pb["__id"].to_numpy()
-
-        def units(m):
-            p = m * _COS_UNIT
-            return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
-
-        nb = units(B * B).sum(axis=1) / _COS_UNIT
-        na = units(A * A).sum(axis=1) / _COS_UNIT
-        outs = []
-        # chunk the block side so the (chunk, n, dim) product temp stays
-        # ~100 MB at dim 64 regardless of block size
-        chunk = max(1, 200_000 // max(1, B.shape[0]))
-        for s in range(0, A.shape[0], chunk):
-            Ac = A[s:s + chunk]
-            dot = units(Ac[:, None, :] * B[None, :, :]).sum(-1) / _COS_UNIT
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dot / np.sqrt(na[s:s + chunk, None] * nb[None, :])
-            mask = ((ida[s:s + chunk, None] < idb[None, :])
-                    & np.isfinite(cos) & (cos >= thr))
-            ii, jj = np.nonzero(mask)
-            outs.append(pd.DataFrame({
-                "id_a": ida[s + ii], "id_b": idb[jj], "cos": cos[ii, jj]}))
-        return pd.concat(outs, ignore_index=True) if outs else empty
+        ii, jj, cc = score_units_block(A, B, ida, idb, thr)
+        return pd.DataFrame({"id_a": ida[ii], "id_b": idb[jj], "cos": cc})
 
     return (
         blocked.unionByName(everything)

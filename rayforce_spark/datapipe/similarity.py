@@ -19,6 +19,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rayforce_spark.datapipe.dedup import cosine_from_units, dot_units, norm_units
 
@@ -395,6 +396,19 @@ def embedding_dup_pairs_lsh(
         )
         for t in range(tables)
     ])
+    if impl == "block":
+        # r9: verify INSIDE each bucket with the shared numpy block
+        # scorer (bit-equal fixed-point math, score_units_block) — each
+        # vector ships through Arrow once per table (n × tables rows
+        # total) instead of once per CANDIDATE PAIR (the "pandas" shape
+        # moved ~2 × 64 doubles × |candidates| — ~700 MB at sf0.1 for a
+        # 920-pair result), and the cross-table dropDuplicates runs on
+        # the few FINAL pairs, not millions of candidate ids. Guarded:
+        # a bucket wider than max_bucket_rows raises with the planes
+        # lever named (hot buckets are near-dup mass, but k² inside one
+        # task has a ceiling) — same guard class as pack_greedy.
+        return _lsh_pairs_block(sel, buckets, threshold,
+                                max_bucket_rows=500_000)
     # slim candidate ids: the vector column is pruned before the
     # self-join, so the (tbl, key) exchange and the pair-level
     # dropDuplicates carry ids only
@@ -440,6 +454,53 @@ def embedding_dup_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _lsh_pairs_block(sel: DataFrame, buckets, threshold: float,
+                     *, max_bucket_rows: int) -> DataFrame:
+    """Per-bucket numpy verification for embedding_dup_pairs_lsh
+    impl="block": explode (tbl, key) WITH the vector, group by bucket,
+    score the bucket's k² pairs in one Arrow batch via
+    dedup.score_units_block, emit only passing pairs, dedup across
+    tables at the end (a pair found in several tables is emitted by
+    each — final-pair dedup is tiny)."""
+    import pandas as pd
+
+    from rayforce_spark.datapipe.dedup import score_units_block
+
+    id_type = sel.schema["__id"].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("cos", T.DoubleType()),
+    ])
+    b = (sel.select("__id", "__v", F.explode(buckets).alias("bk"))
+         .select("__id", "__v", "bk.tbl", "bk.key"))
+    thr = threshold
+    limit = max_bucket_rows
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) > limit:
+            raise ValueError(
+                f"embedding_dup_pairs_lsh[block]: bucket holds "
+                f"{len(pdf)} vectors > max_bucket_rows={limit}; raise "
+                "planes= (halves expected bucket size per plane) or "
+                "use impl='pandas' (streams pairs instead of "
+                "materializing the bucket)")
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pdf["__id"][:0],
+                                 "id_b": pdf["__id"][:0],
+                                 "cos": pd.Series(dtype="float64")})
+        A = np.stack([np.asarray(x, dtype=np.float64)
+                      for x in pdf["__v"]])
+        ids = pdf["__id"].to_numpy()
+        ii, jj, cc = score_units_block(A, A, ids, ids, thr)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cos": cc})
+
+    return (b.groupBy("tbl", "key").applyInPandas(_score, out_schema)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def set_ivf(

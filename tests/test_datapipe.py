@@ -1015,13 +1015,25 @@ def test_embedding_pandas_impl_bit_equal(tables):
         e, "embedding", "vec_id", threshold=-2.0, impl="pandas").collect()}
     assert expr.keys() == pand.keys() and expr
     assert all(expr[k] == pand[k] for k in expr)  # ==, no tolerance
-    # r9: the cogrouped block scorer is the third impl of the same
-    # fixed-point spec — same keys, bit-equal values
+    # r9: the blocked scorer is the third impl of the same fixed-point
+    # spec — same keys, bit-equal values
     blk = {(r.id_a, r.id_b): r.cos for r in embedding_dup_pairs(
         e, "embedding", "vec_id", threshold=-2.0, impl="block",
         nblocks=5).collect()}
     assert expr.keys() == blk.keys()
     assert all(expr[k] == blk[k] for k in expr)
+    # and the LSH bucket scorer shares the same math: pandas vs block
+    # candidate verification agree pair-for-pair, bit-for-bit
+    from rayforce_spark.datapipe.similarity import embedding_dup_pairs_lsh
+
+    lp = {(r.id_a, r.id_b): r.cos for r in embedding_dup_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.3, dim=64, planes=2,
+        tables=8, impl="pandas").collect()}
+    lb = {(r.id_a, r.id_b): r.cos for r in embedding_dup_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.3, dim=64, planes=2,
+        tables=8, impl="block").collect()}
+    assert lp.keys() == lb.keys() and lp
+    assert all(lp[k] == lb[k] for k in lp)
 
 
 def test_repetition_pandas_impl_bit_equal(tables, spark):
