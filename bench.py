@@ -123,16 +123,27 @@ def main():
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     cs = detail.get("compare_summary", {})
-    print(json.dumps({
+    # "reps" stays in the compact line (3-decimal, ~800 chars) so the
+    # NEXT round's variance tolerance keeps both sides' spreads — the
+    # driver's BENCH_r*.json is the only record _prev_round_compare can
+    # read (BENCH_DETAIL.json is overwritten every run); whole line
+    # measured ~1.7k chars, under the driver's 2000-char output tail
+    line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "reps": {k: [round(x, 3) for x in v] for k, v in spread.items()},
         "sf": detail["sf"],
         "load_1m": load_at_start[0],
         "compare_summary": cs,
         "detail": "BENCH_DETAIL.json",
-    }))
+    }
+    out = json.dumps(line)
+    if len(out) > 1900:  # never overflow the driver's parse window
+        line.pop("reps")
+        out = json.dumps(line)
+    print(out)
 
 
 def _instance_fingerprint(spark) -> dict:

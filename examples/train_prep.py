@@ -49,7 +49,12 @@ def main():
     for epoch in range(2):
         ep = shuffle_epoch(kept.select("doc_id", "text"), "doc_id",
                            epoch=epoch, shards=4)
-        packed = pack_greedy(ep, "text", "doc_id", budget=512, shards=4)
+        # pack ALONG the epoch's layout: shard_col/order_col make the
+        # packer follow shuffle_epoch's (shard, pos) permutation instead
+        # of re-hashing by doc_id (r9 review: without these the packer
+        # silently clobbered the epoch shard — now that raises)
+        packed = pack_greedy(ep, "text", "doc_id", budget=512,
+                             shard_col="shard", order_col="pos")
         path = f"{out}/epoch={epoch}"
         write_jsonl(
             packed.repartition(4, "shard")

@@ -780,13 +780,13 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     every pair's two vectors through Arrow — 2M pairs × 128 doubles =
     ~2 GB at sf0.1 for a 920-row result; this ships n×nblocks input
     vectors and the result (sf0.1 gate row 32.1 s -> 22.9 s)."""
-    v = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    )
     if impl == "block":
         return _embedding_pairs_block(df, vec_col, id_col,
                                       threshold=threshold,
                                       nblocks=nblocks)
+    v = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
     if impl == "pandas":
         cos_fn = _cosine_units_pandas()
         pairs = (
@@ -843,7 +843,6 @@ def score_units_block(A, B, ida, idb, thr):
         out_j.append(jj)
         out_c.append(cos[ii, jj])
     if not out_i:
-        import numpy as np
         return (np.array([], dtype=int), np.array([], dtype=int),
                 np.array([], dtype=float))
     return (np.concatenate(out_i), np.concatenate(out_j),

@@ -34,32 +34,60 @@ from rayforce_spark.datapipe.sampling import hash_bucket
 from rayforce_spark.datapipe.text import token_count
 
 
+def _guard_pack_columns(df: DataFrame, added: list[str],
+                        shard_col: str | None) -> None:
+    """Both packers ADD fixed output columns — silently overwriting a
+    caller's column of the same name corrupts compositions (r9 review:
+    pack_greedy clobbered shuffle_epoch's ``shard``). Raise instead;
+    callers composing with an upstream sharding pass ``shard_col``."""
+    taken = [c for c in added if c in df.columns
+             and not (shard_col is not None and c == "shard")]
+    if taken:
+        raise ValueError(
+            f"packing: input already has column(s) {taken}; rename them "
+            "first, or pass shard_col=/order_col= to pack ALONG an "
+            "existing sharding/order (e.g. shuffle_epoch's shard/pos)")
+
+
 def pack_offsets(df: DataFrame, text_col: str, id_col: str, *,
                  budget: int, shards: int = 32, salt: int = 0,
-                 tokenizer=None) -> DataFrame:
+                 tokenizer=None, shard_col: str | None = None,
+                 order_col: str | None = None) -> DataFrame:
     """Concatenate-and-chunk packing offsets.
 
     Adds ``shard``, ``n_tok``, ``tok_start`` (exclusive token cumsum in
-    id order within the shard), ``pack_first`` = tok_start // budget
-    and ``pack_last`` = (tok_start + max(n_tok-1, 0)) // budget — the
-    first/last training chunk this document's tokens land in. A
-    document with pack_first < pack_last straddles chunk boundaries,
-    which is the point of this packing style.
+    ``order_col`` order within the shard — default: id order),
+    ``pack_first`` = tok_start // budget and ``pack_last`` =
+    (tok_start + max(n_tok-1, 0)) // budget — the first/last training
+    chunk this document's tokens land in. A document with pack_first <
+    pack_last straddles chunk boundaries, which is the point of this
+    packing style.
 
     Plan: one shuffle on the shard key, one partitioned sort, one
     running-sum window — no global window (each shard is independent),
     no Python. ``tokenizer`` defaults to the whitespace
     :func:`text.token_count`; any integer Column expression works.
+
+    Composition (r9): pass ``shard_col``/``order_col`` to pack along an
+    upstream layout instead of re-hashing — e.g. shuffle_epoch's
+    ``(shard, pos)`` gives a per-epoch-permuted packing. Pre-existing
+    output-name collisions raise instead of silently overwriting.
     """
+    _guard_pack_columns(
+        df, ["shard", "n_tok", "tok_start", "pack_first", "pack_last"],
+        shard_col)
     # null text tokenizes to null — coalesce to 0 so a null row neither
     # shifts the cumsum (SUM skips nulls) nor leaves its own tok_start/
     # pack_* null (ADVICE r8)
     n: Column = F.coalesce((tokenizer or token_count)(F.col(text_col)),
                            F.lit(0))
-    w = (Window.partitionBy("shard").orderBy(id_col)
+    order = order_col or id_col
+    w = (Window.partitionBy("shard").orderBy(order)
          .rowsBetween(Window.unboundedPreceding, -1))
+    shard_expr = (F.col(shard_col) if shard_col is not None
+                  else hash_bucket(id_col, shards, salt))
     return (
-        df.withColumn("shard", hash_bucket(id_col, shards, salt))
+        df.withColumn("shard", shard_expr)
         .withColumn("n_tok", n)
         .withColumn("tok_start",
                     F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
@@ -75,20 +103,22 @@ def pack_offsets(df: DataFrame, text_col: str, id_col: str, *,
 
 def pack_greedy(df: DataFrame, text_col: str, id_col: str, *,
                 budget: int, shards: int = 32, salt: int = 0,
-                max_shard_rows: int | None = 50_000_000) -> DataFrame:
+                max_shard_rows: int | None = 50_000_000,
+                shard_col: str | None = None,
+                order_col: str | None = None) -> DataFrame:
     """First-fit doc-boundary packing: within each shard, documents in
-    id order are appended to the current pack until the next document
-    would overflow ``budget``, which opens a new pack; an oversized
-    document (n_tok > budget) always gets a pack of its own. Adds
-    ``shard``, ``n_tok``, ``pack``.
+    ``order_col`` order (default: id order) are appended to the current
+    pack until the next document would overflow ``budget``, which opens
+    a new pack; an oversized document (n_tok > budget) always gets a
+    pack of its own. Adds ``shard``, ``n_tok``, ``pack``.
 
     The running reset makes this a stateful scan (not a prefix sum), so
     each shard packs inside one Arrow batch (applyInPandas) — and the
     same scan replays in SQL as a recursive CTE, which is how the
     oracle gate verifies it row-for-row.
 
-    Scale shape (r9): the stateful scan only needs ``(id, n_tok)`` — 16
-    bytes/row — so ONLY that slim projection goes through the Arrow
+    Scale shape (r9): the stateful scan only needs ``(id, order,
+    n_tok)`` slim columns — ONLY that projection goes through the Arrow
     batch; the pack assignment joins back onto the full rows by id. The
     text column never enters Python (the r8 shape materialized every
     column of the shard in one pandas frame — at 100 TB with the
@@ -98,12 +128,25 @@ def pack_greedy(df: DataFrame, text_col: str, id_col: str, *,
     with the shard count to pass, instead of silently OOMing the
     executor — the same class of guard as text._guard_global_window
     (pass ``max_shard_rows=None`` to disable for driver-scale input).
-    """
-    base = (df.withColumn("shard", hash_bucket(id_col, shards, salt))
+
+    Contract: ``id_col`` must be UNIQUE and NON-NULL — the join-back
+    keys on it (a null id would drop its row, a duplicated id would
+    multiply), and the packing order itself is ill-defined otherwise.
+
+    Composition (r9): pass ``shard_col``/``order_col`` to pack along an
+    upstream layout — e.g. shuffle_epoch's ``(shard, pos)`` packs each
+    epoch's permutation. Output-name collisions raise (see
+    :func:`_guard_pack_columns`)."""
+    _guard_pack_columns(df, ["shard", "n_tok", "pack"], shard_col)
+    order = order_col or id_col
+    shard_expr = (F.col(shard_col) if shard_col is not None
+                  else hash_bucket(id_col, shards, salt))
+    base = (df.withColumn("shard", shard_expr)
             .withColumn("n_tok",
                         F.coalesce(token_count(F.col(text_col)),
                                    F.lit(0))))
-    slim = base.select(id_col, "shard", "n_tok")
+    slim_cols = list(dict.fromkeys([id_col, order, "shard", "n_tok"]))
+    slim = base.select(*slim_cols)
     schema = T.StructType([slim.schema[id_col],
                            T.StructField("pack", T.LongType())])
     limit = max_shard_rows
@@ -115,7 +158,7 @@ def pack_greedy(df: DataFrame, text_col: str, id_col: str, *,
                 f"max_shard_rows={limit}; raise shards= (need >= "
                 f"~{shards * (len(pdf) + limit - 1) // limit}) or pass "
                 "max_shard_rows=None for driver-scale input")
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        pdf = pdf.sort_values(order).reset_index(drop=True)
         packs, pack, running = [], 0, 0
         for n in pdf["n_tok"]:
             n = int(n)

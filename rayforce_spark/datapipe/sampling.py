@@ -153,6 +153,12 @@ def shuffle_epoch(df: DataFrame, key: Column | str, epoch: int,
     to lay files out in permutation order."""
     from pyspark.sql import Window
 
+    taken = [c for c in ("shard", "pos") if c in df.columns]
+    if taken:
+        raise ValueError(
+            f"shuffle_epoch: input already has column(s) {taken} — "
+            "rename them first (silently overwriting corrupts "
+            "compositions with the packers, r9 review)")
     eshard = hash_bucket(key, shards, salt=salt + 1_000_003 * (epoch + 1))
     # independent second hash for the within-shard order (different
     # salt stream; ties broken by the key itself for totality)

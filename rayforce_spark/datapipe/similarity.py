@@ -554,6 +554,7 @@ def knn_ivf_indexed(
     k: int = 10,
     nprobe: int = 4,
     query_id_col: str = "vec_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """Probe a persisted IVF index (see :func:`set_ivf`): queries
     explode to their ``nprobe`` nearest lists and join the
@@ -561,12 +562,16 @@ def knn_ivf_indexed(
     only probed list directories (few queries -> dynamic partition
     pruning; broad probes read what they touch). Exact fixed-point
     cosine re-ranks, same contract as knn_ivf:
-    (query_id, neighbor_id, cos, rank)."""
+    (query_id, neighbor_id, cos, rank). ``id_type`` is only used for
+    the empty-index early return (an empty corpus writes no data dir
+    to read the corpus id type from) — pass the corpus id column's
+    Spark type name if it isn't long, so empty and populated probes
+    union cleanly."""
     centroids = load_ivf_centroids(spark, path)
     if not centroids:
         return (queries.select(F.col(query_id_col).alias("query_id"))
                 .limit(0)
-                .withColumn("neighbor_id", F.lit(None).cast("long"))
+                .withColumn("neighbor_id", F.lit(None).cast(id_type))
                 .withColumn("cos", F.lit(0.0))
                 .withColumn("rank", F.lit(1)))
     c = spark.read.parquet(f"{path}/data").withColumn(

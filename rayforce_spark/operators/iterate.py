@@ -190,27 +190,47 @@ def apply_grouped(
                                               sort=False)]
             return pd.concat(outs, ignore_index=True) if outs else None
 
-        tail = None
+        def key_of(frame, idx):
+            return tuple(frame.iloc[idx][k] for k in keys)
+
+        def same_key(a, b):
+            return all(
+                (x == y) or (pd.isna(x) and pd.isna(y))
+                for x, y in zip(a, b))
+
+        # the carried (possibly batch-spanning) trailing group
+        # accumulates as a LIST of fragments and concatenates once at
+        # flush time — re-concatenating the whole tail into every new
+        # batch would cost O(k²) row copies for a group spanning k
+        # Arrow batches (a 10M-row skewed group is ~1000 batches)
+        frags: list = []
         for pdf in batches:
-            if tail is not None and len(tail):
-                pdf = pd.concat([tail, pdf], ignore_index=True)
             if not len(pdf):
                 continue
+            if frags and not same_key(key_of(frags[-1], -1),
+                                      key_of(pdf, 0)):
+                out = run_all(pd.concat(frags, ignore_index=True))
+                frags = []
+                if out is not None and len(out):
+                    yield out
             # rows arrive sorted by keys within the partition; every
             # complete group (key != last row's key) can flush now, the
-            # last key's rows wait for the next batch
-            last = tuple(pdf.iloc[-1][k] for k in keys)
+            # last key's run waits for the next batch
+            last = key_of(pdf, -1)
             is_tail = pd.Series(True, index=pdf.index)
             for k, v in zip(keys, last):
                 is_tail &= pdf[k].eq(v) | (pdf[k].isna() & pd.isna(v))
-            tail = pdf[is_tail]
             head = pdf[~is_tail]
             if len(head):
+                if frags:  # carried run continues into head's first group
+                    head = pd.concat([*frags, head], ignore_index=True)
+                    frags = []
                 out = run_all(head)
                 if out is not None and len(out):
                     yield out
-        if tail is not None and len(tail):
-            out = run_all(tail.reset_index(drop=True))
+            frags.append(pdf[is_tail])
+        if frags:
+            out = run_all(pd.concat(frags, ignore_index=True))
             if out is not None and len(out):
                 yield out
 

@@ -273,8 +273,12 @@ def main():
         y = spark.read.parquet(os.path.join(DATA, "J1_big.parquet")).cache()
         x.count(); y.count()
         jkeys = ["id1", "id2"]
+        # deterministic FIRST per key — the reference's index-probe rule
+        # (live-pinned r8; r9 aligned both H2O join rows with the
+        # first-wins default left_join now carries, so ij and lj measure
+        # the SAME dedup semantics)
         ydd = dedup_last(
-            y, jkeys, order_col=F.struct("id3", "v2"))  # deterministic last
+            y, jkeys, order_col=F.struct("id3", "v2"), keep="first")
 
         # reference ij/lj route through the key->single-row index: right
         # side deduped, output multiplicity = left rows (1e7), NOT the

@@ -1160,6 +1160,40 @@ def test_pack_null_text_and_shard_guard(spark):
                        max_shard_rows=None).count() == 10
 
 
+def test_pack_compose_with_epoch_shuffle(spark):
+    # r9 review fixes: (a) output-name collisions raise instead of
+    # silently clobbering an upstream shard column; (b) shard_col/
+    # order_col pack ALONG shuffle_epoch's (shard, pos) permutation —
+    # different epochs then yield different pack assignments, same
+    # epoch is deterministic
+    import pytest
+
+    from rayforce_spark.datapipe import pack_greedy, shuffle_epoch
+
+    d = spark.range(80).select(
+        F.col("id").alias("doc_id"), F.lit("w x y z").alias("text"))
+    ep0 = shuffle_epoch(d, "doc_id", epoch=0, shards=3)
+    with pytest.raises(ValueError, match="shard_col"):
+        pack_greedy(ep0, "text", "doc_id", budget=16)  # would clobber
+    with pytest.raises(ValueError, match="rename"):
+        shuffle_epoch(ep0, "doc_id", epoch=1)  # shard/pos taken
+
+    def packing(epoch):
+        ep = shuffle_epoch(d, "doc_id", epoch=epoch, shards=3)
+        p = pack_greedy(ep, "text", "doc_id", budget=16,
+                        shard_col="shard", order_col="pos")
+        return {r.doc_id: (r.shard, r.pos, r.pack) for r in p.collect()}
+
+    a = packing(0)
+    assert len(a) == 80
+    assert a == packing(0)          # deterministic
+    assert a != packing(1)          # epoch changes the permutation
+    # packs follow pos order within each epoch shard: 4 tokens/doc at
+    # budget 16 -> pack boundaries every 4 docs in pos order
+    for doc, (shard, pos, pack) in a.items():
+        assert pack == pos // 4, (doc, shard, pos, pack)
+
+
 def test_pack_greedy_slim_arrow_batch(spark):
     # the text column must never enter the Arrow batch — the stateful
     # scan runs over (id, shard, n_tok) only and joins back (r9 scale
