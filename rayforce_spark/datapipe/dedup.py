@@ -407,6 +407,16 @@ def jaccard_dup_pairs(
       similarity. Sizes are recomputed over the REDUCED sets to keep
       numerator and denominator consistent. Composes with the prefix
       filter (applied first).
+    The prefix path also applies PPJoin's POSITIONAL filter (Xiao et
+    al., WWW'08): prefix tokens carry their position in the sorted token
+    array, and a candidate occurrence is pruned join-locally when the
+    suffixes past the matching positions cannot reach the required
+    overlap t/(1+t)·(|a|+|b|). Scalars only (no array carry — a variant
+    carrying prefix ARRAYS for exact-once emission measured 32% slower:
+    28.6M wide join-output rows cost more than the 16-byte-row dedup
+    shuffle they saved), exact by the earliest-shared-token argument
+    (documented at the filter), and it cuts the candidate-dedup shuffle
+    volume ~2× at sf0.1.
     """
     # explode shingle HASHES, not strings: Jaccard only needs set
     # membership, and the inverted-index shuffle moves 8-byte longs
@@ -491,9 +501,32 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
     plen = (F.col("sz")
             - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1))
                       / F.lit(den)).cast("int") + 1)
+    # prefix rows carry the token's 1-based POSITION in the (df,tok)-sorted
+    # token array — a scalar, so the positional filter below runs in the
+    # join stage with zero extra width
     pref = (
-        docs.select("__id", "sz", F.explode(
-            F.slice("__toks", 1, plen)).alias("tok"))
+        docs.select("__id", "sz", F.posexplode(
+            F.slice("__toks", 1, plen)).alias("__p0", "tok"))
+        .select("__id", "sz", (F.col("__p0") + 1).alias("pos"), "tok")
+    )
+    # size filter: Jaccard >= t needs min(sz) >= t * max(sz)
+    size_ok = (F.least("a.sz", "b.sz") * den
+               >= F.greatest("a.sz", "b.sz") * num)
+    # PPJoin positional filter (Xiao et al., WWW'08 — public literature):
+    # J >= t needs overlap i >= t/(1+t)*(sz_a+sz_b); matching at sorted
+    # positions (pos_a, pos_b), the intersection from this token onward
+    # is at most 1 + min(sz_a-pos_a, sz_b-pos_b). For each pair's
+    # EARLIEST shared token there are no shared tokens before it, so the
+    # bound is exact there and a qualifying pair always survives; later
+    # (duplicate) emissions and hopeless candidates are pruned BEFORE
+    # the candidate-dedup shuffle (integer k >= rational q iff
+    # k*(num+den) >= num*(sz_a+sz_b); num is quantized DOWN, which only
+    # loosens the bound — exactness preserved).
+    pos_ok = (
+        (F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos"),
+                            F.col("b.sz") - F.col("b.pos")))
+        * F.lit(num + den)
+        >= (F.col("a.sz") + F.col("b.sz")) * F.lit(num)
     )
     cand = (
         pref.alias("a")
@@ -501,9 +534,7 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
             pref.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.__id") < F.col("b.__id"))
-            # size filter: Jaccard >= t needs min(sz) >= t * max(sz)
-            & (F.least("a.sz", "b.sz") * den
-               >= F.greatest("a.sz", "b.sz") * num),
+            & size_ok & pos_ok,
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()

@@ -416,9 +416,12 @@ def test_jaccard_max_doc_freq(spark):
 
 
 def test_jaccard_prefix_filter_equals_brute(spark):
-    """The AllPairs/PPJoin prefix filter is EXACT: identical pair set and
-    jaccard values vs the brute inverted-index join, at thresholds that
-    stress the integer ceil arithmetic (0.8*5 must round to 4, not 5)."""
+    """The AllPairs/PPJoin prefix filter (incl. the positional suffix
+    bound) is EXACT: identical pair set and jaccard values vs the brute
+    inverted-index join, at thresholds that stress the integer ceil
+    arithmetic (0.8*5 must round to 4, not 5) and the positional
+    alpha = t/(1+t)*(sz_a+sz_b) bound (0.5 makes alpha exactly a third
+    of the combined size)."""
     import random
 
     random.seed(17)
@@ -432,7 +435,7 @@ def test_jaccard_prefix_filter_equals_brute(spark):
         base[random.randrange(len(base))] = random.choice(vocab)
         rows.append((i, " ".join(base)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    for t in (0.3, 0.8, 0.95):
+    for t in (0.3, 0.5, 0.8, 0.95):
         brute = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
                  jaccard_dup_pairs(df, "text", "doc_id", threshold=t,
                                    prefix_filter=False).collect()}
