@@ -115,36 +115,132 @@ def _hyperplanes(dim: int, planes: int, table: int, seed: int) -> list[list[floa
     return out
 
 
-def _bucket_key(vec_col, hyperplanes) -> F.Column:
-    """Sign-bit signature of the vector against each hyperplane -> long."""
-    key = F.lit(0).cast("long")
+def _sql_arr(vec: list[float]) -> str:
+    """A literal array<double> as SQL text. ``repr(float)`` is the
+    shortest string that round-trips binary64 and Spark's parser is
+    correctly rounded, so the planned value is bit-identical to an
+    F.lit chain (verified) — but ONE F.expr hop instead of dim+1 py4j
+    round trips (a 16-plane LSH key pair measured 6.4 s of plan build
+    the Column way, ~0.1 s as SQL text)."""
+    return "array(" + ",".join(f"{float(w)!r}D" for w in vec) + ")"
+
+
+def _qname(col_name: str) -> str:
+    return "`" + col_name.replace("`", "``") + "`"
+
+
+def _bucket_key(vec_name: str, hyperplanes) -> F.Column:
+    """Sign-bit signature of the vector column (BY NAME) against each
+    hyperplane -> long. Built as one SQL string — see _sql_arr."""
+    v = _qname(vec_name)
+    terms = []
     for i, plane in enumerate(hyperplanes):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v,
+        dot = (f"aggregate(zip_with({v}, {_sql_arr(plane)},"
+               " (x, y) -> x * y), 0.0D, (acc, e) -> acc + e)")
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << i}L ELSE 0L END)")
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+def _bucket_keys_pandas(dim: int, planes: int, tables: int, seed: int):
+    """Arrow twin of _bucket_key for ALL tables at once: embedding ->
+    array<long> of ``tables`` bucket keys, one numpy batch pass.
+
+    BIT-EQUAL to the expr path by construction: the plane dot is
+    accumulated SEQUENTIALLY over dimensions (one vectorized
+    multiply-then-add per dimension, binary64 both ways), which is the
+    exact rounding sequence of the interpreted aggregate(zip_with) fold
+    — numpy's own dot/sum would pairwise-split the reduction and could
+    flip a sign at a bucket boundary. Pinned by
+    test_lsh_bucket_keys_pandas_bit_equal.
+
+    Why it exists: the HOF fold is interpreted row-at-a-time JVM-side
+    (no codegen), so tables x planes x dim multiply-adds per row ran
+    ~4 s single-core on a 1-split input at sf0.1; the numpy twin is two
+    matrix ops per Arrow batch and parallelizes with input splits the
+    same way.
+
+    Degenerate inputs follow the expr path's null story: a null vector
+    or a length != dim vector keys to 0 for every table (any null in
+    the fold nulls the dot; CASE null>=0 is false for every plane).
+    NaN ELEMENTS are the one documented divergence: Spark's NaN
+    ordering makes NaN >= 0 true (bit 1), the twin's nan-poisoned
+    accumulator reads false (bit 0) — don't feed NaN embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    flat = []
+    for t in range(tables):
+        flat.extend(_hyperplanes(dim, planes, t, seed))
+    W = np.asarray(flat, dtype=np.float64).T.copy()  # dim x (tables*planes)
+    weights = np.left_shift(np.int64(1), np.arange(planes, dtype=np.int64))
+
+    def keys(vs):
+        n = len(vs)
+        out = np.zeros((n, tables), dtype=np.int64)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vs), bool, n)
+        if ok.any():
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v, o in zip(vs, ok) if o])
+            acc = np.zeros((M.shape[0], W.shape[1]))
+            for d in range(dim):  # sequential over dims = fold order
+                acc += M[:, d][:, None] * W[d]
+            bits = (acc >= 0.0).reshape(-1, tables, planes)
+            out[ok] = (bits * weights).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(out))
+
+    # explicit annotation objects: the module's `from __future__ import
+    # annotations` leaves string hints pandas_udf can't resolve without
+    # module-global pandas
+    keys.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(keys, T.ArrayType(T.LongType()))
+
+
+def _bucket_structs(vec_name: str, *, dim: int, planes: int, tables: int,
+                    seed: int, key_impl: str = "pandas") -> F.Column:
+    """array<struct<tbl:int, key:long>> of all ``tables`` bucket keys
+    for the vector column (BY NAME) — the shared bucket constructor for
+    every LSH consumer. ``key_impl="pandas"`` (default) is the Arrow
+    twin (see _bucket_keys_pandas); ``"expr"`` is the pure-JVM
+    expression path (authoritative for degenerate NaN inputs)."""
+    if key_impl == "pandas":
+        ks = _bucket_keys_pandas(dim, planes, tables, seed)(F.col(vec_name))
+        return F.transform(
+            ks, lambda k, i: F.struct(i.cast("int").alias("tbl"),
+                                      k.alias("key")))
+    if key_impl != "expr":
+        raise ValueError(f"unknown key_impl: {key_impl!r} "
+                         "(expected 'pandas' or 'expr')")
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_key(vec_name,
+                        _hyperplanes(dim, planes, t, seed)).alias("key"),
         )
-        key = key + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return key
-
-
-def _sq_dist(vec_col, centroid: list[float]) -> F.Column:
-    """Squared L2 distance of a vector column to a literal centroid."""
-    arr = F.array(*[F.lit(float(w)) for w in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, arr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
-
-
-def _nearest(vec_col, centroids: list[list[float]], nprobe: int) -> F.Column:
-    """Indices of the ``nprobe`` nearest centroids as array<int> —
-    array_sort over (distance, index) structs, lexicographic min first."""
-    scored = F.array(*[
-        F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)
+        for t in range(tables)
     ])
-    return F.slice(F.array_sort(scored), 1, nprobe).getField("i")
+
+
+def _sq_dist_sql(vec_name: str, centroid: list[float]) -> str:
+    """Squared L2 distance of a vector column (BY NAME) to a literal
+    centroid, as SQL text."""
+    v = _qname(vec_name)
+    return (f"aggregate(zip_with({v}, {_sql_arr(centroid)},"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, e) -> acc + e)")
+
+
+def _nearest(vec_name: str, centroids: list[list[float]],
+             nprobe: int) -> F.Column:
+    """Indices of the ``nprobe`` nearest centroids as array<int> —
+    array_sort over (distance, index) structs, lexicographic min first.
+    One SQL string (see _sql_arr): nlist x dim literals as Columns cost
+    a py4j hop per element, re-paid every Lloyd's iteration."""
+    scored = "array(" + ",".join(
+        f"struct({_sq_dist_sql(vec_name, c)} AS d, {i} AS i)"
+        for i, c in enumerate(centroids)
+    ) + ")"
+    return F.expr(f"transform(slice(array_sort({scored}), 1, {int(nprobe)}),"
+                  " s -> s.i)")
 
 
 def ivf_train(
@@ -198,7 +294,7 @@ def ivf_train(
 
     for _ in range(iters):
         assigned = sample.select(
-            "__v", _nearest(F.col("__v"), centroids, 1)[0].alias("__c")
+            "__v", _nearest("__v", centroids, 1)[0].alias("__c")
         )
         means = (
             assigned.groupBy("__c")
@@ -257,12 +353,12 @@ def knn_ivf(
         )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__list", _nearest(F.col("__cv"), centroids, 1)[0]) \
+    ).withColumn("__list", _nearest("__cv", centroids, 1)[0]) \
         .withColumn("__cn", norm_units(F.col("__cv")))
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn(
-        "__list", F.explode(_nearest(F.col("__qv"), centroids, nprobe))
+        "__list", F.explode(_nearest("__qv", centroids, nprobe))
     ).withColumn("__qn", norm_units(F.col("__qv")))
     cand = q.join(c, "__list").select(
         "query_id", "neighbor_id",
@@ -292,6 +388,7 @@ def knn_lsh(
     tables: int = 4,
     seed: int = 42,
     query_id_col: str | None = None,
+    key_impl: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidate retrieval +
     exact cosine re-rank. Each side computes ``tables`` bucket keys; the
@@ -299,7 +396,9 @@ def knn_lsh(
     broadcast or skew-split. Candidate retrieval and the multi-table
     dropDuplicates are SLIM (id pairs only); vectors re-attach after the
     dedup via per-side hash joins, so vector bytes move O(n) per side,
-    not O(candidate pairs). Returns (query_id, neighbor_id, cos, rank)."""
+    not O(candidate pairs). Bucket keys default to the Arrow twin
+    (bit-equal, see _bucket_keys_pandas). Returns (query_id,
+    neighbor_id, cos, rank)."""
     qid = query_id_col or id_col
 
     def payload(df, idc, out_id):
@@ -308,14 +407,9 @@ def knn_lsh(
         ).withColumn(f"__{out_id}_n", norm_units(F.col(f"__{out_id}_v")))
 
     def slim_buckets(sel, out_id):
-        buckets = F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucket_key(F.col(f"__{out_id}_v"),
-                            _hyperplanes(dim, planes, t, seed)).alias("key"),
-            )
-            for t in range(tables)
-        ])
+        buckets = _bucket_structs(
+            f"__{out_id}_v", dim=dim, planes=planes, tables=tables,
+            seed=seed, key_impl=key_impl)
         return sel.select(out_id, F.explode(buckets).alias("bk")) \
                   .select(out_id, "bk.tbl", "bk.key")
 
@@ -355,6 +449,7 @@ def embedding_dup_pairs_lsh(
     tables: int = 8,
     seed: int = 42,
     impl: str = "expr",
+    key_impl: str = "pandas",
 ) -> DataFrame:
     """Corpus-scale embedding near-duplicate pairs: hyperplane-LSH
     candidate buckets + exact cosine verification — the scale path for
@@ -388,14 +483,9 @@ def embedding_dup_pairs_lsh(
     sel = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn("__nu", norm_units(F.col("__v")))
-    buckets = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            _bucket_key(F.col("__v"),
-                        _hyperplanes(dim, planes, t, seed)).alias("key"),
-        )
-        for t in range(tables)
-    ])
+    buckets = _bucket_structs("__v", dim=dim, planes=planes,
+                              tables=tables, seed=seed,
+                              key_impl=key_impl)
     if impl == "block":
         # r9: verify INSIDE each bucket with the shared numpy block
         # scorer (bit-equal fixed-point math, score_units_block) — each
@@ -531,7 +621,7 @@ def set_ivf(
     if centroids:
         (corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("__cv"))
-         .withColumn("__list", _nearest(F.col("__cv"), centroids, 1)[0])
+         .withColumn("__list", _nearest("__cv", centroids, 1)[0])
          .write.partitionBy("__list").mode("overwrite")
          .parquet(f"{path}/data"))
     return centroids
@@ -579,7 +669,7 @@ def knn_ivf_indexed(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn(
-        "__list", F.explode(_nearest(F.col("__qv"), centroids, nprobe))
+        "__list", F.explode(_nearest("__qv", centroids, nprobe))
     ).withColumn("__qn", norm_units(F.col("__qv")))
     cand = q.join(c, "__list").select(
         "query_id", "neighbor_id",

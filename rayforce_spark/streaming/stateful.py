@@ -402,7 +402,7 @@ def stream_embedding_neardup(
         hp = _hyperplanes(dim, planes, t, seed)
         per_table.append(F.struct(
             F.lit(t).alias("t"),
-            _bucket_key(F.col(vec_col), hp).alias("k"),
+            _bucket_key(vec_col, hp).alias("k"),
         ))
     bucketed = stream.select(
         F.col(id_col).alias("__id"),

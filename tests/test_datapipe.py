@@ -200,6 +200,38 @@ def test_knn_lsh_recall(tables):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_lsh_bucket_keys_pandas_bit_equal(tables, spark):
+    """The Arrow bucket-key twin is BIT-identical to the JVM expression
+    path on every corpus vector (sequential-accumulation rounding
+    argument in _bucket_keys_pandas' docstring; this is the empirical
+    pin), and keys degenerate inputs (null vector, wrong length) to 0
+    exactly like the expression fold's null story."""
+    from rayforce_spark.datapipe.similarity import _bucket_structs
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    kw = dict(dim=64, planes=5, tables=7, seed=123)
+    both = emb.select(
+        "vec_id",
+        _bucket_structs("embedding", key_impl="expr", **kw).alias("e"),
+        _bucket_structs("embedding", key_impl="pandas", **kw).alias("p"),
+    ).collect()
+    assert both
+    for r in both:
+        assert [x.asDict() for x in r.e] == [x.asDict() for x in r.p]
+    weird = spark.createDataFrame(
+        [(1, None), (2, [0.5, -0.25]), (3, [0.0] * 70)],
+        "id long, embedding array<double>",
+    )
+    rows = weird.select(
+        "id",
+        _bucket_structs("embedding", key_impl="expr", **kw).alias("e"),
+        _bucket_structs("embedding", key_impl="pandas", **kw).alias("p"),
+    ).collect()
+    for r in rows:
+        assert [x.asDict() for x in r.e] == [x.asDict() for x in r.p]
+        assert all(x.key == 0 for x in r.p)
+
+
 def test_knn_ivf_recall(tables):
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
