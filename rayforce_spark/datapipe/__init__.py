@@ -26,7 +26,10 @@ from rayforce_spark.datapipe.dedup import (
     dedup_segments,
     embedding_dup_pairs,
     jaccard_dup_pairs,
+    extend_minhash_index,
+    minhash_index_pairs,
     minhash_lsh_pairs,
+    set_minhash_index,
     simhash,
     simhash_dup_pairs,
 )
@@ -99,7 +102,10 @@ __all__ = [
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
     "jaccard_dup_pairs",
+    "extend_minhash_index",
+    "minhash_index_pairs",
     "minhash_lsh_pairs",
+    "set_minhash_index",
     "simhash",
     "simhash_dup_pairs",
     "ivf_train",

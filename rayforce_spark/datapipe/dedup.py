@@ -236,6 +236,36 @@ def minhash_signature_numpy(num_perm: int):
     return pandas_udf(_sig, "array<long>")
 
 
+def _minhash_sig(shingled: DataFrame, *, num_perm: int,
+                 sig_impl: str = "expr") -> DataFrame:
+    """(__id, __sig) signatures over a (__id, __bh) shingle-hash stream
+    — the shared signature stage for the pair join and the persisted
+    index (identical family, so their buckets are interchangeable)."""
+    if sig_impl == "numpy":
+        sig_col = minhash_signature_numpy(num_perm)(F.col("__bh"))
+    else:
+        sig_col = minhash_signature_from_hashes(F.col("__bh"),
+                                                num_perm=num_perm)
+    return shingled.select("__id", sig_col.alias("__sig"))
+
+
+def _band_buckets(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
+    """(__id, __bucket) LSH band buckets: each band's signature slice
+    hashed with the band index as seed (so bucket values collide across
+    bands only by 64-bit accident and a single bucket column suffices).
+    Single parsed expr string (vs ``bands`` composed F.hash(F.slice())
+    Columns): same plan, one py4j hop — see with_shingle_hashes."""
+    rows_per_band = num_perm // bands
+    band_exprs = ", ".join(
+        f"hash(slice(__sig, {b * rows_per_band + 1}, {rows_per_band}), {b})"
+        for b in range(bands)
+    )
+    return sig.select(
+        "__id",
+        F.expr(f"explode(array({band_exprs}))").alias("__bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -276,7 +306,6 @@ def minhash_lsh_pairs(
     0.55-0.71 s min-of-6) — it moves every document's array to save a
     scan-stage recompute that is cheaper than the move. Kept for corpora
     where shingling dominates (very long documents / large k)."""
-    rows_per_band = num_perm // bands
     shingled_in = with_shingle_hashes(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         "__text", shingle_k, "__bh",
@@ -284,21 +313,8 @@ def minhash_lsh_pairs(
     if reuse_shingles:
         shingled_in = shingled_in.repartition(
             df.sparkSession.sparkContext.defaultParallelism // 2 or 1)
-    if sig_impl == "numpy":
-        sig_col = minhash_signature_numpy(num_perm)(F.col("__bh"))
-    else:
-        sig_col = minhash_signature_from_hashes(F.col("__bh"), num_perm=num_perm)
-    sig = shingled_in.select("__id", sig_col.alias("__sig"))
-    # single parsed expr string (vs `bands` composed F.hash(F.slice(...))
-    # Columns): same plan, one py4j hop — see with_shingle_hashes
-    band_exprs = ", ".join(
-        f"hash(slice(__sig, {b * rows_per_band + 1}, {rows_per_band}), {b})"
-        for b in range(bands)
-    )
-    banded = sig.select(
-        "__id",
-        F.expr(f"explode(array({band_exprs}))").alias("__bucket"),
-    )
+    sig = _minhash_sig(shingled_in, num_perm=num_perm, sig_impl=sig_impl)
+    banded = _band_buckets(sig, num_perm=num_perm, bands=bands)
     # bucket -> id list -> within-bucket pairs. A groupBy of the NARROW
     # (id, bucket) rows: the signature subtree is evaluated once (a
     # banded⋈banded self-join would compute it per side — Catalyst can't
@@ -361,6 +377,116 @@ def minhash_lsh_pairs(
         s2.withColumn("jaccard", F.try_divide(inter, uni))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_parts(df: DataFrame, text_col: str, id_col: str, *,
+                   num_perm: int, bands: int, shingle_k: int,
+                   sig_impl: str) -> tuple[DataFrame, DataFrame]:
+    """(shingles, buckets) for a batch — the two persisted legs of the
+    MinHash index. Shingles are computed twice (signature input +
+    persisted verify sets) — two scan-stage passes, no array shuffle,
+    the same recompute-over-move trade minhash_lsh_pairs documents."""
+    shingled = with_shingle_hashes(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__t", shingle_k, "__bh",
+    ).select("__id", "__bh")
+    sig = _minhash_sig(shingled, num_perm=num_perm, sig_impl=sig_impl)
+    return shingled, _band_buckets(sig, num_perm=num_perm, bands=bands)
+
+
+def set_minhash_index(corpus: DataFrame, path: str, text_col: str,
+                      id_col: str, *, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, sig_impl: str = "expr") -> None:
+    """Persist a MinHash-LSH dedup INDEX — the continuous-ingestion
+    twin of :func:`minhash_lsh_pairs` (reference analog: the dedup
+    workflows its docs build from pair output, run incrementally as a
+    corpus grows; same shape as similarity.set_ivf's train-once/
+    probe-many layout). Writes under ``path``:
+
+    - ``_meta``      — the banding parameters (probes and extensions
+      MUST band identically or buckets don't line up; they read this
+      sidecar rather than trusting call-site kwargs),
+    - ``buckets``    — (__id, __bucket), bands rows per doc, 16 bytes
+      each: the slim candidate-join side,
+    - ``shingles``   — (__id, __bh shingle-hash array): the exact-
+      Jaccard verify side.
+
+    Scale: a new batch joins the on-disk bucket table and re-reads
+    NOTHING else of the old corpus — no re-shingling, no re-signing,
+    no corpus shuffle; index bytes are O(corpus × bands) longs plus
+    the shingle sets. Ids must be unique across all batches ever
+    written (the same contract as packing's join-back id)."""
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(num_perm), int(bands), int(shingle_k), str(sig_impl))],
+        "num_perm int, bands int, shingle_k int, sig_impl string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    shingled, buckets = _minhash_parts(
+        corpus, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, sig_impl=sig_impl)
+    buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    shingled.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def _read_minhash_meta(spark, path: str) -> dict:
+    r = spark.read.parquet(f"{path}/_meta").collect()[0]
+    return {"num_perm": r["num_perm"], "bands": r["bands"],
+            "shingle_k": r["shingle_k"], "sig_impl": r["sig_impl"]}
+
+
+def extend_minhash_index(new_df: DataFrame, path: str, text_col: str,
+                         id_col: str) -> None:
+    """Append a new batch to a persisted MinHash index (banding
+    parameters come from the index's own ``_meta`` sidecar). The
+    existing index files are untouched — this is the ingest step of
+    the dedup-then-extend loop."""
+    meta = _read_minhash_meta(new_df.sparkSession, path)
+    shingled, buckets = _minhash_parts(new_df, text_col, id_col, **meta)
+    buckets.write.mode("append").parquet(f"{path}/buckets")
+    shingled.write.mode("append").parquet(f"{path}/shingles")
+
+
+def minhash_index_pairs(spark, path: str, new_df: DataFrame,
+                        text_col: str, id_col: str, *,
+                        threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs of a NEW batch against a persisted MinHash
+    index (see :func:`set_minhash_index`): returns (new_id, index_id,
+    jaccard) with jaccard >= threshold, exact-verified — identical
+    family and banding as the index (read from ``_meta``), so a doc
+    re-probed against an index containing itself pairs with exactly
+    its true near-duplicates (self-pairs on equal ids are excluded).
+
+    Plan: the batch's bucket rows join the on-disk bucket table (slim
+    16-byte rows; AQE broadcasts the smaller side), candidate pairs
+    dedup across bands, then exact Jaccard verifies via ONE join to the
+    batch's shingle sets and ONE to the persisted ones. The indexed
+    corpus is never re-shingled; intra-batch pairs are
+    minhash_lsh_pairs(new_df)'s job."""
+    meta = _read_minhash_meta(spark, path)
+    shingled, buckets = _minhash_parts(new_df, text_col, id_col, **meta)
+    idx = spark.read.parquet(f"{path}/buckets")
+    cand = (
+        buckets.alias("n")
+        .join(idx.alias("o"), "__bucket")
+        .select(F.col("n.__id").alias("new_id"),
+                F.col("o.__id").alias("index_id"))
+        .filter(F.col("new_id") != F.col("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    old_sh = spark.read.parquet(f"{path}/shingles")
+    s1 = cand.join(
+        shingled.select(F.col("__id").alias("new_id"),
+                        F.col("__bh").alias("__sa")), "new_id")
+    s2 = s1.join(
+        old_sh.select(F.col("__id").alias("index_id"),
+                      F.col("__bh").alias("__sb")), "index_id")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    uni = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    return (
+        s2.withColumn("jaccard", F.try_divide(inter, uni))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
     )
 
 

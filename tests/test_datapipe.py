@@ -103,6 +103,55 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in got)
 
 
+def test_minhash_index_incremental_matches_full_run(tables, tmp_path, spark):
+    """The persisted MinHash index is the incremental twin of
+    minhash_lsh_pairs: probing a new batch against an index of the old
+    corpus yields EXACTLY the full run's cross-batch pairs (same
+    signature family and banding via the _meta sidecar -> identical
+    buckets -> identical candidates -> identical exact verify), and
+    extend + re-probe grows coverage to both earlier batches."""
+    from rayforce_spark.datapipe import (
+        extend_minhash_index, minhash_index_pairs, set_minhash_index)
+
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    kw = dict(num_perm=32, bands=16, shingle_k=1)
+    full = minhash_lsh_pairs(docs, "text", "doc_id",
+                             threshold=0.5, **kw).collect()
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in full
+        if (r.id_a in old_ids) != (r.id_b in old_ids)  # cross pairs only
+    }
+    assert want, "fixture must contain cross-batch near-dups"
+    path = str(tmp_path / "mh_idx")
+    set_minhash_index(old, path, "text", "doc_id", **kw)
+    got_rows = minhash_index_pairs(spark, path, new, "text", "doc_id",
+                                   threshold=0.5).collect()
+    got = {(min(r.new_id, r.index_id), max(r.new_id, r.index_id),
+            round(r.jaccard, 9)) for r in got_rows}
+    assert got == want
+    assert all(r.index_id in old_ids for r in got_rows)
+    # ingest loop: extend with the new batch, probe a third batch — now
+    # pairs land against BOTH earlier batches
+    third = spark.createDataFrame(
+        [(10_000_000 + r.doc_id, r.text)
+         for r in new.limit(3).collect()],
+        "doc_id long, text string",
+    )
+    extend_minhash_index(new, path, "text", "doc_id")
+    got3 = minhash_index_pairs(spark, path, third, "text", "doc_id",
+                               threshold=0.5).collect()
+    # each copy must pair with its identical original (jaccard 1.0),
+    # which lives in the EXTENDED part of the index
+    copies = {r.doc_id for r in third.collect()}
+    exact_hits = {(r.new_id, r.index_id) for r in got3
+                  if r.jaccard == 1.0}
+    for cid in copies:
+        assert (cid, cid - 10_000_000) in exact_hits
+
+
 def test_minhash_numpy_signature_same_pairs(spark, tables):
     # the Arrow-vectorized signature family is interchangeable with the
     # expression fold: at bands=num_perm both have exact recall, so the
