@@ -1128,7 +1128,12 @@ def q_quality_filter(spark, sf):
     (d,) = _t(spark, sf, "documents")
     train = d.filter(F.col("doc_id") % 97 != 0)
     ev = d.filter(F.col("doc_id") % 97 == 0)
-    kept = filter_by_quality_quantile(train, "text", q=0.5, by="lang")
+    # the quantile-filter output feeds FOUR plan sites inside
+    # bigram_lm_score (unigram/bigram model aggs, the per-doc bigram
+    # stream, and the score re-attach join) — materialize the window
+    # pipeline once instead of once per site
+    kept = filter_by_quality_quantile(
+        train, "text", q=0.5, by="lang").localCheckpoint(eager=False)
     lm_kept = filter_by_lm_quantile(kept, "text", "doc_id", q=0.9,
                                     by="lang", keep_score=True)
     return decontaminate(lm_kept, ev, "text", "doc_id", n=3).select(

@@ -46,8 +46,8 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
     and both models join against the same per-doc bigram-count stream —
     the two-scoring formulation re-exploded and re-joined the whole
     corpus per model (~2x the heavy side for identical numbers)."""
-    uni_r, big_r, v_r = _lm_counts(raw, text_col)
-    uni_t, big_t, v_t = _lm_counts(target, text_col)
+    uni_r, big_r, v_r = _lm_counts(raw, text_col, vname="__Vr")
+    uni_t, big_t, v_t = _lm_counts(target, text_col, vname="__Vt")
     doc_g = _doc_bigram_counts(raw, text_col, id_col)
     j = (doc_g
          .join(big_r.withColumnRenamed("c2", "c2r"), "g", "left")
@@ -56,11 +56,17 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
          .join(uni_r.withColumnRenamed("w", "w1")
                .withColumnRenamed("c1", "c1r"), "w1", "left")
          .join(uni_t.withColumnRenamed("w", "w1")
-               .withColumnRenamed("c1", "c1t"), "w1", "left"))
+               .withColumnRenamed("c1", "c1t"), "w1", "left")
+         # both vocabulary sizes ride in as ONE-ROW broadcast hash
+         # joins on a constant key (see _lm_counts) — no eager count
+         # pass over either corpus
+         .withColumn("__one", F.lit(1))
+         .join(F.broadcast(v_r.withColumn("__one", F.lit(1))), "__one")
+         .join(F.broadcast(v_t.withColumn("__one", F.lit(1))), "__one"))
     per = j.groupBy("__did").agg(
-        F.round(F.sum(F.col("__n") * _lm_nll("c2r", "c1r", v_r, alpha))
+        F.round(F.sum(F.col("__n") * _lm_nll("c2r", "c1r", "__Vr", alpha))
                 / F.sum("__n"), 6).alias("__nll_raw"),
-        F.round(F.sum(F.col("__n") * _lm_nll("c2t", "c1t", v_t, alpha))
+        F.round(F.sum(F.col("__n") * _lm_nll("c2t", "c1t", "__Vt", alpha))
                 / F.sum("__n"), 6).alias("__nll_tgt"))
     return (
         raw.join(per, raw[id_col] == per["__did"], "left")

@@ -333,7 +333,9 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
         doc_g.join(big, "g", "left")
         .withColumn("w1", F.split("g", " ").getItem(0))
         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
-        .withColumn("__nll", _lm_nll("c2", "c1", v, alpha))
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(v.withColumn("__one", F.lit(1))), "__one")
+        .withColumn("__nll", _lm_nll("c2", "c1", "__V", alpha))
         .groupBy("__did").agg(
             F.round(F.sum(F.col("__n") * F.col("__nll")) / F.sum("__n"),
                     6).alias(out_col))
@@ -342,21 +344,26 @@ def bigram_lm_score(df, text_col: str, id_col: str, *,
         "__did")
 
 
-def _lm_counts(mdl, text_col: str):
+def _lm_counts(mdl, text_col: str, vname: str = "__V"):
     """Add-alpha bigram LM count tables: (unigram counts ``w,c1``,
-    bigram counts ``g,c2``, vocabulary size). The eager vocabulary
-    count means the unigram aggregation runs twice (once for V, again
-    when the scoring join executes) — deliberately NOT papered over
-    with .persist(): SQL CacheManager entries live until an explicit
+    bigram counts ``g,c2``, vocabulary size as a ONE-ROW DataFrame
+    with column ``vname``). V rides into the scoring plan as a 1-row
+    broadcast hash join on a constant key (the _recall_gate idiom) —
+    an eager ``uni.count()`` here would run a SEPARATE full
+    aggregation pass over the model corpus before the scoring job
+    even plans (at 100 TB that is a second pass over the corpus for
+    one integer; measured ~1 s of driver-blocking job at gate
+    scale). The V aggregate still evaluates the unigram subtree a
+    second time inside the job — deliberately NOT papered over with
+    .persist(): SQL CacheManager entries live until an explicit
     unpersist or session end, so a library function that persists on
     every model fit leaks one cached table per call in a long-lived
-    session; the recompute is a single map-side-combined pass
-    (measured ~0 at gate scale)."""
+    session; the recompute is a single map-side-combined pass."""
     uni = (mdl.select(F.explode(tokens(F.col(text_col))).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
     big = (mdl.select(F.explode(ngrams(F.col(text_col), 2)).alias("g"))
            .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
-    return uni, big, uni.count()
+    return uni, big, uni.agg(F.count(F.lit(1)).alias(vname))
 
 
 def _doc_bigram_counts(df, text_col: str, id_col: str):
@@ -370,10 +377,14 @@ def _doc_bigram_counts(df, text_col: str, id_col: str):
             .groupBy("__did", "g").agg(F.count(F.lit(1)).alias("__n")))
 
 
-def _lm_nll(c2: str, c1: str, v: int, alpha: float):
-    """-log P(w2|w1) with add-alpha smoothing over count columns."""
+def _lm_nll(c2: str, c1: str, v: str, alpha: float):
+    """-log P(w2|w1) with add-alpha smoothing over count columns; ``v``
+    names the vocabulary-size column (see _lm_counts). alpha*V is a
+    runtime double product of the same two binary64 values the old
+    python-literal spelling folded at plan time — bit-identical."""
     return -F.log((F.coalesce(F.col(c2), F.lit(0)) + F.lit(alpha))
-                  / (F.coalesce(F.col(c1), F.lit(0)) + F.lit(alpha * v)))
+                  / (F.coalesce(F.col(c1), F.lit(0))
+                     + F.lit(alpha) * F.col(v)))
 
 
 def filter_by_lm_quantile(df, text_col: str, id_col: str, *, q: float,
@@ -392,7 +403,12 @@ def filter_by_lm_quantile(df, text_col: str, id_col: str, *, q: float,
     from pyspark.sql import Window
 
     _guard_global_window(by, global_ok, "filter_by_lm_quantile")
-    scored = bigram_lm_score(df, text_col, id_col, alpha=alpha)
+    # the scored subtree feeds TWO plan sites (the cume_dist branch and
+    # the null-score union) — without a lazy localCheckpoint the whole
+    # LM pipeline (two model aggregations + three joins) executes once
+    # per branch (the _recall_gate/jaccard-docs device)
+    scored = bigram_lm_score(df, text_col, id_col,
+                             alpha=alpha).localCheckpoint(eager=False)
     w = Window.partitionBy(*([by] if by else [])).orderBy("lm_nll")
     with_cd = (scored.filter(F.col("lm_nll").isNotNull())
                .withColumn("__cd", F.cume_dist().over(w)))
