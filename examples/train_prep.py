@@ -10,7 +10,10 @@ Chains the r9 additions on top of curate():
   4. write the packed epoch as JSONL shards in (shard, pos) order —
      the files a training loader streams,
   5. set_ivf — persist a probe-ready ANN index over the embeddings
-     (train once, probe many).
+     (train once, probe many),
+  6. day-2 ingest — dedup a new batch against the curated corpus's
+     persisted MinHash index (old corpus never re-scanned), keep the
+     fresh docs, extend the index.
 
 Run: python examples/train_prep.py [sf_dir]  (default /root/testdata/sf0.001)
 """
@@ -23,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from rayforce_spark.datapipe import curate, pack_greedy, shuffle_epoch
+from rayforce_spark.datapipe import (
+    curate,
+    extend_minhash_index,
+    minhash_index_pairs,
+    pack_greedy,
+    set_minhash_index,
+    shuffle_epoch,
+)
 from rayforce_spark.datapipe.similarity import knn_ivf_indexed, set_ivf
 from rayforce_spark.session import get_spark, load_tables
 from rayforce_spark.sources import read_jsonl, write_jsonl
@@ -75,6 +85,23 @@ def main():
     nn = knn_ivf_indexed(spark, idx, probes, "embedding", k=3, nprobe=3)
     print("ANN probes against the persisted index:")
     nn.orderBy("query_id", "rank").show(9, truncate=False)
+
+    # day-2 ingest: dedup a NEW batch against the curated corpus's
+    # persisted MinHash index (the old corpus is never re-scanned),
+    # then extend the index with what survived
+    mh = f"{out}/minhash"
+    set_minhash_index(kept.select("doc_id", "text"), mh, "text", "doc_id",
+                      shingle_k=1)
+    day2 = docs.filter(F.col("doc_id") % 97 == 1).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text")
+    dups = minhash_index_pairs(spark, mh, day2, "text", "doc_id",
+                               threshold=0.8)
+    fresh = day2.join(dups.select(F.col("new_id").alias("doc_id")),
+                      "doc_id", "left_anti")
+    print(f"day-2 ingest: {day2.count()} new docs, "
+          f"{dups.select('new_id').distinct().count()} near-dups of the "
+          f"indexed corpus dropped, {fresh.count()} kept")
+    extend_minhash_index(fresh, mh, "text", "doc_id")
 
 
 if __name__ == "__main__":
