@@ -243,6 +243,60 @@ def _nearest(vec_name: str, centroids: list[list[float]],
                   " s -> s.i)")
 
 
+def _nearest_pandas(centroids: list[list[float]], nprobe: int):
+    """Arrow twin of _nearest: embedding -> array<int> of the nprobe
+    nearest centroid indices, one numpy batch pass. BIT-EQUAL ranking
+    to the expr path: squared distances accumulate SEQUENTIALLY over
+    dimensions ((x-y)*(x-y) then add, binary64 — the interpreted
+    fold's exact rounding sequence), and a stable argsort reproduces
+    the (distance, index) lexicographic order. Degenerate rows (null
+    vector, length != dim) yield [0..nprobe-1], exactly the expr
+    path's all-null-distance tie-break (verified); NaN elements share
+    the bucket twin's documented divergence. Why: the fold is
+    interpreted row-at-a-time JVM-side, so corpus × nlist × dim
+    multiply-adds dominate IVF assignment — the 100 TB cost of
+    set_ivf/knn_ivf's corpus pass, not just a gate-seconds issue.
+    Pinned by test_ivf_nearest_pandas_bit_equal."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # nlist x dim
+    nlist, dim = C.shape
+    base = np.arange(min(nprobe, nlist), dtype=np.int32)
+
+    def nn(vs):
+        n = len(vs)
+        out = np.tile(base, (n, 1))
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vs), bool, n)
+        if ok.any():
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v, o in zip(vs, ok) if o])
+            acc = np.zeros((M.shape[0], nlist))
+            for d in range(dim):  # sequential over dims = fold order
+                t = M[:, d][:, None] - C[:, d]
+                acc += t * t
+            order = np.argsort(acc, axis=1, kind="stable")
+            out[ok] = order[:, :len(base)].astype(np.int32)
+        return pd.Series(list(out))
+
+    nn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(nn, T.ArrayType(T.IntegerType()))
+
+
+def _nearest_impl(vec_name: str, centroids: list[list[float]],
+                  nprobe: int, impl: str = "pandas") -> F.Column:
+    """Dispatch for the nearest-centroid assignment: ``"pandas"``
+    (default) is the Arrow twin, ``"expr"`` the pure-JVM expression
+    (authoritative for NaN inputs)."""
+    if impl == "pandas":
+        return _nearest_pandas(centroids, nprobe)(F.col(vec_name))
+    if impl != "expr":
+        raise ValueError(f"unknown assign_impl: {impl!r} "
+                         "(expected 'pandas' or 'expr')")
+    return _nearest(vec_name, centroids, nprobe)
+
+
 def ivf_train(
     corpus: DataFrame,
     vec_col: str,
@@ -251,6 +305,7 @@ def ivf_train(
     nlist: int = 16,
     iters: int = 5,
     max_train_rows: int = 10_000,
+    assign_impl: str = "pandas",
 ) -> list[list[float]]:
     """Train IVF centroids with Lloyd's iterations as DataFrame jobs.
 
@@ -294,7 +349,7 @@ def ivf_train(
 
     for _ in range(iters):
         assigned = sample.select(
-            "__v", _nearest("__v", centroids, 1)[0].alias("__c")
+            "__v", _nearest_impl("__v", centroids, 1, assign_impl)[0].alias("__c")
         )
         means = (
             assigned.groupBy("__c")
@@ -324,6 +379,7 @@ def knn_ivf(
     iters: int = 5,
     centroids: list[list[float]] | None = None,
     query_id_col: str | None = None,
+    assign_impl: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors
     are bucketed by nearest k-means centroid, queries probe their
@@ -337,7 +393,8 @@ def knn_ivf(
     qid = query_id_col or id_col
     if centroids is None:
         centroids = ivf_train(
-            corpus, vec_col, id_col, nlist=nlist, iters=iters
+            corpus, vec_col, id_col, nlist=nlist, iters=iters,
+            assign_impl=assign_impl,
         )
     if not centroids:
         # empty corpus trains zero centroids; F.array() of no columns has
@@ -353,12 +410,13 @@ def knn_ivf(
         )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__list", _nearest("__cv", centroids, 1)[0]) \
+    ).withColumn("__list", _nearest_impl("__cv", centroids, 1, assign_impl)[0]) \
         .withColumn("__cn", norm_units(F.col("__cv")))
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn(
-        "__list", F.explode(_nearest("__qv", centroids, nprobe))
+        "__list", F.explode(_nearest_impl("__qv", centroids, nprobe,
+                                          assign_impl))
     ).withColumn("__qn", norm_units(F.col("__qv")))
     cand = q.join(c, "__list").select(
         "query_id", "neighbor_id",
@@ -602,6 +660,7 @@ def set_ivf(
     nlist: int = 16,
     iters: int = 5,
     centroids: list[list[float]] | None = None,
+    assign_impl: str = "pandas",
 ) -> list[list[float]]:
     """Persist an IVF index: train (or reuse) centroids, write them as
     a tiny parquet sidecar under ``path/_centroids``, and write the
@@ -611,8 +670,8 @@ def set_ivf(
     partition pruning), not the corpus; re-probing never re-trains and
     never re-shuffles. Returns the trained centroids."""
     if centroids is None:
-        centroids = ivf_train(corpus, vec_col, id_col,
-                              nlist=nlist, iters=iters)
+        centroids = ivf_train(corpus, vec_col, id_col, nlist=nlist,
+                              iters=iters, assign_impl=assign_impl)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
@@ -621,7 +680,8 @@ def set_ivf(
     if centroids:
         (corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("__cv"))
-         .withColumn("__list", _nearest("__cv", centroids, 1)[0])
+         .withColumn("__list",
+                     _nearest_impl("__cv", centroids, 1, assign_impl)[0])
          .write.partitionBy("__list").mode("overwrite")
          .parquet(f"{path}/data"))
     return centroids
@@ -645,6 +705,7 @@ def knn_ivf_indexed(
     nprobe: int = 4,
     query_id_col: str = "vec_id",
     id_type: str = "long",
+    assign_impl: str = "pandas",
 ) -> DataFrame:
     """Probe a persisted IVF index (see :func:`set_ivf`): queries
     explode to their ``nprobe`` nearest lists and join the
@@ -669,7 +730,8 @@ def knn_ivf_indexed(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn(
-        "__list", F.explode(_nearest("__qv", centroids, nprobe))
+        "__list", F.explode(_nearest_impl("__qv", centroids, nprobe,
+                                          assign_impl))
     ).withColumn("__qn", norm_units(F.col("__qv")))
     cand = q.join(c, "__list").select(
         "query_id", "neighbor_id",

@@ -281,6 +281,33 @@ def test_lsh_bucket_keys_pandas_bit_equal(tables, spark):
         assert all(x.key == 0 for x in r.p)
 
 
+def test_ivf_nearest_pandas_bit_equal(tables, spark):
+    """The Arrow nearest-centroid twin ranks BIT-identically to the JVM
+    expression path on every corpus vector (sequential squared-distance
+    accumulation + stable argsort = the fold's (distance, index)
+    lexicographic order), and degenerate rows (null vector, wrong
+    length) yield [0..nprobe-1] exactly like the expr path's all-null
+    distance tie-break."""
+    from rayforce_spark.datapipe.similarity import _nearest_impl
+
+    cents = [[0.01 * i + 0.001 * d for d in range(64)] for i in range(9)]
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    rows = emb.select(
+        "vec_id",
+        _nearest_impl("embedding", cents, 3, "expr").alias("e"),
+        _nearest_impl("embedding", cents, 3, "pandas").alias("p"),
+    ).collect()
+    assert rows and all(list(r.e) == list(r.p) for r in rows)
+    weird = spark.createDataFrame(
+        [(1, None), (2, [0.5, -0.25])],
+        "id long, embedding array<double>")
+    for r in weird.select(
+            _nearest_impl("embedding", cents, 3, "expr").alias("e"),
+            _nearest_impl("embedding", cents, 3, "pandas").alias("p"),
+    ).collect():
+        assert list(r.e) == list(r.p) == [0, 1, 2]
+
+
 def test_knn_ivf_recall(tables):
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
