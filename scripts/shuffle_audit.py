@@ -71,6 +71,17 @@ def main() -> int:
 
     import __spark_entry__ as E
 
+    # warm the Python worker pool + Arrow serde once before measuring:
+    # the session's FIRST pandas_udf job pays ~10-15 s of worker spinup
+    # that would otherwise land on whichever audited query happens to
+    # run one first (same rationale as bench.py's JIT warmup; shuffle
+    # BYTES are unaffected either way)
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    _noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(32).select(_noop("id")).count()
+
     qs = E.queries()
     names = [n for n in (ONLY or DEFAULT) if n in qs]
     rows = []
