@@ -94,10 +94,12 @@ def main():
                       shingle_k=1)
     day2 = docs.filter(F.col("doc_id") % 97 == 1).select(
         (F.col("doc_id") + 50_000_000).alias("doc_id"), "text")
-    dups = minhash_index_pairs(spark, mh, day2, "text", "doc_id",
-                               threshold=0.8)
+    # the probe feeds three consumers (dup count, the anti join, and
+    # the extend of what survived) — materialize it once
+    dups = minhash_index_pairs(mh, day2, "text", "doc_id",
+                               threshold=0.8).localCheckpoint(eager=False)
     fresh = day2.join(dups.select(F.col("new_id").alias("doc_id")),
-                      "doc_id", "left_anti")
+                      "doc_id", "left_anti").localCheckpoint(eager=False)
     print(f"day-2 ingest: {day2.count()} new docs, "
           f"{dups.select('new_id').distinct().count()} near-dups of the "
           f"indexed corpus dropped, {fresh.count()} kept")

@@ -416,17 +416,25 @@ def set_minhash_index(corpus: DataFrame, path: str, text_col: str,
     NOTHING else of the old corpus — no re-shingling, no re-signing,
     no corpus shuffle; index bytes are O(corpus × bands) longs plus
     the shingle sets. Ids must be unique across all batches ever
-    written (the same contract as packing's join-back id)."""
-    spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(int(num_perm), int(bands), int(shingle_k), str(sig_impl))],
-        "num_perm int, bands int, shingle_k int, sig_impl string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    written (the same contract as packing's join-back id).
+
+    The params sidecar is written LAST — the commit marker: a build
+    into a FRESH path that dies mid-way leaves no sidecar, so probes
+    fail loudly (missing _meta) instead of banding against a
+    half-built index. Rebuilding IN PLACE with different params is
+    inherently non-atomic under either write order (some window pairs
+    old params with new data or vice versa, and mismatched banding
+    silently returns empty duplicate sets) — rebuild into a fresh
+    path and switch readers over, or delete the old index first."""
     shingled, buckets = _minhash_parts(
         corpus, text_col, id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, sig_impl=sig_impl)
     buckets.write.mode("overwrite").parquet(f"{path}/buckets")
     shingled.write.mode("overwrite").parquet(f"{path}/shingles")
+    corpus.sparkSession.createDataFrame(
+        [(int(num_perm), int(bands), int(shingle_k), str(sig_impl))],
+        "num_perm int, bands int, shingle_k int, sig_impl string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def _read_minhash_meta(spark, path: str) -> dict:
@@ -447,7 +455,7 @@ def extend_minhash_index(new_df: DataFrame, path: str, text_col: str,
     shingled.write.mode("append").parquet(f"{path}/shingles")
 
 
-def minhash_index_pairs(spark, path: str, new_df: DataFrame,
+def minhash_index_pairs(path: str, new_df: DataFrame,
                         text_col: str, id_col: str, *,
                         threshold: float = 0.7) -> DataFrame:
     """Near-duplicate pairs of a NEW batch against a persisted MinHash
@@ -463,6 +471,7 @@ def minhash_index_pairs(spark, path: str, new_df: DataFrame,
     batch's shingle sets and ONE to the persisted ones. The indexed
     corpus is never re-shingled; intra-batch pairs are
     minhash_lsh_pairs(new_df)'s job."""
+    spark = new_df.sparkSession
     meta = _read_minhash_meta(spark, path)
     shingled, buckets = _minhash_parts(new_df, text_col, id_col, **meta)
     idx = spark.read.parquet(f"{path}/buckets")
@@ -612,7 +621,11 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
         .select(
             "__id",
             F.transform("__st", lambda s: s["tok"]).alias("__toks"),
-            F.size("__st").alias("sz"),
+            # LONG, not the int F.size returns: the size/positional
+            # filters multiply sz by the 1e6-grain threshold rationals,
+            # and int32 overflows (ANSI abort) past ~1100 distinct
+            # shingles at t=0.95 — routine for real web documents
+            F.size("__st").cast("long").alias("sz"),
         )
     )
     # this subtree feeds FOUR plan sites (both prefix self-join sides +
@@ -624,9 +637,11 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
     # blocks, MEMORY_AND_DISK), same device dedup_clusters already uses.
     docs = docs.localCheckpoint(eager=False)
     # prefix length = sz - ceil(t*sz) + 1; ceil(num*sz/den) integer-exact
+    # (long arithmetic throughout; the final cast back to int is safe —
+    # plen <= sz <= array max — and is what F.slice wants)
     plen = (F.col("sz")
             - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1))
-                      / F.lit(den)).cast("int") + 1)
+                      / F.lit(den)).cast("long") + 1).cast("int")
     # prefix rows carry the token's 1-based POSITION in the (df,tok)-sorted
     # token array — a scalar, so the positional filter below runs in the
     # join stage with zero extra width

@@ -121,8 +121,19 @@ def _sql_arr(vec: list[float]) -> str:
     correctly rounded, so the planned value is bit-identical to an
     F.lit chain (verified) — but ONE F.expr hop instead of dim+1 py4j
     round trips (a 16-plane LSH key pair measured 6.4 s of plan build
-    the Column way, ~0.1 s as SQL text)."""
-    return "array(" + ",".join(f"{float(w)!r}D" for w in vec) + ")"
+    the Column way, ~0.1 s as SQL text). Non-finite values (a NaN
+    centroid coordinate from a NaN embedding reaching Lloyd's mean)
+    render as string-cast literals — repr would produce 'nanD'/'infD',
+    which the parser reads as column identifiers."""
+    def lit(w: float) -> str:
+        w = float(w)
+        if math.isnan(w):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(w):
+            return f"CAST('{'-' if w < 0 else ''}Infinity' AS DOUBLE)"
+        return f"{w!r}D"
+
+    return "array(" + ",".join(lit(w) for w in vec) + ")"
 
 
 def _qname(col_name: str) -> str:

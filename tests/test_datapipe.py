@@ -127,7 +127,7 @@ def test_minhash_index_incremental_matches_full_run(tables, tmp_path, spark):
     assert want, "fixture must contain cross-batch near-dups"
     path = str(tmp_path / "mh_idx")
     set_minhash_index(old, path, "text", "doc_id", **kw)
-    got_rows = minhash_index_pairs(spark, path, new, "text", "doc_id",
+    got_rows = minhash_index_pairs(path, new, "text", "doc_id",
                                    threshold=0.5).collect()
     got = {(min(r.new_id, r.index_id), max(r.new_id, r.index_id),
             round(r.jaccard, 9)) for r in got_rows}
@@ -141,7 +141,7 @@ def test_minhash_index_incremental_matches_full_run(tables, tmp_path, spark):
         "doc_id long, text string",
     )
     extend_minhash_index(new, path, "text", "doc_id")
-    got3 = minhash_index_pairs(spark, path, third, "text", "doc_id",
+    got3 = minhash_index_pairs(path, third, "text", "doc_id",
                                threshold=0.5).collect()
     # each copy must pair with its identical original (jaccard 1.0),
     # which lives in the EXTENDED part of the index
@@ -551,6 +551,23 @@ def test_jaccard_prefix_filter_equals_brute(spark):
                 jaccard_dup_pairs(df, "text", "doc_id", threshold=t,
                                   prefix_filter=True).collect()}
         assert pref == brute and brute
+
+
+def test_jaccard_long_docs_no_int_overflow(spark):
+    """The prefix/positional filter arithmetic multiplies sz by the
+    1e6-grain threshold rationals — sz must be LONG: at t=0.95 an int32
+    sz overflows past ~1100 distinct shingles (ANSI abort), which real
+    web documents routinely exceed. Two 1300-token docs, one word
+    apart, must pair at jaccard >= 0.95 without raising."""
+    words = " ".join(f"w{i}" for i in range(1300))
+    df = spark.createDataFrame(
+        [(1, words), (2, words.replace("w7 ", "zz "))],
+        "doc_id long, text string",
+    )
+    rows = jaccard_dup_pairs(df, "text", "doc_id", shingle_k=1,
+                             threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].jaccard > 0.99
 
 
 def test_ngram_counts_bigrams(spark):
