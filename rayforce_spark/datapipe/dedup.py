@@ -25,6 +25,23 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Ensure scan-stage parallelism >= the cluster's: shingling, token
+    explosion and Arrow-UDF vector math all parallelize with INPUT
+    partitions, and a small parquet source (one row-group) arrives as ONE
+    partition, single-coring the heaviest stage of every pair generator
+    (measured at sf0.1: the Jaccard shingle+df+sort materialization ran
+    5.3 s on the 1-split documents file vs 1.4 s after fan-out). A no-op
+    at scale — a 100 TB input always has more splits than cores — and for
+    streaming frames (micro-batch partitioning is the trigger's job)."""
+    if df.isStreaming:
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _shingles_of_words(words: Column, k: int) -> Column:
     """Distinct k-word shingles from an ALREADY-MATERIALIZED words column.
 
@@ -114,7 +131,7 @@ def dedup_segments(df: DataFrame, text_col: str, id_col: str, *,
         )
     else:
         segs = F.split(F.col(text_col), "\n")
-    ex = df.select(
+    ex = fanout(df).select(
         F.col(id_col).alias("__sid"),
         F.posexplode(segs).alias("__pos", "__seg"),
     ).withColumn("__h", F.xxhash64("__seg"))
@@ -251,13 +268,20 @@ def _minhash_sig(shingled: DataFrame, *, num_perm: int,
 
 def _band_buckets(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
     """(__id, __bucket) LSH band buckets: each band's signature slice
-    hashed with the band index as seed (so bucket values collide across
-    bands only by 64-bit accident and a single bucket column suffices).
-    Single parsed expr string (vs ``bands`` composed F.hash(F.slice())
-    Columns): same plan, one py4j hop — see with_shingle_hashes."""
+    hashed 64-bit with the band index mixed in (so bucket values collide
+    across bands only by 64-bit accident and a single bucket column
+    suffices). xxhash64, NOT Spark's 32-bit murmur hash(): cross-band
+    collisions are harmless for correctness (they only add
+    exactly-verified candidates), but a corpus-scale index holds far
+    more than 2^32 bucket rows (1e10 docs x 16 bands), and a saturated
+    32-bit key range would manufacture spurious candidate volume by
+    hash-range collision alone. Single parsed expr string (vs ``bands``
+    composed F.xxhash64(F.slice()) Columns): same plan, one py4j hop —
+    see with_shingle_hashes."""
     rows_per_band = num_perm // bands
     band_exprs = ", ".join(
-        f"hash(slice(__sig, {b * rows_per_band + 1}, {rows_per_band}), {b})"
+        f"xxhash64(slice(__sig, {b * rows_per_band + 1}, {rows_per_band}),"
+        f" {b})"
         for b in range(bands)
     )
     return sig.select(
@@ -306,6 +330,7 @@ def minhash_lsh_pairs(
     0.55-0.71 s min-of-6) — it moves every document's array to save a
     scan-stage recompute that is cheaper than the move. Kept for corpora
     where shingling dominates (very long documents / large k)."""
+    df = fanout(df)
     shingled_in = with_shingle_hashes(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         "__text", shingle_k, "__bh",
@@ -384,13 +409,19 @@ def _minhash_parts(df: DataFrame, text_col: str, id_col: str, *,
                    num_perm: int, bands: int, shingle_k: int,
                    sig_impl: str) -> tuple[DataFrame, DataFrame]:
     """(shingles, buckets) for a batch — the two persisted legs of the
-    MinHash index. Shingles are computed twice (signature input +
-    persisted verify sets) — two scan-stage passes, no array shuffle,
-    the same recompute-over-move trade minhash_lsh_pairs documents."""
+    MinHash index, derived from ONE materialized shingle pass: the two
+    legs feed two independent Spark jobs (two writes, or a write and a
+    join), and recomputing the shingles per job would persist
+    INCONSISTENT legs for a non-deterministic input (sampled /
+    rand-keyed / mutated-between-jobs sources) — a silent corruption of
+    the exact-Jaccard verify, not an error. The lazy localCheckpoint
+    materializes the shingled frame on first use and serves every later
+    consumer from executor-local blocks."""
     shingled = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        fanout(df).select(F.col(id_col).alias("__id"),
+                          F.col(text_col).alias("__t")),
         "__t", shingle_k, "__bh",
-    ).select("__id", "__bh")
+    ).select("__id", "__bh").localCheckpoint(eager=False)
     sig = _minhash_sig(shingled, num_perm=num_perm, sig_impl=sig_impl)
     return shingled, _band_buckets(sig, num_perm=num_perm, bands=bands)
 
@@ -557,7 +588,8 @@ def jaccard_dup_pairs(
     # membership, and the inverted-index shuffle moves 8-byte longs
     # instead of k-word strings (~4x less shuffle volume at scale)
     toks = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        fanout(df).select(F.col(id_col).alias("__id"),
+                          F.col(text_col).alias("__t")),
         "__t", shingle_k, "__sh",
     ).select("__id", F.explode("__sh").alias("tok"))
     if max_doc_freq is not None:
@@ -718,7 +750,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63,
         h_expr = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown token_hash: {token_hash}")
-    toks = df.select(
+    toks = fanout(df).select(
         F.col(id_col).alias(id_col),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", h_expr)
@@ -953,10 +985,10 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     ~2 GB at sf0.1 for a 920-row result; this ships n×nblocks input
     vectors and the result (sf0.1 gate row 32.1 s -> 22.9 s)."""
     if impl == "block":
-        return _embedding_pairs_block(df, vec_col, id_col,
+        return _embedding_pairs_block(fanout(df), vec_col, id_col,
                                       threshold=threshold,
                                       nblocks=nblocks)
-    v = df.select(
+    v = fanout(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
     if impl == "pandas":

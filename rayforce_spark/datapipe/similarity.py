@@ -173,9 +173,13 @@ def _bucket_keys_pandas(dim: int, planes: int, tables: int, seed: int):
     Degenerate inputs follow the expr path's null story: a null vector
     or a length != dim vector keys to 0 for every table (any null in
     the fold nulls the dot; CASE null>=0 is false for every plane).
-    NaN ELEMENTS are the one documented divergence: Spark's NaN
-    ordering makes NaN >= 0 true (bit 1), the twin's nan-poisoned
-    accumulator reads false (bit 0) — don't feed NaN embeddings."""
+    NaN elements match too (r10): Spark's NaN ordering makes NaN >= 0
+    TRUE, so a nan-poisoned dot sets the bit — the twin reproduces that
+    with an explicit isnan-or (numpy's native NaN >= 0 is false, which
+    silently flipped bucket keys before; pinned by
+    test_lsh_bucket_keys_nan_bit_equal). A NaN embedding in a 100 TB
+    corpus thus degrades recall identically on both paths instead of
+    diverging between them."""
     import numpy as np
     import pandas as pd
 
@@ -196,7 +200,10 @@ def _bucket_keys_pandas(dim: int, planes: int, tables: int, seed: int):
             acc = np.zeros((M.shape[0], W.shape[1]))
             for d in range(dim):  # sequential over dims = fold order
                 acc += M[:, d][:, None] * W[d]
-            bits = (acc >= 0.0).reshape(-1, tables, planes)
+            # Spark orders NaN above every number, so CASE NaN >= 0 is
+            # TRUE on the expr path — mirror it (numpy would say False)
+            bits = ((acc >= 0.0) | np.isnan(acc)).reshape(-1, tables,
+                                                          planes)
             out[ok] = (bits * weights).sum(axis=2, dtype=np.int64)
         return pd.Series(list(out))
 
@@ -262,8 +269,14 @@ def _nearest_pandas(centroids: list[list[float]], nprobe: int):
     fold's exact rounding sequence), and a stable argsort reproduces
     the (distance, index) lexicographic order. Degenerate rows (null
     vector, length != dim) yield [0..nprobe-1], exactly the expr
-    path's all-null-distance tie-break (verified); NaN elements share
-    the bucket twin's documented divergence. Why: the fold is
+    path's all-null-distance tie-break (verified); NaN elements also
+    agree (r10, pinned by test_ivf_nearest_nan_bit_equal): a NaN
+    distance sorts LAST on both paths (Spark orders NaN above every
+    number; numpy's stable argsort places NaN at the end), and ties —
+    all-NaN rows or equal finite distances — fall back to ascending
+    centroid index on both (Spark's struct comparison treats NaN ==
+    NaN and compares i; stable argsort preserves input order). Why
+    the twin exists: the fold is
     interpreted row-at-a-time JVM-side, so corpus × nlist × dim
     multiply-adds dominate IVF assignment — the 100 TB cost of
     set_ivf/knn_ivf's corpus pass, not just a gate-seconds issue.
@@ -549,7 +562,9 @@ def embedding_dup_pairs_lsh(
     (the pairs we want), so bucket skew is signal; AQE splits oversized
     partitions.
     """
-    sel = df.select(
+    from rayforce_spark.datapipe.dedup import fanout
+
+    sel = fanout(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn("__nu", norm_units(F.col("__v")))
     buckets = _bucket_structs("__v", dim=dim, planes=planes,

@@ -281,6 +281,65 @@ def test_lsh_bucket_keys_pandas_bit_equal(tables, spark):
         assert all(x.key == 0 for x in r.p)
 
 
+def test_lsh_bucket_keys_nan_bit_equal(spark):
+    """r10 NaN contract: a NaN-poisoned embedding element keys
+    IDENTICALLY on the expr and Arrow paths. Spark orders NaN above
+    every number, so the poisoned dot's CASE NaN >= 0 is TRUE and the
+    plane bit is set; the twin reproduces that with an explicit
+    isnan-or (a plain numpy >= silently read the bit as 0 before —
+    the silent recall divergence VERDICT r9 item 4 flagged)."""
+    from rayforce_spark.datapipe.similarity import _bucket_structs
+
+    kw = dict(dim=4, planes=5, tables=3, seed=99)
+    nan = float("nan")
+    weird = spark.createDataFrame(
+        [(1, [nan, 0.5, -0.25, 1.0]),       # one poisoned element
+         (2, [nan, nan, nan, nan]),         # fully poisoned
+         (3, [0.5, -0.5, 0.25, -0.25]),     # clean control
+         (4, [float("inf"), 1.0, -1.0, float("-inf")])],
+        "id long, embedding array<double>",
+    )
+    rows = weird.select(
+        "id",
+        _bucket_structs("embedding", key_impl="expr", **kw).alias("e"),
+        _bucket_structs("embedding", key_impl="pandas", **kw).alias("p"),
+    ).collect()
+    for r in rows:
+        assert [x.asDict() for x in r.e] == [x.asDict() for x in r.p]
+    # a NaN dot sets EVERY plane bit on both paths: all-ones key
+    nan_row = next(r for r in rows if r.id == 2)
+    assert all(x.key == (1 << 5) - 1 for x in nan_row.p)
+
+
+def test_ivf_nearest_nan_bit_equal(spark):
+    """r10 NaN contract for the IVF assignment twin: NaN distances rank
+    identically on both paths — NaN sorts LAST (Spark: NaN above every
+    number; numpy: stable argsort pushes NaN to the end), and all-NaN
+    rows tie-break to ascending centroid index on both (Spark struct
+    compare treats NaN == NaN then compares i; stable argsort keeps
+    input order)."""
+    from rayforce_spark.datapipe.similarity import _nearest_impl
+
+    nan = float("nan")
+    # centroid 1 is itself NaN-poisoned: finite vectors get exactly one
+    # NaN distance, which must rank LAST on both paths
+    cents = [[0.0, 0.0], [nan, 0.0], [1.0, 1.0], [2.0, 2.0]]
+    weird = spark.createDataFrame(
+        [(1, [0.1, 0.1]),     # finite: NaN centroid ranks last
+         (2, [nan, 0.5]),     # poisoned vector: all distances NaN
+         (3, [2.1, 1.9])],
+        "id long, embedding array<double>")
+    rows = weird.select(
+        "id",
+        _nearest_impl("embedding", cents, 4, "expr").alias("e"),
+        _nearest_impl("embedding", cents, 4, "pandas").alias("p"),
+    ).collect()
+    for r in rows:
+        assert list(r.e) == list(r.p)
+    assert list(next(r for r in rows if r.id == 1).p) == [0, 2, 3, 1]
+    assert list(next(r for r in rows if r.id == 2).p) == [0, 1, 2, 3]
+
+
 def test_ivf_nearest_pandas_bit_equal(tables, spark):
     """The Arrow nearest-centroid twin ranks BIT-identically to the JVM
     expression path on every corpus vector (sequential squared-distance
