@@ -13,7 +13,11 @@ Chains the r9 additions on top of curate():
      (train once, probe many),
   6. day-2 ingest — dedup a new batch against the curated corpus's
      persisted MinHash index (old corpus never re-scanned), keep the
-     fresh docs, extend the index.
+     fresh docs, extend the index,
+  7. same loop against the persisted SimHash index (r10) — the
+     hamming-distance near-dup family gets the identical
+     set/probe/extend shape, so a pipeline can run either (or both)
+     incrementally.
 
 Run: python examples/train_prep.py [sf_dir]  (default /root/testdata/sf0.001)
 """
@@ -29,10 +33,13 @@ from pyspark.sql import functions as F
 from rayforce_spark.datapipe import (
     curate,
     extend_minhash_index,
+    extend_simhash_index,
     minhash_index_pairs,
     pack_greedy,
     set_minhash_index,
+    set_simhash_index,
     shuffle_epoch,
+    simhash_index_pairs,
 )
 from rayforce_spark.datapipe.similarity import knn_ivf_indexed, set_ivf
 from rayforce_spark.session import get_spark, load_tables
@@ -104,6 +111,20 @@ def main():
           f"{dups.select('new_id').distinct().count()} near-dups of the "
           f"indexed corpus dropped, {fresh.count()} kept")
     extend_minhash_index(fresh, mh, "text", "doc_id")
+
+    # same day-2 loop on the SimHash family (r10): hamming-distance
+    # near-dups against a persisted banded-fingerprint index
+    sh = f"{out}/simhash"
+    set_simhash_index(kept.select("doc_id", "text"), sh, "text", "doc_id",
+                      max_hamming=3)
+    sdups = simhash_index_pairs(sh, day2, "text", "doc_id") \
+        .localCheckpoint(eager=False)
+    sfresh = day2.join(sdups.select(F.col("new_id").alias("doc_id")),
+                       "doc_id", "left_anti").localCheckpoint(eager=False)
+    print(f"day-2 simhash: {sdups.select('new_id').distinct().count()} "
+          f"hamming<=3 near-dups of the indexed corpus, "
+          f"{sfresh.count()} kept")
+    extend_simhash_index(sfresh, sh, "text", "doc_id")
 
 
 if __name__ == "__main__":

@@ -30,8 +30,11 @@ from rayforce_spark.datapipe.dedup import (
     minhash_index_pairs,
     minhash_lsh_pairs,
     set_minhash_index,
+    extend_simhash_index,
+    set_simhash_index,
     simhash,
     simhash_dup_pairs,
+    simhash_index_pairs,
 )
 from rayforce_spark.datapipe.multimodal import (
     attach_binary,
@@ -106,8 +109,11 @@ __all__ = [
     "minhash_index_pairs",
     "minhash_lsh_pairs",
     "set_minhash_index",
+    "extend_simhash_index",
+    "set_simhash_index",
     "simhash",
     "simhash_dup_pairs",
+    "simhash_index_pairs",
     "ivf_train",
     "knn_cosine",
     "knn_ivf",

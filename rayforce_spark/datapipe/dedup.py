@@ -768,6 +768,51 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63,
     return agg.select(id_col, fp.cast("long").alias("simhash"))
 
 
+def _simhash_chunk(col: Column, b: int, chunk: int) -> Column:
+    """b-th ``chunk``-bit slice of a 64-bit fingerprint column."""
+    return (F.shiftrightunsigned(col, b * chunk)
+            .bitwiseAND(F.lit((1 << chunk) - 1)))
+
+
+def _simhash_banded(fp: DataFrame, bands: int) -> DataFrame:
+    """(__id, simhash, band, key) banded fingerprints over a
+    (__id, simhash) frame — the shared banding for the self-join pair
+    finder and the persisted index (identical slicing, so index probes
+    and batch runs land in the same buckets)."""
+    chunk = 64 // bands
+    return fp.select(
+        "__id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     _simhash_chunk(F.col("simhash"), b, chunk).alias("key"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("__id", "simhash", "bk.band", "bk.key")
+
+
+def _simhash_first_band(xor: Column, bands: int) -> Column:
+    """0-based index of the FIRST band whose chunks agree (first zero
+    chunk of the fingerprint XOR) — the canonical emission band, so a
+    pair agreeing in several bands is emitted exactly once with no
+    dropDuplicates pass."""
+    chunk = 64 // bands
+    return F.array_position(
+        F.array(*[(_simhash_chunk(xor, i, chunk) == F.lit(0))
+                  for i in range(bands)]),
+        F.lit(True),
+    ) - 1
+
+
+def _simhash_validate(max_hamming: int, bands: int) -> None:
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}): "
+            "a pair can differ in every chunk otherwise (recall loss)"
+        )
+    if bands > 63:
+        raise ValueError(f"bands ({bands}) must be <= 63 (63-bit fingerprint)")
+
+
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                       *, max_hamming: int = 3, bands: int | None = None,
                       token_hash: str = "xxhash64") -> DataFrame:
@@ -784,13 +829,7 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     keep the default unless distance-skew profiling says otherwise."""
     if bands is None:
         bands = max_hamming + 1
-    if bands <= max_hamming:
-        raise ValueError(
-            f"bands ({bands}) must exceed max_hamming ({max_hamming}): "
-            "a pair can differ in every chunk otherwise (recall loss)"
-        )
-    if bands > 63:
-        raise ValueError(f"bands ({bands}) must be <= 63 (63-bit fingerprint)")
+    _simhash_validate(max_hamming, bands)
     # the fingerprint is 16 bytes/doc — a lazy localCheckpoint
     # materializes it once so neither self-join side (nor an AQE
     # broadcast of one) re-runs the 63-bit aggregation over the token
@@ -798,20 +837,7 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     fp = (simhash(df, text_col, id_col, token_hash=token_hash)
           .withColumnRenamed(id_col, "__id")
           .localCheckpoint(eager=False))
-    chunk = 64 // bands
-
-    def _chunk(col: Column, b: int) -> Column:
-        return (F.shiftrightunsigned(col, b * chunk)
-                .bitwiseAND(F.lit((1 << chunk) - 1)))
-
-    banded = fp.select(
-        "__id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     _chunk(F.col("simhash"), b).alias("key"))
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("__id", "simhash", "bk.band", "bk.key")
+    banded = _simhash_banded(fp, bands)
     # banded (band, key) self-join with CANONICAL-BAND emission: a pair
     # agreeing in several bands is emitted only by the FIRST band whose
     # chunks agree (= first zero chunk of the fingerprint XOR — a pure
@@ -825,10 +851,6 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     # parallelism, and the hamming + canonical-band filters run inside
     # the join projection so only final pairs ever materialize.
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    first_band = F.array_position(
-        F.array(*[(_chunk(xor, i) == F.lit(0)) for i in range(bands)]),
-        F.lit(True),
-    ) - 1
     hamming = F.bit_count(xor)
     return (
         banded.alias("a")
@@ -838,10 +860,112 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .filter((F.col("a.band") == first_band)
+        .filter((F.col("a.band") == _simhash_first_band(xor, bands))
                 & (hamming <= F.lit(max_hamming)))
         .select(F.col("a.__id").alias("id_a"),
                 F.col("b.__id").alias("id_b"),
+                hamming.alias("hamming"))
+    )
+
+
+def set_simhash_index(corpus: DataFrame, path: str, text_col: str,
+                      id_col: str, *, max_hamming: int = 3,
+                      bands: int | None = None,
+                      token_hash: str = "xxhash64") -> None:
+    """Persist a SimHash dedup INDEX — the continuous-ingestion twin of
+    :func:`simhash_dup_pairs`, completing the persisted-index family
+    (minhash: :func:`set_minhash_index`; IVF: similarity.set_ivf) so
+    day-2 ingestion never re-fingerprints the corpus for ANY near-dup
+    path. Writes under ``path``:
+
+    - ``_meta``   — (max_hamming, bands, token_hash); probes and
+      extensions read this sidecar rather than trusting call-site
+      kwargs, so they can't silently band against the wrong slicing,
+    - ``banded``  — (__id, simhash, band, key): ``bands`` rows per doc
+      carrying the full fingerprint, so a probe join verifies hamming
+      in the join projection with no second lookup.
+
+    The ``_meta`` sidecar is written LAST — the same commit-marker
+    convention as set_minhash_index: a build into a fresh path that
+    dies mid-way leaves no sidecar and probes fail loudly. Rebuild
+    with different params into a fresh path, never in place. Ids must
+    be unique across all batches ever written."""
+    if bands is None:
+        bands = max_hamming + 1
+    _simhash_validate(max_hamming, bands)
+    fp = (simhash(corpus, text_col, id_col, token_hash=token_hash)
+          .withColumnRenamed(id_col, "__id"))
+    _simhash_banded(fp, bands).write.mode("overwrite").parquet(
+        f"{path}/banded")
+    corpus.sparkSession.createDataFrame(
+        [(int(max_hamming), int(bands), str(token_hash))],
+        "max_hamming int, bands int, token_hash string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def _read_simhash_meta(spark, path: str) -> dict:
+    r = spark.read.parquet(f"{path}/_meta").collect()[0]
+    return {"max_hamming": r["max_hamming"], "bands": r["bands"],
+            "token_hash": r["token_hash"]}
+
+
+def extend_simhash_index(new_df: DataFrame, path: str, text_col: str,
+                         id_col: str) -> None:
+    """Append a new batch to a persisted SimHash index (fingerprint and
+    banding parameters come from the index's own ``_meta`` sidecar).
+    Existing index files are untouched — the ingest step of the
+    dedup-then-extend loop."""
+    meta = _read_simhash_meta(new_df.sparkSession, path)
+    fp = (simhash(new_df, text_col, id_col, token_hash=meta["token_hash"])
+          .withColumnRenamed(id_col, "__id"))
+    _simhash_banded(fp, meta["bands"]).write.mode("append").parquet(
+        f"{path}/banded")
+
+
+def simhash_index_pairs(path: str, new_df: DataFrame, text_col: str,
+                        id_col: str, *,
+                        max_hamming: int | None = None) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a persisted SimHash index
+    (see :func:`set_simhash_index`): returns (new_id, index_id,
+    hamming) with hamming <= max_hamming, exact recall by the same
+    pigeonhole argument as simhash_dup_pairs — banding comes from the
+    index's ``_meta``, so buckets line up by construction.
+    ``max_hamming`` defaults to the index's; any override BELOW the
+    stored ``bands`` keeps exact recall (the pigeonhole bound depends
+    only on bands), while >= bands raises — the stored banding can no
+    longer guarantee a shared band there.
+
+    Plan: the batch's banded fingerprints join the on-disk banded
+    table on (band, key) — 28-byte rows either side, AQE broadcasts
+    the batch when it's small — with hamming + canonical-band
+    (exactly-once) filters inside the join projection; the indexed
+    corpus is never re-fingerprinted. Self-pairs on equal ids are
+    excluded; intra-batch pairs are simhash_dup_pairs(new_df)'s job."""
+    spark = new_df.sparkSession
+    meta = _read_simhash_meta(spark, path)
+    bands = meta["bands"]
+    if max_hamming is None:
+        max_hamming = meta["max_hamming"]
+    _simhash_validate(max_hamming, bands)
+    fp = (simhash(new_df, text_col, id_col,
+                  token_hash=meta["token_hash"])
+          .withColumnRenamed(id_col, "__id"))
+    banded = _simhash_banded(fp, bands)
+    idx = spark.read.parquet(f"{path}/banded")
+    xor = F.col("n.simhash").bitwiseXOR(F.col("o.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        banded.alias("n")
+        .join(
+            idx.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.key") == F.col("o.key"))
+            & (F.col("n.__id") != F.col("o.__id")),
+        )
+        .filter((F.col("n.band") == _simhash_first_band(xor, bands))
+                & (hamming <= F.lit(max_hamming)))
+        .select(F.col("n.__id").alias("new_id"),
+                F.col("o.__id").alias("index_id"),
                 hamming.alias("hamming"))
     )
 

@@ -152,6 +152,59 @@ def test_minhash_index_incremental_matches_full_run(tables, tmp_path, spark):
         assert (cid, cid - 10_000_000) in exact_hits
 
 
+def test_simhash_index_incremental_matches_full_run(tables, tmp_path, spark):
+    """The persisted SimHash index mirrors the MinHash one (r10
+    directive 4): probing a new batch against an index of the old
+    corpus yields EXACTLY the full run's cross-batch pairs (identical
+    fingerprint + banding via the _meta sidecar, both exact-recall by
+    the pigeonhole bound), and extend + re-probe grows coverage to both
+    earlier batches."""
+    from rayforce_spark.datapipe import (
+        extend_simhash_index, set_simhash_index, simhash_index_pairs)
+
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    kw = dict(max_hamming=8, bands=9)
+    full = simhash_dup_pairs(docs, "text", "doc_id", **kw).collect()
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b, r.hamming) for r in full
+        if (r.id_a in old_ids) != (r.id_b in old_ids)  # cross pairs only
+    }
+    assert want, "fixture must contain cross-batch simhash near-dups"
+    path = str(tmp_path / "sh_idx")
+    set_simhash_index(old, path, "text", "doc_id", **kw)
+    got_rows = simhash_index_pairs(path, new, "text", "doc_id").collect()
+    got = {(min(r.new_id, r.index_id), max(r.new_id, r.index_id),
+            r.hamming) for r in got_rows}
+    assert got == want
+    assert all(r.index_id in old_ids for r in got_rows)
+    # a tighter probe-side max_hamming filters without re-indexing
+    tight = simhash_index_pairs(path, new, "text", "doc_id",
+                                max_hamming=2).collect()
+    assert {(r.new_id, r.index_id, r.hamming) for r in tight} == {
+        (r.new_id, r.index_id, r.hamming) for r in got_rows
+        if r.hamming <= 2}
+    # >= stored bands breaks the pigeonhole guarantee -> loud error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_index_pairs(path, new, "text", "doc_id", max_hamming=9)
+    # ingest loop: extend with the new batch, probe a third batch — each
+    # identical copy must pair at hamming 0 with its original, which
+    # lives in the EXTENDED part of the index
+    third = spark.createDataFrame(
+        [(10_000_000 + r.doc_id, r.text)
+         for r in new.limit(3).collect()],
+        "doc_id long, text string",
+    )
+    extend_simhash_index(new, path, "text", "doc_id")
+    got3 = simhash_index_pairs(path, third, "text", "doc_id").collect()
+    exact_hits = {(r.new_id, r.index_id) for r in got3 if r.hamming == 0}
+    for r in third.collect():
+        assert (r.doc_id, r.doc_id - 10_000_000) in exact_hits
+
+
 def test_minhash_numpy_signature_same_pairs(spark, tables):
     # the Arrow-vectorized signature family is interchangeable with the
     # expression fold: at bands=num_perm both have exact recall, so the
