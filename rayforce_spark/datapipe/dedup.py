@@ -527,6 +527,14 @@ def minhash_index_pairs(path: str, new_df: DataFrame,
         s2.withColumn("jaccard", F.try_divide(inter, uni))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", "jaccard")
+        # pair-key dedup LAST: a crash-torn extend (append committed,
+        # marker not — see streaming.ops.stream_minhash_index_ingest)
+        # leaves duplicate index rows for a batch, and the verify joins
+        # would emit one identical row per duplicate; jaccard is
+        # functionally determined by the pair, so this dedup makes every
+        # probe insensitive to torn appends at the cost of one shuffle
+        # over the (small) verified-pair output
+        .dropDuplicates(["new_id", "index_id"])
     )
 
 

@@ -137,6 +137,13 @@ def _sql_arr(vec: list[float]) -> str:
 
 
 def _qname(col_name: str) -> str:
+    """Backtick-quote a TOP-LEVEL column name for SQL text. Every
+    caller passes an engine-internal alias ("__v", "__qv", "__cv") —
+    the public entry points resolve the user's vec_col through F.col
+    (which handles dotted/nested references) into such an alias before
+    any SQL-text builder runs, so a name like "meta.emb" never reaches
+    here (where it would quote as one literal identifier and fail
+    analysis). Guarded by test_lsh_nested_vec_col."""
     return "`" + col_name.replace("`", "``") + "`"
 
 
@@ -330,21 +337,31 @@ def ivf_train(
     iters: int = 5,
     max_train_rows: int = 10_000,
     assign_impl: str = "pandas",
+    corpus_rows: int | None = None,
 ) -> list[list[float]]:
     """Train IVF centroids with Lloyd's iterations as DataFrame jobs.
 
     Only the nlist x dim centroid table ever reaches the driver (a few KB
     regardless of corpus size); assignment and the per-cluster mean are
     distributed aggregations. The training sample is deterministic WITHOUT
-    a global sort (an orderBy(hash).limit would totally sort the corpus —
-    a scale-killer at 100 TB): a metadata-cheap count sizes a hash
-    threshold that keeps ~1.2x the target rows in one scan-stage filter,
-    and only that small surviving set is hash-sorted to pin the exact
-    sample. Init takes the nlist hash-smallest rows, so the whole
-    procedure is reproducible with no RNG state to ship.
+    a global sort (an orderBy(hash).limit would top-k per partition and
+    merge num_partitions x k vector rows driver-side — a scale-killer at
+    100 TB partition counts): a count sizes a hash threshold that keeps
+    ~1.2x the target rows in one scan-stage filter, and only that small
+    surviving set is hash-sorted to pin the exact sample. Init takes the
+    nlist hash-smallest rows, so the whole procedure is reproducible with
+    no RNG state to ship.
+
+    ``corpus_rows``: pass the row count when the pipeline already knows
+    it, to skip the sizing scan — otherwise training pays one extra
+    full corpus pass per train run (r9 verdict item 5). An UNDERestimate
+    is harmless (a wider keep fraction; the hash sort + limit re-pins
+    the same exact sample); an overestimate shrinks the keep below the
+    target and the sample — still deterministic — may fall short of
+    max_train_rows.
     """
     v = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    n = v.count()
+    n = corpus_rows if corpus_rows is not None else v.count()
     bucket_mod = 1 << 20
     h = F.pmod(F.xxhash64(F.col("__id")), F.lit(bucket_mod))
     if n > max_train_rows:
@@ -404,6 +421,7 @@ def knn_ivf(
     centroids: list[list[float]] | None = None,
     query_id_col: str | None = None,
     assign_impl: str = "pandas",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors
     are bucketed by nearest k-means centroid, queries probe their
@@ -418,7 +436,7 @@ def knn_ivf(
     if centroids is None:
         centroids = ivf_train(
             corpus, vec_col, id_col, nlist=nlist, iters=iters,
-            assign_impl=assign_impl,
+            assign_impl=assign_impl, corpus_rows=corpus_rows,
         )
     if not centroids:
         # empty corpus trains zero centroids; F.array() of no columns has
@@ -687,6 +705,7 @@ def set_ivf(
     iters: int = 5,
     centroids: list[list[float]] | None = None,
     assign_impl: str = "pandas",
+    corpus_rows: int | None = None,
 ) -> list[list[float]]:
     """Persist an IVF index: train (or reuse) centroids, write them as
     a tiny parquet sidecar under ``path/_centroids``, and write the
@@ -697,7 +716,8 @@ def set_ivf(
     never re-shuffles. Returns the trained centroids."""
     if centroids is None:
         centroids = ivf_train(corpus, vec_col, id_col, nlist=nlist,
-                              iters=iters, assign_impl=assign_impl)
+                              iters=iters, assign_impl=assign_impl,
+                              corpus_rows=corpus_rows)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],

@@ -21,6 +21,7 @@ from rayforce_spark.streaming.journal import (
 from rayforce_spark.streaming.ops import (
     stream_decontaminate,
     stream_dedup,
+    stream_minhash_index_ingest,
     stream_window_join,
     stream_xbar_agg,
     timer,
@@ -39,6 +40,7 @@ __all__ = [
     "stream_decontaminate",
     "stream_dedup",
     "stream_embedding_neardup",
+    "stream_minhash_index_ingest",
     "stream_neardup",
     "stream_window_join",
     "stream_xbar_agg",

@@ -268,3 +268,96 @@ def stream_dedup(
         stream.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+def stream_minhash_index_ingest(
+    index_path: str,
+    pairs_path: str,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.7,
+    intra_batch: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Continuous day-2 ingestion against a persisted MinHash index
+    (datapipe.dedup.set_minhash_index): returns a ``foreachBatch``
+    callable that, per micro-batch, probes the batch against the index
+    (minhash_index_pairs — the indexed corpus is never re-shingled),
+    finds intra-batch pairs with the index's own banding params, writes
+    the canonical pair set (id_a < id_b, exact jaccard >= threshold) to
+    ``pairs_path``, and extends the index with the batch — the
+    streaming twin of the batch dedup-then-extend loop in
+    examples/train_prep.py. Wire it as::
+
+        (stream.writeStream
+         .foreachBatch(stream_minhash_index_ingest(idx, pairs, "text", "doc_id"))
+         .option("checkpointLocation", ck).start())
+
+    IDEMPOTENT under micro-batch replay (crash/restart re-runs the last
+    uncommitted batch with the same batch_id):
+
+    - pair output goes to ``pairs_path/batch=<batch_id>`` with
+      mode=overwrite — a replayed batch rewrites its own partition,
+      never double-appends;
+    - cross pairs anti-join away the batch's OWN ids, so a replay that
+      finds the batch already extended into the index (crash landed
+      between extend and commit marker) emits the same cross set;
+    - the extend append is the one non-idempotent step, so a commit
+      MARKER (``index_path/_batches/batch-<id>``, written LAST via the
+      Hadoop FS API — local paths and object stores alike) skips fully
+      committed batches on replay; the one torn window (extend
+      committed, marker not) duplicates that batch's index rows, which
+      probes tolerate by construction (minhash_index_pairs dedups its
+      verified pairs by pair key) at the bounded cost of one batch's
+      extra index bytes.
+
+    Emission semantics over the whole stream: every near-dup pair
+    (a, b) with at least one side arriving on the stream is emitted
+    exactly once, in the batch of its later-arriving side
+    (``intra_batch=False`` drops same-batch pairs for pipelines that
+    run minhash_lsh_pairs over the batch separately); pairs entirely
+    inside the pre-built index are the batch builder's job.
+    """
+    from rayforce_spark.datapipe.dedup import (
+        _read_minhash_meta,
+        extend_minhash_index,
+        minhash_index_pairs,
+        minhash_lsh_pairs,
+    )
+    from rayforce_spark.sources._sidecar import _fs_path
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, _ = _fs_path(spark, index_path)
+        marker = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/_batches/batch-{batch_id}")
+        if fs.exists(marker):
+            return  # fully committed before a restart — replay is a no-op
+        # freeze the micro-batch once: the probe, the intra-batch pairs,
+        # the id anti-join and the extend are four separate Spark jobs,
+        # and re-reading the source per job would re-pay the scan 4x
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.count() > 0:
+            meta = _read_minhash_meta(spark, index_path)
+            ids = batch_df.select(F.col(id_col).alias("__bid"))
+            cross = (
+                minhash_index_pairs(index_path, batch_df, text_col, id_col,
+                                    threshold=threshold)
+                .join(ids, F.col("index_id") == F.col("__bid"), "left_anti")
+                .select(F.least("new_id", "index_id").alias("id_a"),
+                        F.greatest("new_id", "index_id").alias("id_b"),
+                        "jaccard")
+            )
+            out = cross
+            if intra_batch:
+                out = out.unionByName(minhash_lsh_pairs(
+                    batch_df, text_col, id_col, threshold=threshold,
+                    num_perm=meta["num_perm"], bands=meta["bands"],
+                    shingle_k=meta["shingle_k"], sig_impl=meta["sig_impl"],
+                ))
+            out.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch={batch_id}")
+            extend_minhash_index(batch_df, index_path, text_col, id_col)
+        fs.mkdirs(marker)  # the commit marker, written LAST
+
+    return _ingest

@@ -397,16 +397,22 @@ def stream_embedding_neardup(
 
     from rayforce_spark.datapipe.similarity import _bucket_key, _hyperplanes
 
+    # resolve the user's columns FIRST (F.col handles dotted/nested
+    # references); the bucket-key SQL-text builder (_bucket_key) then
+    # only ever sees the engine-internal top-level name "__v" — a
+    # dotted vec_col reaching it would backtick-quote as one literal
+    # identifier and fail analysis (r9 advice item 1)
+    src = stream.select(F.col(id_col).alias("__id"),
+                        F.col(vec_col).alias("__v"))
     per_table = []
     for t in range(tables):
         hp = _hyperplanes(dim, planes, t, seed)
         per_table.append(F.struct(
             F.lit(t).alias("t"),
-            _bucket_key(vec_col, hp).alias("k"),
+            _bucket_key("__v", hp).alias("k"),
         ))
-    bucketed = stream.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
+    bucketed = src.select(
+        "__id", "__v",
         F.explode(F.array(*per_table)).alias("__tk"),
     ).select(
         "__id", "__v",

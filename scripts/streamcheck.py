@@ -579,6 +579,87 @@ def check_pack(spark, t, tmp):
                    "4 micro-batch files (state spans batches)")
 
 
+def _run_foreach_batch(spark, stream_df, fn, ck_base):
+    """Run a foreachBatch sink query to completion, honoring RECOVERY:
+    in recovery mode the query is killed after its first committed
+    micro-batch (maxFilesPerTrigger=1 is already patched onto the
+    journal source) and restarted on the SAME checkpoint — the replayed
+    batch_id must be a no-op for an idempotent sink.
+    processAllAvailable is safe here (no stateful timeout batches)."""
+    ck = os.path.join(ck_base, "ck")
+
+    def start():
+        return (stream_df.writeStream.foreachBatch(fn)
+                .option("checkpointLocation", ck).start())
+
+    q = start()
+    if RECOVERY:
+        seen: dict[int, int] = {}
+        deadline = time.time() + TIMEOUT_SECS
+        try:
+            while time.time() < deadline:
+                if _committed_rows(q, seen) > 0:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def check_minhash_index_ingest(spark, t, tmp):
+    """STREAMCHECK leg 10 (r10 directive 5): continuous day-2 ingestion
+    against a persisted MinHash index — foreachBatch probes each
+    micro-batch (minhash_index_pairs), writes the batch's canonical
+    pair partition, extends the index, commits a marker; idempotent
+    under replay (the recovery pass kills the query mid-stream and
+    re-runs the last batch_id). Params use bands=num_perm, so recall is
+    exact and the emitted set is deterministic: every exact-Jaccard
+    pair with at least one side on the stream, exactly once. Batch
+    twin: minhash_lsh_pairs over old+new minus the old-only pairs."""
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.datapipe import (
+        minhash_lsh_pairs, set_minhash_index)
+    from rayforce_spark.streaming import read_journal_stream
+    from rayforce_spark.streaming.ops import stream_minhash_index_ingest
+
+    kw = dict(num_perm=32, bands=32, shingle_k=1)
+    thr = 0.5
+    docs = t["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new_rows = sorted(
+        (r.asDict() for r in
+         docs.filter(F.col("doc_id") % 3 == 0).collect()),
+        key=lambda r: r["doc_id"])
+    schema = "doc_id long, text string"
+    path = _feed(tmp, "mhidx", schema, _chunks(new_rows, 3))
+
+    idx = os.path.join(tmp, "mh_index")
+    pairs = os.path.join(tmp, "mh_pairs")
+    set_minhash_index(old, idx, "text", "doc_id", **kw)
+
+    fn = stream_minhash_index_ingest(idx, pairs, "text", "doc_id",
+                                     threshold=thr)
+    _run_foreach_batch(spark, read_journal_stream(spark, path, schema),
+                       fn, tmp)
+    stream = spark.read.parquet(pairs).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("j"))
+
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    both_old = (F.col("id_a").isin(list(old_ids))
+                & F.col("id_b").isin(list(old_ids)))
+    batch = (minhash_lsh_pairs(docs, "text", "doc_id", threshold=thr, **kw)
+             .filter(~both_old)
+             .select("id_a", "id_b", F.round("jaccard", 6).alias("j")))
+    return _result("stream_minhash_index", stream, batch,
+                   f"{len(new_rows)} streamed docs vs {len(old_ids)} "
+                   "indexed, 3 micro-batches, exact-recall banding")
+
+
 CHECKS = [
     check_sessionize,
     check_asof,
@@ -589,6 +670,7 @@ CHECKS = [
     check_xbar,
     check_decontaminate,
     check_pack,
+    check_minhash_index_ingest,
 ]
 
 

@@ -364,6 +364,27 @@ def test_lsh_bucket_keys_nan_bit_equal(spark):
     assert all(x.key == (1 << 5) - 1 for x in nan_row.p)
 
 
+def test_lsh_nested_vec_col(spark):
+    """The public vec_col contract includes dotted/nested references
+    (r9 advice item 1): entry points resolve vec_col through F.col into
+    an internal top-level alias BEFORE any SQL-text builder quotes a
+    name, so "meta.emb" works end to end and matches the same data
+    passed as a top-level column."""
+    from rayforce_spark.datapipe.similarity import knn_lsh
+
+    flat = spark.createDataFrame(
+        [(i, [0.1 * i, 1.0 - 0.05 * i, 0.3, -0.2]) for i in range(20)],
+        "vec_id long, emb array<double>")
+    nested = flat.select(
+        "vec_id", F.struct(F.col("emb").alias("emb")).alias("meta"))
+    kw = dict(k=3, dim=4, planes=2, tables=4, seed=7)
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in knn_lsh(
+        flat, flat.limit(3), "emb", "vec_id", **kw).collect()}
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in knn_lsh(
+        nested, nested.limit(3), "meta.emb", "vec_id", **kw).collect()}
+    assert want and got == want
+
+
 def test_ivf_nearest_nan_bit_equal(spark):
     """r10 NaN contract for the IVF assignment twin: NaN distances rank
     identically on both paths — NaN sorts LAST (Spark: NaN above every
