@@ -169,7 +169,23 @@ def _instance_fingerprint(spark) -> dict:
         # 32 threads); loadavg_start_* (merged by main) is the
         # pre-existing-load signal
         "loadavg_end_1m": round(os.getloadavg()[0], 2),
+        # absolute single-core speed (r10: the r9 "+14-17%" flags could
+        # not be adjudicated because no record carried an absolute
+        # box-speed number — loadavg only measures contention, not the
+        # instance's own clock). A fixed 20M-iteration integer loop:
+        # cross-round Spark deltas should be read against the ratio of
+        # this number first.
+        "py_loop_20m_s": _py_loop_fingerprint(),
     }
+
+
+def _py_loop_fingerprint() -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    assert x  # keep the loop un-eliminable
+    return round(time.time() - t0, 2)
 
 
 def _prev_round_compare(times: dict, spread: dict) -> dict:
