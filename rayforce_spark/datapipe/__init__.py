@@ -26,6 +26,9 @@ from rayforce_spark.datapipe.dedup import (
     dedup_segments,
     embedding_dup_pairs,
     jaccard_dup_pairs,
+    extend_jaccard_index,
+    jaccard_index_pairs,
+    set_jaccard_index,
     extend_minhash_index,
     minhash_index_pairs,
     minhash_lsh_pairs,
@@ -105,6 +108,9 @@ __all__ = [
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
     "jaccard_dup_pairs",
+    "extend_jaccard_index",
+    "jaccard_index_pairs",
+    "set_jaccard_index",
     "extend_minhash_index",
     "minhash_index_pairs",
     "minhash_lsh_pairs",

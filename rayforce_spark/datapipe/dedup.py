@@ -641,15 +641,68 @@ def jaccard_dup_pairs(
     return out
 
 
+#: 1e-6 threshold quantization grain for the prefix/size/positional
+#: filters — num/den rationals keep the candidate-stage bounds
+#: integer-exact; quantizing DOWN only widens the candidate superset
+#: (the verify step applies the true float threshold)
+_JAC_DEN = 1_000_000
+
+
+def _prefix_len(num: int, den: int) -> Column:
+    """AllPairs prefix length sz - ceil(t*sz) + 1, integer-exact in
+    long arithmetic over the quantized t = num/den (int cast safe:
+    plen <= sz <= array max — and is what F.slice wants)."""
+    return (F.col("sz")
+            - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1))
+                      / F.lit(den)).cast("long") + 1).cast("int")
+
+
+def _prefix_rows(docs: DataFrame, num: int, den: int) -> DataFrame:
+    """(__id, sz, pos, tok) prefix rows of a sorted-docs frame
+    (__id, __toks, sz): each token of the first prefix-len tokens with
+    its 1-based POSITION in the (df, tok)-sorted array — a scalar, so
+    the positional filter runs in the join stage with zero extra
+    width."""
+    return (
+        docs.select("__id", "sz", F.posexplode(
+            F.slice("__toks", 1, _prefix_len(num, den))).alias("__p0", "tok"))
+        .select("__id", "sz", (F.col("__p0") + 1).alias("pos"), "tok")
+    )
+
+
+def _size_ok(num: int, den: int) -> Column:
+    """Size filter over aliases a/b: Jaccard >= t needs
+    min(sz) >= t * max(sz)."""
+    return (F.least("a.sz", "b.sz") * den
+            >= F.greatest("a.sz", "b.sz") * num)
+
+
+def _pos_ok(num: int, den: int) -> Column:
+    """PPJoin positional filter (Xiao et al., WWW'08 — public
+    literature) over aliases a/b: J >= t needs overlap
+    i >= t/(1+t)*(sz_a+sz_b); matching at sorted positions
+    (pos_a, pos_b), the intersection from this token onward is at most
+    1 + min(sz_a-pos_a, sz_b-pos_b). For each pair's EARLIEST shared
+    token there are no shared tokens before it, so the bound is exact
+    there and a qualifying pair always survives; later (duplicate)
+    emissions and hopeless candidates are pruned BEFORE the
+    candidate-dedup shuffle (integer k >= rational q iff
+    k*(num+den) >= num*(sz_a+sz_b); num is quantized DOWN, which only
+    loosens the bound — exactness preserved)."""
+    return (
+        (F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos"),
+                            F.col("b.sz") - F.col("b.pos")))
+        * F.lit(num + den)
+        >= (F.col("a.sz") + F.col("b.sz")) * F.lit(num)
+    )
+
+
 def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
     """Prefix-filtered exact Jaccard join over an exploded (__id, tok)
     table (see jaccard_dup_pairs docstring). One df aggregate, one
     prefix-token shuffle join (rare tokens only), one verify join."""
-    # t quantized DOWN to a 1e-6-grain rational: candidate-stage bounds
-    # stay integer-exact and permissive; the verify step applies the
-    # true float threshold
-    num = int(threshold * 1_000_000)
-    den = 1_000_000
+    num = int(threshold * _JAC_DEN)
+    den = _JAC_DEN
 
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
     # each doc's shingles sorted rarest-first (global (df, tok) order)
@@ -676,46 +729,14 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
     # localCheckpoint materializes it once, distributed (executor-local
     # blocks, MEMORY_AND_DISK), same device dedup_clusters already uses.
     docs = docs.localCheckpoint(eager=False)
-    # prefix length = sz - ceil(t*sz) + 1; ceil(num*sz/den) integer-exact
-    # (long arithmetic throughout; the final cast back to int is safe —
-    # plen <= sz <= array max — and is what F.slice wants)
-    plen = (F.col("sz")
-            - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1))
-                      / F.lit(den)).cast("long") + 1).cast("int")
-    # prefix rows carry the token's 1-based POSITION in the (df,tok)-sorted
-    # token array — a scalar, so the positional filter below runs in the
-    # join stage with zero extra width
-    pref = (
-        docs.select("__id", "sz", F.posexplode(
-            F.slice("__toks", 1, plen)).alias("__p0", "tok"))
-        .select("__id", "sz", (F.col("__p0") + 1).alias("pos"), "tok")
-    )
-    # size filter: Jaccard >= t needs min(sz) >= t * max(sz)
-    size_ok = (F.least("a.sz", "b.sz") * den
-               >= F.greatest("a.sz", "b.sz") * num)
-    # PPJoin positional filter (Xiao et al., WWW'08 — public literature):
-    # J >= t needs overlap i >= t/(1+t)*(sz_a+sz_b); matching at sorted
-    # positions (pos_a, pos_b), the intersection from this token onward
-    # is at most 1 + min(sz_a-pos_a, sz_b-pos_b). For each pair's
-    # EARLIEST shared token there are no shared tokens before it, so the
-    # bound is exact there and a qualifying pair always survives; later
-    # (duplicate) emissions and hopeless candidates are pruned BEFORE
-    # the candidate-dedup shuffle (integer k >= rational q iff
-    # k*(num+den) >= num*(sz_a+sz_b); num is quantized DOWN, which only
-    # loosens the bound — exactness preserved).
-    pos_ok = (
-        (F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos"),
-                            F.col("b.sz") - F.col("b.pos")))
-        * F.lit(num + den)
-        >= (F.col("a.sz") + F.col("b.sz")) * F.lit(num)
-    )
+    pref = _prefix_rows(docs, num, den)
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.__id") < F.col("b.__id"))
-            & size_ok & pos_ok,
+            & _size_ok(num, den) & _pos_ok(num, den),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
@@ -774,6 +795,209 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63,
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def _jaccard_batch_toks(df: DataFrame, text_col: str, id_col: str,
+                        shingle_k: int) -> DataFrame:
+    """Exploded (__id, tok) shingle-hash stream for the Jaccard index
+    legs, materialized once (localCheckpoint) so the df/docs/prefix
+    legs stay consistent for non-deterministic inputs — the same
+    contract as _minhash_parts."""
+    return with_shingle_hashes(
+        fanout(df).select(F.col(id_col).alias("__id"),
+                          F.col(text_col).alias("__t")),
+        "__t", shingle_k, "__sh",
+    ).select("__id", F.explode("__sh").alias("tok")) \
+        .localCheckpoint(eager=False)
+
+
+def _jaccard_sorted_docs(toks: DataFrame, dfreq: DataFrame,
+                         max_doc_freq: int | None) -> DataFrame:
+    """(__id, __toks, sz) with each doc's tokens sorted rarest-first
+    under the (df, tok) total order of ``dfreq``. A LEFT join: tokens
+    absent from dfreq (probe-side tokens unseen at index build) rank
+    df = 0 — they extend the frozen total order without reordering any
+    stored prefix, which is what keeps incremental probes EXACT (the
+    AllPairs/PPJoin prefix theorem needs only that both sides sort
+    under one consistent total order; stored docs contain no unseen
+    tokens, so their build-time sort already agrees with the extended
+    order). ``max_doc_freq`` drops tokens whose FROZEN df exceeds the
+    cutoff — dfreq must be the UNfiltered table so a probe can tell
+    build-time-hot tokens (dropped, everywhere consistently) from
+    unseen ones (df 0, kept); sizes are computed over the reduced sets
+    so numerator and denominator stay consistent. sz is LONG — the
+    filters multiply it by the 1e6-grain threshold rationals and int32
+    would overflow under ANSI."""
+    joined = (toks.join(dfreq, "tok", "left")
+              .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0))))
+    if max_doc_freq is not None:
+        joined = joined.filter(F.col("__df") <= max_doc_freq)
+    return (
+        joined
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "tok")))
+             .alias("__st"))
+        .select(
+            "__id",
+            F.transform("__st", lambda s: s["tok"]).alias("__toks"),
+            F.size("__st").cast("long").alias("sz"),
+        )
+    )
+
+
+def set_jaccard_index(corpus: DataFrame, path: str, text_col: str,
+                      id_col: str, *, shingle_k: int = 1,
+                      threshold: float = 0.8,
+                      max_doc_freq: int | None = None) -> None:
+    """Persist an exact n-gram-Jaccard dedup INDEX — the
+    continuous-ingestion twin of :func:`jaccard_dup_pairs`
+    (prefix_filter path), completing the persisted-index family
+    (minhash / simhash / IVF). Writes under ``path``:
+
+    - ``_meta``     — (shingle_k, threshold, max_doc_freq); written
+      LAST (commit marker, same convention as set_minhash_index),
+    - ``dfreq``     — the corpus (tok, df) table: the FROZEN total
+      order every later probe and extension sorts under,
+    - ``docs``      — (__id, __toks sorted rarest-first, sz): the
+      exact-verify side,
+    - ``prefixes``  — (__id, sz, pos, tok) AllPairs prefix rows at the
+      stored threshold: the slim candidate-join side.
+
+    Exactness under incremental use: the prefix theorem requires only
+    ONE consistent total order across both join sides — it is frozen
+    here as (df-at-build, tok). Probe-side tokens unseen at build rank
+    df = 0 (they extend the order; no stored array reorders), and a
+    probe threshold >= the stored one keeps stored prefixes a superset
+    of what that threshold needs. What DOES drift as the corpus grows
+    is prefix EFFECTIVENESS, not correctness: a token that was rare at
+    build time but becomes corpus-hot generates ever more candidates
+    (all still exactly verified). Rebuild the index periodically — into
+    a fresh path — when probe cost creeps; ``max_doc_freq`` is likewise
+    frozen at build (stored df decides which tokens are dropped
+    everywhere, so numerator and denominator stay consistent)."""
+    toks = _jaccard_batch_toks(corpus, text_col, id_col, shingle_k)
+    # dfreq persists UNfiltered — probes need the frozen df of every
+    # token the build saw, including the hot ones max_doc_freq drops
+    # (otherwise a probe would mistake a build-time-hot token for an
+    # unseen rare one and sort it FIRST)
+    toks.groupBy("tok").agg(F.count("*").alias("__df")) \
+        .write.mode("overwrite").parquet(f"{path}/dfreq")
+    spark = corpus.sparkSession
+    stored_df = spark.read.parquet(f"{path}/dfreq")
+    docs = _jaccard_sorted_docs(toks, stored_df, max_doc_freq) \
+        .localCheckpoint(eager=False)
+    docs.write.mode("overwrite").parquet(f"{path}/docs")
+    num = int(threshold * _JAC_DEN)
+    _prefix_rows(docs, num, _JAC_DEN).write.mode("overwrite").parquet(
+        f"{path}/prefixes")
+    spark.createDataFrame(
+        [(int(shingle_k), float(threshold),
+          None if max_doc_freq is None else int(max_doc_freq))],
+        "shingle_k int, threshold double, max_doc_freq int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def _read_jaccard_meta(spark, path: str) -> dict:
+    r = spark.read.parquet(f"{path}/_meta").collect()[0]
+    return {"shingle_k": r["shingle_k"], "threshold": r["threshold"],
+            "max_doc_freq": r["max_doc_freq"]}
+
+
+def _jaccard_probe_parts(new_df: DataFrame, path: str, text_col: str,
+                         id_col: str, meta: dict,
+                         num: int) -> tuple[DataFrame, DataFrame]:
+    """(docs, prefixes) of a new batch under the index's FROZEN token
+    order (stored dfreq; unseen tokens df=0; stored max_doc_freq drops
+    the same tokens the build dropped)."""
+    spark = new_df.sparkSession
+    toks = _jaccard_batch_toks(new_df, text_col, id_col,
+                               meta["shingle_k"])
+    stored_df = spark.read.parquet(f"{path}/dfreq")
+    docs = _jaccard_sorted_docs(toks, stored_df, meta["max_doc_freq"]) \
+        .localCheckpoint(eager=False)
+    return docs, _prefix_rows(docs, num, _JAC_DEN)
+
+
+def extend_jaccard_index(new_df: DataFrame, path: str, text_col: str,
+                         id_col: str) -> None:
+    """Append a new batch to a persisted Jaccard index under its frozen
+    token order and stored threshold (both from ``_meta``). Existing
+    files are untouched; dfreq is NOT updated (the frozen order is the
+    exactness contract — see set_jaccard_index's drift note)."""
+    spark = new_df.sparkSession
+    meta = _read_jaccard_meta(spark, path)
+    num = int(meta["threshold"] * _JAC_DEN)
+    docs, pref = _jaccard_probe_parts(new_df, path, text_col, id_col,
+                                      meta, num)
+    docs.write.mode("append").parquet(f"{path}/docs")
+    pref.write.mode("append").parquet(f"{path}/prefixes")
+
+
+def jaccard_index_pairs(path: str, new_df: DataFrame, text_col: str,
+                        id_col: str, *,
+                        threshold: float | None = None) -> DataFrame:
+    """EXACT Jaccard near-dup pairs of a NEW batch against a persisted
+    Jaccard index: returns (new_id, index_id, jaccard) with jaccard >=
+    threshold — the same result a full jaccard_dup_pairs run over
+    index-corpus ∪ batch would emit for cross pairs, by the frozen-
+    order prefix argument (see set_jaccard_index). ``threshold``
+    defaults to the index's; any override >= the stored value stays
+    exact (stored prefixes are a superset of what a higher threshold
+    needs); lower raises — the stored prefixes are too short for it.
+
+    Plan: the batch's prefix rows join the on-disk prefix table on tok
+    with the size + positional filters in the join condition, candidate
+    pairs dedup, then one join to the batch's sorted docs and one to
+    the stored docs verifies with exact array_intersect. The indexed
+    corpus is never re-shingled or re-sorted; intra-batch pairs are
+    jaccard_dup_pairs(new_df)'s job."""
+    spark = new_df.sparkSession
+    meta = _read_jaccard_meta(spark, path)
+    if threshold is None:
+        threshold = meta["threshold"]
+    if threshold < meta["threshold"]:
+        raise ValueError(
+            f"probe threshold {threshold} is below the index's "
+            f"{meta['threshold']}: stored prefixes are too short for it "
+            "(recall loss) — rebuild the index at the lower threshold")
+    num = int(threshold * _JAC_DEN)
+    den = _JAC_DEN
+    docs, pref = _jaccard_probe_parts(new_df, path, text_col, id_col,
+                                      meta, num)
+    idx_pref = spark.read.parquet(f"{path}/prefixes")
+    cand = (
+        pref.alias("a")
+        .join(
+            idx_pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.__id") != F.col("b.__id"))
+            & _size_ok(num, den) & _pos_ok(num, den),
+        )
+        .select(F.col("a.__id").alias("new_id"),
+                F.col("b.__id").alias("index_id"))
+        .distinct()
+    )
+    idx_docs = spark.read.parquet(f"{path}/docs")
+    out = (
+        cand
+        .join(docs.select(F.col("__id").alias("new_id"),
+                          F.col("__toks").alias("__ta"),
+                          F.col("sz").alias("sz_a")), "new_id")
+        .join(idx_docs.select(F.col("__id").alias("index_id"),
+                              F.col("__toks").alias("__tb"),
+                              F.col("sz").alias("sz_b")), "index_id")
+        .withColumn("inter", F.size(F.array_intersect("__ta", "__tb")))
+        .withColumn(
+            "jaccard",
+            F.try_divide(F.col("inter"),
+                         F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+        # same torn-append tolerance as minhash_index_pairs
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    return out
 
 
 def _simhash_chunk(col: Column, b: int, chunk: int) -> Column:

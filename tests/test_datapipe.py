@@ -205,6 +205,90 @@ def test_simhash_index_incremental_matches_full_run(tables, tmp_path, spark):
         assert (r.doc_id, r.doc_id - 10_000_000) in exact_hits
 
 
+def test_jaccard_index_incremental_matches_full_run(tables, tmp_path, spark):
+    """The persisted Jaccard index is EXACT under incremental use (r10):
+    probing a new batch against an index of the old corpus yields
+    exactly the full run's cross-batch pairs — the frozen (df-at-build,
+    tok) total order satisfies the AllPairs/PPJoin prefix theorem even
+    though the full run sorts under a DIFFERENT (global-df) order; both
+    are exact algorithms, so the verified outputs coincide."""
+    from rayforce_spark.datapipe import (
+        extend_jaccard_index, jaccard_index_pairs, set_jaccard_index)
+
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    thr = 0.5
+    full = jaccard_dup_pairs(docs, "text", "doc_id", shingle_k=1,
+                             threshold=thr).collect()
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in full
+        if (r.id_a in old_ids) != (r.id_b in old_ids)
+    }
+    assert want, "fixture must contain cross-batch jaccard pairs"
+    path = str(tmp_path / "jac_idx")
+    set_jaccard_index(old, path, "text", "doc_id", shingle_k=1,
+                      threshold=thr)
+    got_rows = jaccard_index_pairs(path, new, "text", "doc_id").collect()
+    got = {(min(r.new_id, r.index_id), max(r.new_id, r.index_id),
+            round(r.jaccard, 9)) for r in got_rows}
+    assert got == want
+    assert all(r.index_id in old_ids for r in got_rows)
+    # a TIGHTER probe threshold stays exact (stored prefixes are a
+    # superset of what it needs); looser raises
+    tight_rows = jaccard_index_pairs(path, new, "text", "doc_id",
+                                     threshold=0.7).collect()
+    tight = {(min(r.new_id, r.index_id), max(r.new_id, r.index_id),
+              round(r.jaccard, 9)) for r in tight_rows}
+    assert tight == {p for p in want if p[2] >= 0.7}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="below the index"):
+        jaccard_index_pairs(path, new, "text", "doc_id", threshold=0.3)
+    # ingest loop: extend with the new batch (frozen order — new-only
+    # tokens rank df=0), probe identical copies: each must pair at
+    # jaccard 1.0 with its original in the EXTENDED part
+    third = spark.createDataFrame(
+        [(10_000_000 + r.doc_id, r.text) for r in new.limit(3).collect()],
+        "doc_id long, text string",
+    )
+    extend_jaccard_index(new, path, "text", "doc_id")
+    got3 = jaccard_index_pairs(path, third, "text", "doc_id").collect()
+    exact_hits = {(r.new_id, r.index_id) for r in got3
+                  if r.jaccard == 1.0}
+    for r in third.collect():
+        assert (r.doc_id, r.doc_id - 10_000_000) in exact_hits
+
+
+def test_jaccard_index_max_doc_freq_frozen(spark, tmp_path):
+    """max_doc_freq is FROZEN at index build: a probe drops exactly the
+    tokens the BUILD saw above the cutoff (even though the stored dfreq
+    keeps them — it must, or the probe would mistake build-time-hot
+    tokens for unseen rare ones and sort them first), while genuinely
+    unseen probe tokens rank df=0 and are kept."""
+    from rayforce_spark.datapipe import jaccard_index_pairs, set_jaccard_index
+
+    # "the" is hot at build (df 3 > cutoff 2); every other token rare
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox"),
+         (2, "the lazy dog sleeps"),
+         (3, "the cat sat here")],
+        "doc_id long, text string")
+    path = str(tmp_path / "jac_mdf")
+    set_jaccard_index(old, path, "text", "doc_id", shingle_k=1,
+                      threshold=0.5, max_doc_freq=2)
+    # probe doc shares ONLY the hot token with doc 3 -> no pair (the
+    # hot token is dropped on BOTH sides); and shares 3/4 rare tokens
+    # with doc 1 -> reduced sets {quick brown fox zzz} vs
+    # {quick brown fox}: J = 3/4
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox zzz")], "doc_id long, text string")
+    got = {(r.new_id, r.index_id, round(r.jaccard, 6))
+           for r in jaccard_index_pairs(path, new, "text",
+                                        "doc_id").collect()}
+    assert got == {(10, 1, 0.75)}
+
+
 def test_minhash_numpy_signature_same_pairs(spark, tables):
     # the Arrow-vectorized signature family is interchangeable with the
     # expression fold: at bands=num_perm both have exact recall, so the
