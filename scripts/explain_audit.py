@@ -391,6 +391,48 @@ def main():
     if not ok_m:
         failures.append("minhash.verify_no_array_agg")
 
+    # persisted-index probes (r10): the day-2 ingestion path must join
+    # the on-disk bucket/prefix tables with HASH joins (no cartesian /
+    # BNLJ — a probe that degenerates to all-pairs defeats the index),
+    # and the Jaccard probe's verify must stay exact array_intersect
+    import shutil as _sh
+    import tempfile as _tf
+
+    from rayforce_spark.datapipe import (
+        jaccard_index_pairs, minhash_index_pairs, set_jaccard_index,
+        set_minhash_index, set_simhash_index, simhash_index_pairs)
+
+    idx_base = _tf.mkdtemp(prefix="rf_audit_idx_")
+    try:
+        d300 = docs.limit(300)
+        probe = docs.limit(60)
+        mh_p = f"{idx_base}/mh"
+        set_minhash_index(d300, mh_p, "text", "doc_id",
+                          num_perm=32, bands=16, shingle_k=1)
+        pmi = plan_of(minhash_index_pairs(mh_p, probe, "text", "doc_id",
+                                          threshold=0.5))
+        sh_p = f"{idx_base}/sh"
+        set_simhash_index(d300, sh_p, "text", "doc_id", max_hamming=3)
+        psi = plan_of(simhash_index_pairs(sh_p, probe, "text", "doc_id"))
+        ja_p = f"{idx_base}/ja"
+        set_jaccard_index(d300, ja_p, "text", "doc_id", shingle_k=1,
+                          threshold=0.5)
+        pji = plan_of(jaccard_index_pairs(ja_p, probe, "text", "doc_id"))
+        for nm, pp in (("minhash_index.probe", pmi),
+                       ("simhash_index.probe", psi),
+                       ("jaccard_index.probe", pji)):
+            ok_i = ("CartesianProduct" not in pp
+                    and "BroadcastNestedLoopJoin" not in pp
+                    and (nm != "jaccard_index.probe"
+                         or "array_intersect" in pp))
+            print(f"[{'ok' if ok_i else 'VIOLATION'}] {nm}: "
+                  f"cartesian={'CartesianProduct' in pp}, "
+                  f"bnlj={'BroadcastNestedLoopJoin' in pp}")
+            if not ok_i:
+                failures.append(nm)
+    finally:
+        _sh.rmtree(idx_base, ignore_errors=True)
+
     # 8. no driver-gated query plans a GLOBAL window (empty partition
     # spec = Exchange SinglePartition + full sort — a scale-killer).
     # Walk the optimized logical plan and check Window.partitionSpec
