@@ -482,8 +482,15 @@ def extend_minhash_index(new_df: DataFrame, path: str, text_col: str,
     the dedup-then-extend loop."""
     meta = _read_minhash_meta(new_df.sparkSession, path)
     shingled, buckets = _minhash_parts(new_df, text_col, id_col, **meta)
-    buckets.write.mode("append").parquet(f"{path}/buckets")
+    # VERIFY leg (shingles) first, CANDIDATE leg (buckets) second: a
+    # crash between the two appends must not leave bucket rows whose
+    # pairs silently vanish at the verify join — with this order a torn
+    # extend leaves orphan shingle rows (the doc is merely invisible to
+    # candidates, as if never ingested), and the retry re-appends both
+    # legs; the duplicate shingle rows only multiply verify-join rows,
+    # which minhash_index_pairs' pair-key dedup collapses
     shingled.write.mode("append").parquet(f"{path}/shingles")
+    buckets.write.mode("append").parquet(f"{path}/buckets")
 
 
 def minhash_index_pairs(path: str, new_df: DataFrame,
@@ -929,6 +936,10 @@ def extend_jaccard_index(new_df: DataFrame, path: str, text_col: str,
     num = int(meta["threshold"] * _JAC_DEN)
     docs, pref = _jaccard_probe_parts(new_df, path, text_col, id_col,
                                       meta, num)
+    # VERIFY leg (docs) first, CANDIDATE leg (prefixes) second — same
+    # torn-extend argument as extend_minhash_index: orphan docs rows
+    # are invisible-but-consistent; orphan prefix rows would lose pairs
+    # silently at the verify join
     docs.write.mode("append").parquet(f"{path}/docs")
     pref.write.mode("append").parquet(f"{path}/prefixes")
 
@@ -1199,6 +1210,11 @@ def simhash_index_pairs(path: str, new_df: DataFrame, text_col: str,
         .select(F.col("n.__id").alias("new_id"),
                 F.col("o.__id").alias("index_id"),
                 hamming.alias("hamming"))
+        # canonical-band makes emission exactly-once against a CLEAN
+        # index; a re-run extend (duplicate banded rows) would emit per
+        # copy — pair-key dedup keeps probes insensitive to that, same
+        # tolerance as minhash_index_pairs / jaccard_index_pairs
+        .dropDuplicates(["new_id", "index_id"])
     )
 
 

@@ -627,7 +627,10 @@ def check_minhash_index_ingest(spark, t, tmp):
     from rayforce_spark.streaming import read_journal_stream
     from rayforce_spark.streaming.ops import stream_minhash_index_ingest
 
-    kw = dict(num_perm=32, bands=32, shingle_k=1)
+    # shingle_k=3 (the gate row's tuning): k=1 on the template-dense
+    # corpus emitted ~5M pairs at sf0.1 and the leg spent ~12 min
+    # materializing them — same code path, pathological volume
+    kw = dict(num_perm=32, bands=32, shingle_k=3)
     thr = 0.5
     docs = t["documents"].select("doc_id", "text")
     old = docs.filter(F.col("doc_id") % 3 != 0)
