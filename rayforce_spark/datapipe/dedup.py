@@ -1395,29 +1395,62 @@ def score_units_block(A, B, ida, idb, thr):
     """numpy block cosine with the fixed-point per-product rounding of
     :func:`_prod_units` (bit-equal to the expression fold — shared by
     the all-pairs block scorer and the LSH bucket scorer). Returns
-    (ii, jj, cos[ii, jj]) for pairs with ida<idb and cos >= thr; inner
-    chunking bounds the (chunk, |B|, dim) outer-product temp."""
+    (ii, jj, cos[ii, jj]) for pairs with ida<idb and cos >= thr.
+
+    r10: a BLAS preselect replaces the all-pairs fixed-point outer
+    product — the old shape materialized THREE (chunk, |B|, dim)
+    temporaries per chunk for every pair (memory-bandwidth bound,
+    ~19 s for 2k×2k×64 at sf0.1). Now a plain ``A @ B.T`` (double
+    matmul, same exact-unit norms in the divide) selects candidates
+    with a provable margin and ONLY those pairs get the exact
+    fixed-point scoring, whose emitted values are bit-identical to
+    before (same formula, same inputs).
+
+    Superset argument for the margin: with the exact-unit norms shared
+    by both paths, the preselect and the exact cosine differ only in
+    the DOT — per-product quantization shifts it by <= 0.5e-9 * dim
+    absolute, and double-matmul association error is ~dim * eps *
+    |a||b| (~1e-13 here). For rows with norm² >= _FAST_NORM_FLOOR the
+    cosine difference is bounded by (0.5e-9*dim)/sqrt(na*nb) <= 3.2e-5
+    at dim=64 — two decades under _FAST_MARGIN = 1e-3. Rows BELOW the
+    floor (quantization error / norm is unbounded there) and pairs
+    with a non-finite preselect value skip the shortcut and are scored
+    exactly, so no input shape can lose a pair."""
     import numpy as np
 
     def units(m):
         p = m * _COS_UNIT
         return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
 
+    FAST_NORM_FLOOR = 1e-3   # norm² units below which the bound dies
+    FAST_MARGIN = 1e-3
+
     nb = units(B * B).sum(axis=1) / _COS_UNIT
     na = units(A * A).sum(axis=1) / _COS_UNIT
+    fast_b = nb >= FAST_NORM_FLOOR
     out_i, out_j, out_c = [], [], []
-    chunk = max(1, 200_000 // max(1, B.shape[0]))
+    chunk = max(1, 5_000_000 // max(1, B.shape[0]))
+    Bt = B.T
     for s in range(0, A.shape[0], chunk):
         Ac = A[s:s + chunk]
-        dot = units(Ac[:, None, :] * B[None, :, :]).sum(-1) / _COS_UNIT
+        nac = na[s:s + chunk]
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dot / np.sqrt(na[s:s + chunk, None] * nb[None, :])
-        mask = ((ida[s:s + chunk, None] < idb[None, :])
-                & np.isfinite(cos) & (cos >= thr))
-        ii, jj = np.nonzero(mask)
-        out_i.append(s + ii)
-        out_j.append(jj)
-        out_c.append(cos[ii, jj])
+            cos_a = (Ac @ Bt) / np.sqrt(nac[:, None] * nb[None, :])
+        lt = ida[s:s + chunk, None] < idb[None, :]
+        fast = ((nac >= FAST_NORM_FLOOR)[:, None] & fast_b[None, :]
+                & np.isfinite(cos_a))
+        sel = lt & (~fast | (cos_a >= thr - FAST_MARGIN))
+        ii, jj = np.nonzero(sel)
+        if not len(ii):
+            continue
+        # exact fixed-point scoring, selected pairs only
+        dot = units(Ac[ii] * B[jj]).sum(axis=1) / _COS_UNIT
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / np.sqrt(nac[ii] * nb[jj])
+        keep = np.isfinite(cos) & (cos >= thr)
+        out_i.append(s + ii[keep])
+        out_j.append(jj[keep])
+        out_c.append(cos[keep])
     if not out_i:
         return (np.array([], dtype=int), np.array([], dtype=int),
                 np.array([], dtype=float))
