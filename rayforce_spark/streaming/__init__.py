@@ -21,7 +21,9 @@ from rayforce_spark.streaming.journal import (
 from rayforce_spark.streaming.ops import (
     stream_decontaminate,
     stream_dedup,
+    stream_jaccard_index_ingest,
     stream_minhash_index_ingest,
+    stream_simhash_index_ingest,
     stream_window_join,
     stream_xbar_agg,
     timer,
@@ -40,8 +42,10 @@ __all__ = [
     "stream_decontaminate",
     "stream_dedup",
     "stream_embedding_neardup",
+    "stream_jaccard_index_ingest",
     "stream_minhash_index_ingest",
     "stream_neardup",
+    "stream_simhash_index_ingest",
     "stream_window_join",
     "stream_xbar_agg",
     "timer",

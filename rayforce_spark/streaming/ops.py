@@ -324,6 +324,40 @@ def stream_minhash_index_ingest(
         minhash_index_pairs,
         minhash_lsh_pairs,
     )
+
+    def pairs_of(batch_df: DataFrame) -> DataFrame:
+        spark = batch_df.sparkSession
+        ids = batch_df.select(F.col(id_col).alias("__bid"))
+        cross = (
+            minhash_index_pairs(index_path, batch_df, text_col, id_col,
+                                threshold=threshold)
+            .join(ids, F.col("index_id") == F.col("__bid"), "left_anti")
+            .select(F.least("new_id", "index_id").alias("id_a"),
+                    F.greatest("new_id", "index_id").alias("id_b"),
+                    "jaccard")
+        )
+        if not intra_batch:
+            return cross
+        meta = _read_minhash_meta(spark, index_path)
+        return cross.unionByName(minhash_lsh_pairs(
+            batch_df, text_col, id_col, threshold=threshold,
+            num_perm=meta["num_perm"], bands=meta["bands"],
+            shingle_k=meta["shingle_k"], sig_impl=meta["sig_impl"],
+        ))
+
+    return _index_ingest_foreachbatch(
+        index_path, pairs_path, pairs_of,
+        lambda b: extend_minhash_index(b, index_path, text_col, id_col))
+
+
+def _index_ingest_foreachbatch(index_path, pairs_path, pairs_of,
+                               extend) -> Callable[[DataFrame, int], None]:
+    """The family-independent foreachBatch core shared by the three
+    index-ingest wrappers (minhash / simhash / jaccard — the
+    idempotency contract is documented on stream_minhash_index_ingest
+    and identical for all three): marker-skip, one localCheckpoint of
+    the micro-batch, per-batch overwrite pair partition, extend, commit
+    marker last."""
     from rayforce_spark.sources._sidecar import _fs_path
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -338,26 +372,100 @@ def stream_minhash_index_ingest(
         # and re-reading the source per job would re-pay the scan 4x
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.count() > 0:
-            meta = _read_minhash_meta(spark, index_path)
-            ids = batch_df.select(F.col(id_col).alias("__bid"))
-            cross = (
-                minhash_index_pairs(index_path, batch_df, text_col, id_col,
-                                    threshold=threshold)
-                .join(ids, F.col("index_id") == F.col("__bid"), "left_anti")
-                .select(F.least("new_id", "index_id").alias("id_a"),
-                        F.greatest("new_id", "index_id").alias("id_b"),
-                        "jaccard")
-            )
-            out = cross
-            if intra_batch:
-                out = out.unionByName(minhash_lsh_pairs(
-                    batch_df, text_col, id_col, threshold=threshold,
-                    num_perm=meta["num_perm"], bands=meta["bands"],
-                    shingle_k=meta["shingle_k"], sig_impl=meta["sig_impl"],
-                ))
-            out.write.mode("overwrite").parquet(
+            pairs_of(batch_df).write.mode("overwrite").parquet(
                 f"{pairs_path}/batch={batch_id}")
-            extend_minhash_index(batch_df, index_path, text_col, id_col)
+            extend(batch_df)
         fs.mkdirs(marker)  # the commit marker, written LAST
 
     return _ingest
+
+
+def stream_simhash_index_ingest(
+    index_path: str,
+    pairs_path: str,
+    text_col: str,
+    id_col: str,
+    *,
+    intra_batch: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Continuous day-2 ingestion against a persisted SimHash index —
+    the hamming-distance twin of :func:`stream_minhash_index_ingest`
+    (same foreachBatch shape, same idempotency contract; see that
+    docstring). Emits canonical (id_a < id_b, hamming) pairs at the
+    index's stored max_hamming; recall is exact by the pigeonhole
+    bound, so the whole-stream emission is deterministic."""
+    from rayforce_spark.datapipe.dedup import (
+        _read_simhash_meta,
+        extend_simhash_index,
+        simhash_dup_pairs,
+        simhash_index_pairs,
+    )
+
+    def pairs_of(batch_df: DataFrame) -> DataFrame:
+        spark = batch_df.sparkSession
+        ids = batch_df.select(F.col(id_col).alias("__bid"))
+        cross = (
+            simhash_index_pairs(index_path, batch_df, text_col, id_col)
+            .join(ids, F.col("index_id") == F.col("__bid"), "left_anti")
+            .select(F.least("new_id", "index_id").alias("id_a"),
+                    F.greatest("new_id", "index_id").alias("id_b"),
+                    "hamming")
+        )
+        if not intra_batch:
+            return cross
+        meta = _read_simhash_meta(spark, index_path)
+        return cross.unionByName(simhash_dup_pairs(
+            batch_df, text_col, id_col, max_hamming=meta["max_hamming"],
+            bands=meta["bands"], token_hash=meta["token_hash"],
+        ))
+
+    return _index_ingest_foreachbatch(
+        index_path, pairs_path, pairs_of,
+        lambda b: extend_simhash_index(b, index_path, text_col, id_col))
+
+
+def stream_jaccard_index_ingest(
+    index_path: str,
+    pairs_path: str,
+    text_col: str,
+    id_col: str,
+    *,
+    intra_batch: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Continuous day-2 ingestion against a persisted exact-Jaccard
+    index — the exact-similarity twin of
+    :func:`stream_minhash_index_ingest` (same foreachBatch shape, same
+    idempotency contract; see that docstring). Emits canonical
+    (id_a < id_b, jaccard) pairs at the index's stored threshold;
+    cross-batch pairs stay EXACT across the whole stream by the
+    frozen-order prefix argument (set_jaccard_index), intra-batch pairs
+    come from jaccard_dup_pairs over the batch alone."""
+    from rayforce_spark.datapipe.dedup import (
+        _read_jaccard_meta,
+        extend_jaccard_index,
+        jaccard_dup_pairs,
+        jaccard_index_pairs,
+    )
+
+    def pairs_of(batch_df: DataFrame) -> DataFrame:
+        spark = batch_df.sparkSession
+        ids = batch_df.select(F.col(id_col).alias("__bid"))
+        cross = (
+            jaccard_index_pairs(index_path, batch_df, text_col, id_col)
+            .join(ids, F.col("index_id") == F.col("__bid"), "left_anti")
+            .select(F.least("new_id", "index_id").alias("id_a"),
+                    F.greatest("new_id", "index_id").alias("id_b"),
+                    "jaccard")
+        )
+        if not intra_batch:
+            return cross
+        meta = _read_jaccard_meta(spark, index_path)
+        return cross.unionByName(jaccard_dup_pairs(
+            batch_df, text_col, id_col, shingle_k=meta["shingle_k"],
+            threshold=meta["threshold"],
+            max_doc_freq=meta["max_doc_freq"],
+        ))
+
+    return _index_ingest_foreachbatch(
+        index_path, pairs_path, pairs_of,
+        lambda b: extend_jaccard_index(b, index_path, text_col, id_col))

@@ -610,6 +610,47 @@ def _run_foreach_batch(spark, stream_df, fn, ck_base):
         q.stop()
 
 
+def _check_index_ingest(spark, t, tmp, *, name, set_index, ingest_fn,
+                        full_pairs, val_col, note):
+    """Shared body for the three index-ingest legs (10-12): build the
+    index on the old 2/3 of documents, stream the other 1/3 through the
+    family's foreachBatch ingest (3 micro-batches), and compare the
+    accumulated pair partitions against the batch twin = the family's
+    full-run pair set over old+new MINUS the pairs entirely inside the
+    old corpus (the index builder's job). Every family's leg params are
+    exact-recall, so both sides are deterministic sets."""
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.streaming import read_journal_stream
+
+    docs = t["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new_rows = sorted(
+        (r.asDict() for r in
+         docs.filter(F.col("doc_id") % 3 == 0).collect()),
+        key=lambda r: r["doc_id"])
+    schema = "doc_id long, text string"
+    path = _feed(tmp, f"{name}_feed", schema, _chunks(new_rows, 3))
+
+    idx = os.path.join(tmp, f"{name}_index")
+    pairs = os.path.join(tmp, f"{name}_pairs")
+    set_index(old, idx)
+    fn = ingest_fn(idx, pairs)
+    _run_foreach_batch(spark, read_journal_stream(spark, path, schema),
+                       fn, tmp)
+    stream = spark.read.parquet(pairs).select(
+        "id_a", "id_b", F.round(val_col, 6).alias("v"))
+
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    both_old = (F.col("id_a").isin(list(old_ids))
+                & F.col("id_b").isin(list(old_ids)))
+    batch = (full_pairs(docs).filter(~both_old)
+             .select("id_a", "id_b", F.round(val_col, 6).alias("v")))
+    return _result(name, stream, batch,
+                   f"{len(new_rows)} streamed docs vs {len(old_ids)} "
+                   f"indexed, 3 micro-batches, {note}")
+
+
 def check_minhash_index_ingest(spark, t, tmp):
     """STREAMCHECK leg 10 (r10 directive 5): continuous day-2 ingestion
     against a persisted MinHash index — foreachBatch probes each
@@ -618,49 +659,64 @@ def check_minhash_index_ingest(spark, t, tmp):
     under replay (the recovery pass kills the query mid-stream and
     re-runs the last batch_id). Params use bands=num_perm, so recall is
     exact and the emitted set is deterministic: every exact-Jaccard
-    pair with at least one side on the stream, exactly once. Batch
-    twin: minhash_lsh_pairs over old+new minus the old-only pairs."""
-    from pyspark.sql import functions as F
-
-    from rayforce_spark.datapipe import (
-        minhash_lsh_pairs, set_minhash_index)
-    from rayforce_spark.streaming import read_journal_stream
+    pair with at least one side on the stream, exactly once.
+    shingle_k=3 (the gate row's tuning): k=1 on the template-dense
+    corpus emitted ~5M pairs at sf0.1 and the leg spent ~12 min on
+    materialization alone — same code path, pathological volume."""
+    from rayforce_spark.datapipe import minhash_lsh_pairs, set_minhash_index
     from rayforce_spark.streaming.ops import stream_minhash_index_ingest
 
-    # shingle_k=3 (the gate row's tuning): k=1 on the template-dense
-    # corpus emitted ~5M pairs at sf0.1 and the leg spent ~12 min
-    # materializing them — same code path, pathological volume
     kw = dict(num_perm=32, bands=32, shingle_k=3)
     thr = 0.5
-    docs = t["documents"].select("doc_id", "text")
-    old = docs.filter(F.col("doc_id") % 3 != 0)
-    new_rows = sorted(
-        (r.asDict() for r in
-         docs.filter(F.col("doc_id") % 3 == 0).collect()),
-        key=lambda r: r["doc_id"])
-    schema = "doc_id long, text string"
-    path = _feed(tmp, "mhidx", schema, _chunks(new_rows, 3))
+    return _check_index_ingest(
+        spark, t, tmp, name="stream_minhash_index",
+        set_index=lambda old, p: set_minhash_index(
+            old, p, "text", "doc_id", **kw),
+        ingest_fn=lambda idx, pairs: stream_minhash_index_ingest(
+            idx, pairs, "text", "doc_id", threshold=thr),
+        full_pairs=lambda docs: minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=thr, **kw),
+        val_col="jaccard", note="exact-recall banding")
 
-    idx = os.path.join(tmp, "mh_index")
-    pairs = os.path.join(tmp, "mh_pairs")
-    set_minhash_index(old, idx, "text", "doc_id", **kw)
 
-    fn = stream_minhash_index_ingest(idx, pairs, "text", "doc_id",
-                                     threshold=thr)
-    _run_foreach_batch(spark, read_journal_stream(spark, path, schema),
-                       fn, tmp)
-    stream = spark.read.parquet(pairs).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("j"))
+def check_simhash_index_ingest(spark, t, tmp):
+    """STREAMCHECK leg 11 (r10): the SimHash family's streaming ingest
+    — same foreachBatch shape and idempotency contract as leg 10;
+    pigeonhole banding makes recall exact, so the emitted hamming-pair
+    set is deterministic."""
+    from rayforce_spark.datapipe import set_simhash_index, simhash_dup_pairs
+    from rayforce_spark.streaming.ops import stream_simhash_index_ingest
 
-    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
-    both_old = (F.col("id_a").isin(list(old_ids))
-                & F.col("id_b").isin(list(old_ids)))
-    batch = (minhash_lsh_pairs(docs, "text", "doc_id", threshold=thr, **kw)
-             .filter(~both_old)
-             .select("id_a", "id_b", F.round("jaccard", 6).alias("j")))
-    return _result("stream_minhash_index", stream, batch,
-                   f"{len(new_rows)} streamed docs vs {len(old_ids)} "
-                   "indexed, 3 micro-batches, exact-recall banding")
+    return _check_index_ingest(
+        spark, t, tmp, name="stream_simhash_index",
+        set_index=lambda old, p: set_simhash_index(
+            old, p, "text", "doc_id", max_hamming=3),
+        ingest_fn=lambda idx, pairs: stream_simhash_index_ingest(
+            idx, pairs, "text", "doc_id"),
+        full_pairs=lambda docs: simhash_dup_pairs(
+            docs, "text", "doc_id", max_hamming=3),
+        val_col="hamming", note="pigeonhole-exact bands")
+
+
+def check_jaccard_index_ingest(spark, t, tmp):
+    """STREAMCHECK leg 12 (r10): the exact-Jaccard family's streaming
+    ingest — cross-batch pairs stay exact across the stream by the
+    frozen-order prefix argument (set_jaccard_index); the full-run twin
+    sorts under a DIFFERENT (global-df) order, which is the point: two
+    exact algorithms, one emitted set. shingle_k=3 keeps the
+    template-dense corpus's pair volume sane (see leg 10)."""
+    from rayforce_spark.datapipe import jaccard_dup_pairs, set_jaccard_index
+    from rayforce_spark.streaming.ops import stream_jaccard_index_ingest
+
+    return _check_index_ingest(
+        spark, t, tmp, name="stream_jaccard_index",
+        set_index=lambda old, p: set_jaccard_index(
+            old, p, "text", "doc_id", shingle_k=3, threshold=0.5),
+        ingest_fn=lambda idx, pairs: stream_jaccard_index_ingest(
+            idx, pairs, "text", "doc_id"),
+        full_pairs=lambda docs: jaccard_dup_pairs(
+            docs, "text", "doc_id", shingle_k=3, threshold=0.5),
+        val_col="jaccard", note="frozen-order exact prefixes")
 
 
 CHECKS = [
@@ -674,6 +730,8 @@ CHECKS = [
     check_decontaminate,
     check_pack,
     check_minhash_index_ingest,
+    check_simhash_index_ingest,
+    check_jaccard_index_ingest,
 ]
 
 
