@@ -790,18 +790,23 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63,
         F.col(id_col).alias(id_col),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", h_expr)
+    # parsed expr strings, not composed Column objects: the 63
+    # conditional-sum aggregates plus the 63-term fingerprint sum cost
+    # ~2.5 s of py4j round-trips per call the Column way (measured at
+    # sf0.1 — half the row's driver-side plan-build); 64 parses of the
+    # same text are one hop each. Plans and values are identical.
     bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(f"sum(case when (h & {1 << b}) != 0 then 1 else -1 end)"
+               f" as b{b}")
         for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return agg.select(id_col, fp.cast("long").alias("simhash"))
+    fp = " + ".join(
+        f"(case when b{b} > 0 then {1 << b} else 0 end)"
+        for b in range(bits)
+    )
+    return agg.select(
+        id_col, F.expr(f"cast({fp} as bigint) as simhash"))
 
 
 def _jaccard_batch_toks(df: DataFrame, text_col: str, id_col: str,
