@@ -405,6 +405,35 @@ def minhash_lsh_pairs(
     )
 
 
+#: On-disk format versions of the persisted index families. Bumped when
+#: a change alters what the data legs CONTAIN (not how they're computed):
+#: minhash is at 2 because r10 switched band-bucket values from 32-bit
+#: hash() to xxhash64 — probing a format-1 index with format-2 code would
+#: compute buckets that never match the stored values and SILENTLY return
+#: an empty pair set (the failure mode is wrong-empty, not an error).
+#: Readers raise on any mismatch, including a missing field (an index
+#: written before versioning existed is by definition format-unknown).
+_MINHASH_INDEX_FORMAT = 2
+_SIMHASH_INDEX_FORMAT = 1
+_JACCARD_INDEX_FORMAT = 1
+
+
+def _check_index_format(meta_row, expected: int, family: str,
+                        path: str) -> None:
+    """Raise unless the _meta sidecar's format matches this build's —
+    mismatched on-disk hash/bucket families don't error at probe time,
+    they return empty results, so the version gate is the only loud
+    failure available."""
+    got = meta_row.asDict().get("format")
+    if got != expected:
+        raise ValueError(
+            f"{family} index at {path} has on-disk format {got!r} but "
+            f"this build reads format {expected}: its stored buckets/"
+            "prefixes were computed by an incompatible hash family, and "
+            "probing it would silently return empty or incomplete pairs. "
+            f"Rebuild it into a fresh path with set_{family}_index.")
+
+
 def _minhash_parts(df: DataFrame, text_col: str, id_col: str, *,
                    num_perm: int, bands: int, shingle_k: int,
                    sig_impl: str) -> tuple[DataFrame, DataFrame]:
@@ -435,9 +464,11 @@ def set_minhash_index(corpus: DataFrame, path: str, text_col: str,
     corpus grows; same shape as similarity.set_ivf's train-once/
     probe-many layout). Writes under ``path``:
 
-    - ``_meta``      — the banding parameters (probes and extensions
-      MUST band identically or buckets don't line up; they read this
-      sidecar rather than trusting call-site kwargs),
+    - ``_meta``      — the banding parameters plus the on-disk format
+      version (probes and extensions MUST band identically or buckets
+      don't line up; they read this sidecar rather than trusting
+      call-site kwargs, and raise on a format mismatch — see
+      _check_index_format),
     - ``buckets``    — (__id, __bucket), bands rows per doc, 16 bytes
       each: the slim candidate-join side,
     - ``shingles``   — (__id, __bh shingle-hash array): the exact-
@@ -463,13 +494,16 @@ def set_minhash_index(corpus: DataFrame, path: str, text_col: str,
     buckets.write.mode("overwrite").parquet(f"{path}/buckets")
     shingled.write.mode("overwrite").parquet(f"{path}/shingles")
     corpus.sparkSession.createDataFrame(
-        [(int(num_perm), int(bands), int(shingle_k), str(sig_impl))],
-        "num_perm int, bands int, shingle_k int, sig_impl string",
+        [(int(num_perm), int(bands), int(shingle_k), str(sig_impl),
+          _MINHASH_INDEX_FORMAT)],
+        "num_perm int, bands int, shingle_k int, sig_impl string,"
+        " format int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def _read_minhash_meta(spark, path: str) -> dict:
     r = spark.read.parquet(f"{path}/_meta").collect()[0]
+    _check_index_format(r, _MINHASH_INDEX_FORMAT, "minhash", path)
     return {"num_perm": r["num_perm"], "bands": r["bands"],
             "shingle_k": r["shingle_k"], "sig_impl": r["sig_impl"]}
 
@@ -866,8 +900,9 @@ def set_jaccard_index(corpus: DataFrame, path: str, text_col: str,
     (prefix_filter path), completing the persisted-index family
     (minhash / simhash / IVF). Writes under ``path``:
 
-    - ``_meta``     — (shingle_k, threshold, max_doc_freq); written
-      LAST (commit marker, same convention as set_minhash_index),
+    - ``_meta``     — (shingle_k, threshold, max_doc_freq, format);
+      written LAST (commit marker, same convention as
+      set_minhash_index),
     - ``dfreq``     — the corpus (tok, df) table: the FROZEN total
       order every later probe and extension sorts under,
     - ``docs``      — (__id, __toks sorted rarest-first, sz): the
@@ -904,13 +939,15 @@ def set_jaccard_index(corpus: DataFrame, path: str, text_col: str,
         f"{path}/prefixes")
     spark.createDataFrame(
         [(int(shingle_k), float(threshold),
-          None if max_doc_freq is None else int(max_doc_freq))],
-        "shingle_k int, threshold double, max_doc_freq int",
+          None if max_doc_freq is None else int(max_doc_freq),
+          _JACCARD_INDEX_FORMAT)],
+        "shingle_k int, threshold double, max_doc_freq int, format int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def _read_jaccard_meta(spark, path: str) -> dict:
     r = spark.read.parquet(f"{path}/_meta").collect()[0]
+    _check_index_format(r, _JACCARD_INDEX_FORMAT, "jaccard", path)
     return {"shingle_k": r["shingle_k"], "threshold": r["threshold"],
             "max_doc_freq": r["max_doc_freq"]}
 
@@ -1126,8 +1163,8 @@ def set_simhash_index(corpus: DataFrame, path: str, text_col: str,
     day-2 ingestion never re-fingerprints the corpus for ANY near-dup
     path. Writes under ``path``:
 
-    - ``_meta``   — (max_hamming, bands, token_hash); probes and
-      extensions read this sidecar rather than trusting call-site
+    - ``_meta``   — (max_hamming, bands, token_hash, format); probes
+      and extensions read this sidecar rather than trusting call-site
       kwargs, so they can't silently band against the wrong slicing,
     - ``banded``  — (__id, simhash, band, key): ``bands`` rows per doc
       carrying the full fingerprint, so a probe join verifies hamming
@@ -1146,13 +1183,15 @@ def set_simhash_index(corpus: DataFrame, path: str, text_col: str,
     _simhash_banded(fp, bands).write.mode("overwrite").parquet(
         f"{path}/banded")
     corpus.sparkSession.createDataFrame(
-        [(int(max_hamming), int(bands), str(token_hash))],
-        "max_hamming int, bands int, token_hash string",
+        [(int(max_hamming), int(bands), str(token_hash),
+          _SIMHASH_INDEX_FORMAT)],
+        "max_hamming int, bands int, token_hash string, format int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def _read_simhash_meta(spark, path: str) -> dict:
     r = spark.read.parquet(f"{path}/_meta").collect()[0]
+    _check_index_format(r, _SIMHASH_INDEX_FORMAT, "simhash", path)
     return {"max_hamming": r["max_hamming"], "bands": r["bands"],
             "token_hash": r["token_hash"]}
 

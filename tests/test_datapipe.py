@@ -289,6 +289,44 @@ def test_jaccard_index_max_doc_freq_frozen(spark, tmp_path):
     assert got == {(10, 1, 0.75)}
 
 
+def test_index_format_version_gate(spark, tmp_path):
+    """A _meta sidecar without (or with a different) on-disk format
+    version must fail LOUDLY at probe time: r10 changed minhash band
+    buckets from 32-bit hash() to xxhash64, and a stale-format index
+    would not error — it would silently return an empty pair set
+    (probe buckets never match stored ones). The version gate converts
+    wrong-empty into a ValueError naming the rebuild."""
+    import pytest as _pytest
+
+    from rayforce_spark.datapipe import (
+        jaccard_index_pairs,
+        minhash_index_pairs,
+        set_jaccard_index,
+        set_minhash_index,
+        set_simhash_index,
+        simhash_index_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc ee")],
+        "doc_id long, text string")
+    for fam, set_fn, probe_fn in [
+        ("minhash", set_minhash_index, minhash_index_pairs),
+        ("simhash", set_simhash_index, simhash_index_pairs),
+        ("jaccard", set_jaccard_index, jaccard_index_pairs),
+    ]:
+        path = str(tmp_path / fam)
+        set_fn(docs, path, "text", "doc_id")
+        probe_fn(path, docs, "text", "doc_id").collect()  # fresh = fine
+        # simulate a pre-versioning index: strip the format column
+        # (materialize before overwriting the dir being read)
+        meta = (spark.read.parquet(f"{path}/_meta").drop("format")
+                .localCheckpoint(eager=True))
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+        with _pytest.raises(ValueError, match="format"):
+            probe_fn(path, docs, "text", "doc_id")
+
+
 def test_minhash_numpy_signature_same_pairs(spark, tables):
     # the Arrow-vectorized signature family is interchangeable with the
     # expression fold: at bands=num_perm both have exact recall, so the
