@@ -1454,12 +1454,17 @@ def score_units_block(A, B, ida, idb, thr):
     by both paths, the preselect and the exact cosine differ only in
     the DOT — per-product quantization shifts it by <= 0.5e-9 * dim
     absolute, and double-matmul association error is ~dim * eps *
-    |a||b| (~1e-13 here). For rows with norm² >= _FAST_NORM_FLOOR the
-    cosine difference is bounded by (0.5e-9*dim)/sqrt(na*nb) <= 3.2e-5
-    at dim=64 — two decades under _FAST_MARGIN = 1e-3. Rows BELOW the
-    floor (quantization error / norm is unbounded there) and pairs
-    with a non-finite preselect value skip the shortcut and are scored
-    exactly, so no input shape can lose a pair."""
+    |a||b| (~1e-13 here). For rows with norm² >= FAST_NORM_FLOOR the
+    cosine difference is bounded by (0.5e-9*dim)/sqrt(na*nb) <=
+    0.5e-9*dim/FAST_NORM_FLOOR (3.2e-5 at dim=64). The margin is
+    derived FROM that bound — max(1e-3, 2x bound) — rather than a
+    fixed constant: a fixed 1e-3 was only proven up to dim ~2000, and
+    a high-dim low-norm pair inside the gap would be silently dropped
+    from a documented-exact path (r10 ADVICE). The derivation is
+    asserted in code. Rows BELOW the floor (quantization error / norm
+    is unbounded there) and pairs with a non-finite preselect value
+    skip the shortcut and are scored exactly, so no input shape can
+    lose a pair."""
     import numpy as np
 
     def units(m):
@@ -1467,7 +1472,11 @@ def score_units_block(A, B, ida, idb, thr):
         return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
 
     FAST_NORM_FLOOR = 1e-3   # norm² units below which the bound dies
-    FAST_MARGIN = 1e-3
+    # quantization bound at the norm floor, with 2x headroom (covers the
+    # ~1e-13 matmul association term with decades to spare)
+    _bound = 0.5e-9 * A.shape[1] / FAST_NORM_FLOOR
+    FAST_MARGIN = max(1e-3, 2.0 * _bound)
+    assert _bound < FAST_MARGIN, (A.shape[1], _bound, FAST_MARGIN)
 
     nb = units(B * B).sum(axis=1) / _COS_UNIT
     na = units(A * A).sum(axis=1) / _COS_UNIT

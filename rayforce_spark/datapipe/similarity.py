@@ -221,6 +221,24 @@ def _bucket_keys_pandas(dim: int, planes: int, tables: int, seed: int):
     return F.pandas_udf(keys, T.ArrayType(T.LongType()))
 
 
+def _require_arrow(feature: str, fallback: str) -> None:
+    """Fail fast DRIVER-side when the Arrow-twin default can't run:
+    pandas+pyarrow became hard runtime dependencies of the previously
+    pure-JVM LSH/IVF entry points when key_impl/assign_impl defaulted
+    to "pandas" (r10 verdict #3) — without this check a missing import
+    surfaces as an opaque worker-side stack trace mid-job instead of a
+    one-line error naming the zero-dependency fallback."""
+    try:
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"{feature}: the default Arrow implementation needs pandas "
+            f"and pyarrow on the driver and every executor (missing: "
+            f"{e.name}); pass {fallback} for the zero-dependency JVM "
+            "expression path") from e
+
+
 def _bucket_structs(vec_name: str, *, dim: int, planes: int, tables: int,
                     seed: int, key_impl: str = "pandas") -> F.Column:
     """array<struct<tbl:int, key:long>> of all ``tables`` bucket keys
@@ -229,6 +247,7 @@ def _bucket_structs(vec_name: str, *, dim: int, planes: int, tables: int,
     twin (see _bucket_keys_pandas); ``"expr"`` is the pure-JVM
     expression path (authoritative for degenerate NaN inputs)."""
     if key_impl == "pandas":
+        _require_arrow("LSH bucket keys", "key_impl='expr'")
         ks = _bucket_keys_pandas(dim, planes, tables, seed)(F.col(vec_name))
         return F.transform(
             ks, lambda k, i: F.struct(i.cast("int").alias("tbl"),
@@ -321,6 +340,7 @@ def _nearest_impl(vec_name: str, centroids: list[list[float]],
     (default) is the Arrow twin, ``"expr"`` the pure-JVM expression
     (authoritative for NaN inputs)."""
     if impl == "pandas":
+        _require_arrow("IVF centroid assignment", "assign_impl='expr'")
         return _nearest_pandas(centroids, nprobe)(F.col(vec_name))
     if impl != "expr":
         raise ValueError(f"unknown assign_impl: {impl!r} "
@@ -354,19 +374,28 @@ def ivf_train(
 
     ``corpus_rows``: pass the row count when the pipeline already knows
     it, to skip the sizing scan — otherwise training pays one extra
-    full corpus pass per train run (r9 verdict item 5). An UNDERestimate
-    is harmless (a wider keep fraction; the hash sort + limit re-pins
-    the same exact sample); an overestimate shrinks the keep below the
-    target and the sample — still deterministic — may fall short of
-    max_train_rows.
+    full corpus pass per train run (r9 verdict item 5). Pass an OVER-
+    not under-estimate: the estimate only sizes the keep fraction, and
+    the result stays deterministic either way (the hash sort + limit
+    re-pins the same exact sample), but an overestimate merely risks a
+    sample — still deterministic — short of max_train_rows, while an
+    underestimate WIDENS the keep fraction toward keep-everything,
+    degenerating the sizing filter into the full-corpus global
+    hash-sort the filter exists to avoid (a cost cliff, not a
+    correctness one — r10 ADVICE).
     """
     v = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     n = corpus_rows if corpus_rows is not None else v.count()
     bucket_mod = 1 << 20
     h = F.pmod(F.xxhash64(F.col("__id")), F.lit(bucket_mod))
-    if n > max_train_rows:
+    # keep ~1.2x the target; a keep fraction >= 1 makes the filter a
+    # no-op, so apply it unconditionally rather than gating on
+    # n > max_train_rows (the old gate silently skipped the filter for
+    # any corpus_rows <= max_train_rows, accurate or not)
+    if n > 0:
         keep = min(bucket_mod, int(bucket_mod * 1.2 * max_train_rows / n) + 1)
-        v = v.filter(h < keep)
+        if keep < bucket_mod:
+            v = v.filter(h < keep)
     sample = (
         v.orderBy(F.xxhash64(F.col("__id")))  # sorts only the ~1.2x sample
         .limit(max_train_rows)

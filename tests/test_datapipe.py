@@ -327,6 +327,55 @@ def test_index_format_version_gate(spark, tmp_path):
             probe_fn(path, docs, "text", "doc_id")
 
 
+def test_arrow_default_fails_fast_when_missing(spark, monkeypatch):
+    """key_impl/assign_impl default to the Arrow twins; with
+    pandas/pyarrow absent the failure must be a DRIVER-side ImportError
+    naming the zero-dependency fallback, not an opaque worker-side
+    stack trace mid-job (r10 verdict #3)."""
+    import sys
+
+    import pytest as _pytest
+
+    from rayforce_spark.datapipe.similarity import (
+        _bucket_structs,
+        _nearest_impl,
+    )
+
+    monkeypatch.setitem(sys.modules, "pyarrow", None)
+    with _pytest.raises(ImportError, match="key_impl='expr'"):
+        _bucket_structs("__v", dim=4, planes=2, tables=1, seed=1)
+    with _pytest.raises(ImportError, match="assign_impl='expr'"):
+        _nearest_impl("__v", [[0.0, 0.0]], 1, "pandas")
+    # the named fallbacks still plan fine without Arrow
+    _bucket_structs("__v", dim=4, planes=2, tables=1, seed=1,
+                    key_impl="expr")
+    _nearest_impl("__v", [[0.0, 0.0]], 1, "expr")
+
+
+def test_block_margin_high_dim_matches_expr(spark):
+    """The BLAS-preselect margin is derived from dim (r10 ADVICE: a
+    fixed 1e-3 was only proven to dim ~2000): at dim=2500 the block
+    scorer must still emit exactly the expression path's pairs, with
+    bit-equal cosines."""
+    import random
+
+    random.seed(3)
+    dim = 2500
+    rows = []
+    for i in range(6):
+        v = [random.uniform(-0.002, 0.002) for _ in range(dim)]
+        if i % 2:  # make near-dups of the previous row
+            v = [x + random.uniform(-0.0001, 0.0001)
+                 for x in rows[-1][1]]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    want = {(r.id_a, r.id_b, r.cos) for r in embedding_dup_pairs(
+        df, "v", "id", threshold=0.9, impl="expr").collect()}
+    got = {(r.id_a, r.id_b, r.cos) for r in embedding_dup_pairs(
+        df, "v", "id", threshold=0.9, impl="block").collect()}
+    assert want and got == want
+
+
 def test_minhash_numpy_signature_same_pairs(spark, tables):
     # the Arrow-vectorized signature family is interchangeable with the
     # expression fold: at bands=num_perm both have exact recall, so the
