@@ -918,15 +918,16 @@ def q_dedup_minhash_bench(spark, sf):
     from rayforce_spark.datapipe import minhash_lsh_pairs
 
     (d,) = _t(spark, sf, "documents")
-    # the sf0.1 documents file is ONE parquet partition, so without this
-    # the whole signature+shingle pipeline runs on one of 32 cores; a
-    # production corpus arrives already partitioned, so the equivalent of
-    # this line is a no-op there (the shuffle moves only (id, text)).
-    # cores/2 measured best at this row count (32-way: ~300 docs/task is
-    # too little work per task launch — swept 4/8/16/32: 1.23/1.07/0.85/
-    # 0.92 s): parallelism wins until task overhead eats it
-    d = d.select("doc_id", "text").repartition(
-        max(2, spark.sparkContext.defaultParallelism // 2))
+    # NO explicit repartition here (r11): minhash_lsh_pairs' own
+    # fanout() already widens the 1-split cached source to cluster
+    # parallelism, and the old cores/2 repartition on top of it planned
+    # TWO exchanges — the r10 bench flag's real component
+    # (scripts/minhash_ab.py, within one JVM: double-exchange 1.08 s vs
+    # single 0.93-0.96 s min-of-5 interleaved; the xxhash64 band keys
+    # measured free, 0.93 vs 0.96 against 32-bit hash()). The old
+    # cores/2-beats-32-way sweep predates the slim verify restructure
+    # and no longer reproduces.
+    d = d.select("doc_id", "text")
     # reuse_shingles=False since the r7 verify restructure: the slim-pair
     # verify no longer shuffles shingle arrays, so the reuse exchange
     # (which DOES move every doc's array once) now costs more than the

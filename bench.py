@@ -103,16 +103,17 @@ def main():
             times[name] = -1.0
 
     total = round(sum(v for v in times.values() if v > 0), 4)
+    inst = {**_instance_fingerprint(spark),
+            "loadavg_start_1m": load_at_start[0],
+            "loadavg_start_5m": load_at_start[1]}
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "reps": spread,
-        "instance": {**_instance_fingerprint(spark),
-                     "loadavg_start_1m": load_at_start[0],
-                     "loadavg_start_5m": load_at_start[1]},
-        **_prev_round_compare(times, spread),
+        "instance": inst,
+        **_prev_round_compare(times, spread, inst["py_loop_20m_s"]),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # full evidence (reps, fingerprint, variance-aware compare) goes to a
@@ -136,6 +137,11 @@ def main():
         "reps": {k: [round(x, 3) for x in v] for k, v in spread.items()},
         "sf": detail["sf"],
         "load_1m": load_at_start[0],
+        # absolute box speed in the COMPACT line: the next round's
+        # compare normalizes prev/cur by this ratio (BENCH_r*.json is
+        # the only record it can read — BENCH_DETAIL.json is
+        # overwritten every run)
+        "py_loop_s": inst["py_loop_20m_s"],
         "compare_summary": cs,
         "detail": "BENCH_DETAIL.json",
     }
@@ -188,13 +194,27 @@ def _py_loop_fingerprint() -> float:
     return round(time.time() - t0, 2)
 
 
-def _prev_round_compare(times: dict, spread: dict) -> dict:
+def _prev_round_compare(times: dict, spread: dict,
+                        cur_loop: float | None = None) -> dict:
     """Diff this run against the newest committed BENCH_r*.json with a
     variance-aware verdict per query: the noise band is the larger of
     the two runs' own min-to-max rep spreads (floored at 10%), so a
     delta only counts as faster/slower when it exceeds what either
     JVM instance showed within itself (r7 directive: min-of-3 alone
-    cannot split plan changes from inter-instance drift)."""
+    cannot split plan changes from inter-instance drift).
+
+    Box-speed normalization (r11, closing the r10 directive): when BOTH
+    records carry the absolute single-core fingerprint (py_loop_s in
+    the compact line), prev times are scaled by the fingerprint ratio
+    before the verdict — a box that runs the fixed integer loop 12%
+    slower is expected to run Spark ~12% slower, and flagging that as
+    a regression is noise the instrument can't act on (the r10 round's
+    only 'slower' flag decomposed into exactly this drift plus one
+    plan change). The ratio is clamped to [0.75, 1.35]: outside that
+    the fingerprint itself is suspect (a loaded core mid-sample) and
+    trusting it would hide real regressions. delta_pct is the
+    NORMALIZED delta when a ratio applies (delta_raw_pct keeps the
+    unadjusted one); box_ratio lands in compare_summary."""
     import glob
     import re as _re
 
@@ -223,6 +243,10 @@ def _prev_round_compare(times: dict, spread: dict) -> dict:
             break
     if prev is None:
         return {}
+    prev_loop = prev.get("py_loop_s")
+    ratio = None
+    if cur_loop and prev_loop and prev_loop > 0:
+        ratio = max(0.75, min(1.35, cur_loop / prev_loop))
     pq, pr = prev.get("queries", {}), prev.get("reps", {})
     cmpd = {}
     for name, cur in times.items():
@@ -236,7 +260,8 @@ def _prev_round_compare(times: dict, spread: dict) -> dict:
 
         tol = max(rel_spread(pr.get(name, [])),
                   rel_spread(spread.get(name, [])), 0.10)
-        delta = cur / old - 1.0
+        delta_raw = cur / old - 1.0
+        delta = cur / (old * ratio) - 1.0 if ratio else delta_raw
         verdict = ("noise" if abs(delta) <= tol
                    else "faster" if delta < 0 else "slower")
         cmpd[name] = {
@@ -245,12 +270,14 @@ def _prev_round_compare(times: dict, spread: dict) -> dict:
             "tol_pct": round(100 * tol, 1),
             "verdict": verdict,
         }
+        if ratio:
+            cmpd[name]["delta_raw_pct"] = round(100 * delta_raw, 1)
     n_sig = sum(1 for v in cmpd.values() if v["verdict"] != "noise")
+    summary = {"noise": len(cmpd) - n_sig, "significant": n_sig}
+    if ratio:
+        summary["box_ratio"] = round(ratio, 3)
     return {"prev_round": rnd, "compare": cmpd,
-            "compare_summary": {
-                "noise": len(cmpd) - n_sig,
-                "significant": n_sig,
-            }}
+            "compare_summary": summary}
 
 
 if __name__ == "__main__":
