@@ -25,6 +25,24 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def _require_arrow(feature: str, fallback: str) -> None:
+    """Fail fast DRIVER-side when an Arrow-twin default can't run:
+    pandas+pyarrow are hard runtime dependencies of every entry point
+    whose default impl is a pandas_udf twin (r10 verdict #3) — without
+    this check a missing import surfaces as an opaque worker-side stack
+    trace mid-job instead of a one-line error naming the
+    zero-dependency fallback."""
+    try:
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"{feature}: the default Arrow implementation needs pandas "
+            f"and pyarrow on the driver and every executor (missing: "
+            f"{e.name}); pass {fallback} for the zero-dependency JVM "
+            "expression path") from e
+
+
 def fanout(df: DataFrame) -> DataFrame:
     """Ensure scan-stage parallelism >= the cluster's: shingling, token
     explosion and Arrow-UDF vector math all parallelize with INPUT
@@ -801,25 +819,97 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def simhash_fingerprint_numpy(bits: int):
+    """Arrow twin of the 63-aggregate SimHash fingerprint: a pandas_udf
+    mapping a doc's distinct-token-hash array straight to its
+    fingerprint long — per row, bit b is set iff strictly more than
+    half the token hashes carry bit b (the exact condition of the
+    expression path's ±1 conditional sum: sum > 0 ⟺ 2·count_ones > n).
+    BIT-EQUAL to the grouped-aggregate plan by construction — the token
+    hashes come from the same JVM expression and the per-bit counts are
+    exact integer math — pinned by test_simhash_fp_numpy_bit_equal.
+
+    Why it exists: the expression fingerprint needs an explode + a
+    63-conditional-sum groupBy whose plan build/codegen costs ~20 s
+    FIXED per call regardless of data (r10 index_bench: simhash probe
+    23.6 s and extend 17-33 s flat at 1x and 10x corpus — plan cost,
+    not data cost). The numpy twin is one per-row (k × bits) bit-count
+    per Arrow batch: no explode, no shuffle, no 63-aggregate plan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.arange(bits, dtype=np.int64)
+    W = np.left_shift(np.int64(1), B)
+
+    def _fp(th):
+        out = np.zeros(len(th), dtype=np.int64)
+        for i, lst in enumerate(th):
+            h = np.asarray(lst, dtype=np.int64)
+            # (h >> b) & 1 is bit b for ANY sign: arithmetic shift only
+            # smears the sign ABOVE the extracted position
+            c = ((h[:, None] >> B) & 1).sum(axis=0)
+            out[i] = W[2 * c > len(h)].sum()
+        return pd.Series(out)
+
+    # explicit annotation objects: the module's `from __future__ import
+    # annotations` leaves string hints pandas_udf can't resolve
+    _fp.__annotations__ = {"th": pd.Series, "return": pd.Series}
+    return pandas_udf(_fp, "long")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 63,
-            token_hash: str = "xxhash64") -> DataFrame:
+            token_hash: str = "xxhash64",
+            fp_impl: str = "numpy") -> DataFrame:
     """63-bit SimHash fingerprint per document (bit 63 omitted to stay in a
-    signed long). Tokens explode once; each bit is a conditional ±1 sum
-    over token hashes — one grouped aggregation, all JVM expressions.
-    Returns (id_col, simhash:long).
+    signed long). Returns (id_col, simhash:long).
+
+    ``fp_impl="numpy"`` (default): token hashes are still a pure JVM
+    expression (one transform over the distinct-token array), but the
+    per-bit majority vote happens in an Arrow batch — no explode, no
+    grouped aggregation, and none of the 63-aggregate plan's ~20 s
+    fixed build cost (see :func:`simhash_fingerprint_numpy`; bit-equal,
+    pinned). ``"expr"`` keeps the pure-JVM plan: tokens explode once;
+    each bit is a conditional ±1 sum over token hashes — one grouped
+    aggregation, zero Python (authoritative, zero-dependency).
 
     token_hash: "xxhash64" (default, fastest) or "md5" — a 60-bit hash
     derived from the first 15 hex chars of md5, reproducible in plain SQL
     (DuckDB: ('0x'||substring(md5(tok),1,15))::BIGINT) so the whole
     pipeline can be oracle-checked; bits 60-62 of the fingerprint are then
     constant 0, which costs nothing for recall (hamming distance ignores
-    always-equal bits)."""
+    always-equal bits).
+
+    Ids must be unique (the standing dedup contract): the expr path
+    groups by id — duplicate-id rows would merge token sets — while the
+    numpy path is per-row."""
     if token_hash == "xxhash64":
         h_expr = F.xxhash64("tok")
+        h_sql = "xxhash64(t)"
     elif token_hash == "md5":
         h_expr = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        h_sql = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
     else:
         raise ValueError(f"unknown token_hash: {token_hash}")
+    if fp_impl == "numpy":
+        _require_arrow("simhash fingerprints", "fp_impl='expr'")
+        qcol = text_col.replace("`", "``")
+        arr = F.expr(
+            f"transform(array_distinct(split(trim(lower(`{qcol}`)),"
+            f" '\\\\s+')), t -> {h_sql})")
+        # the expr path's explode drops docs with a null/empty token
+        # array (null text); size() is -1 for null — same drop here
+        return (
+            fanout(df)
+            .select(F.col(id_col).alias(id_col), arr.alias("__th"))
+            .filter(F.size("__th") > 0)
+            .select(id_col,
+                    simhash_fingerprint_numpy(bits)(F.col("__th"))
+                    .alias("simhash"))
+        )
+    if fp_impl != "expr":
+        raise ValueError(f"unknown fp_impl: {fp_impl!r} "
+                         "(expected 'numpy' or 'expr')")
     toks = fanout(df).select(
         F.col(id_col).alias(id_col),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
@@ -1100,7 +1190,8 @@ def _simhash_validate(max_hamming: int, bands: int) -> None:
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                       *, max_hamming: int = 3, bands: int | None = None,
-                      token_hash: str = "xxhash64") -> DataFrame:
+                      token_hash: str = "xxhash64",
+                      fp_impl: str = "numpy") -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming, found by the
     pigeonhole trick: split the fingerprint into ``bands`` chunks — any
     pair within distance < bands shares at least one exact chunk, so a
@@ -1119,7 +1210,8 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     # materializes it once so neither self-join side (nor an AQE
     # broadcast of one) re-runs the 63-bit aggregation over the token
     # explosion
-    fp = (simhash(df, text_col, id_col, token_hash=token_hash)
+    fp = (simhash(df, text_col, id_col, token_hash=token_hash,
+                  fp_impl=fp_impl)
           .withColumnRenamed(id_col, "__id")
           .localCheckpoint(eager=False))
     banded = _simhash_banded(fp, bands)

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rayforce_spark.datapipe.dedup import cosine_from_units, dot_units, norm_units
+from rayforce_spark.datapipe.dedup import (
+    _require_arrow,
+    cosine_from_units,
+    dot_units,
+    norm_units,
+)
 
 
 def _dot_double(a, b) -> F.Column:
@@ -219,24 +224,6 @@ def _bucket_keys_pandas(dim: int, planes: int, tables: int, seed: int):
     # module-global pandas
     keys.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return F.pandas_udf(keys, T.ArrayType(T.LongType()))
-
-
-def _require_arrow(feature: str, fallback: str) -> None:
-    """Fail fast DRIVER-side when the Arrow-twin default can't run:
-    pandas+pyarrow became hard runtime dependencies of the previously
-    pure-JVM LSH/IVF entry points when key_impl/assign_impl defaulted
-    to "pandas" (r10 verdict #3) — without this check a missing import
-    surfaces as an opaque worker-side stack trace mid-job instead of a
-    one-line error naming the zero-dependency fallback."""
-    try:
-        import pandas  # noqa: F401
-        import pyarrow  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            f"{feature}: the default Arrow implementation needs pandas "
-            f"and pyarrow on the driver and every executor (missing: "
-            f"{e.name}); pass {fallback} for the zero-dependency JVM "
-            "expression path") from e
 
 
 def _bucket_structs(vec_name: str, *, dim: int, planes: int, tables: int,

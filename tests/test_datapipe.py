@@ -391,6 +391,29 @@ def test_minhash_numpy_signature_same_pairs(spark, tables):
     assert expr_pairs == np_pairs
 
 
+def test_simhash_fp_numpy_bit_equal(spark, tables):
+    """The Arrow fingerprint twin (fp_impl='numpy', the default) must be
+    BIT-EQUAL to the 63-aggregate expression plan for both token-hash
+    families, including edge docs: empty/whitespace text yields one ''
+    token on both paths, null text is dropped on both (explode vs the
+    size()>0 filter)."""
+    from rayforce_spark.datapipe.dedup import simhash
+
+    docs = tables["documents"].limit(400).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9000001, ""), (9000002, "   "), (9000003, "one"),
+         (9000004, None), (9000005, "a b c a b")],
+        "doc_id long, text string")
+    d = docs.unionByName(edge)
+    for th in ("xxhash64", "md5"):
+        want = {r.doc_id: r.simhash for r in simhash(
+            d, "text", "doc_id", token_hash=th, fp_impl="expr").collect()}
+        got = {r.doc_id: r.simhash for r in simhash(
+            d, "text", "doc_id", token_hash=th, fp_impl="numpy").collect()}
+        assert 9000004 not in got and len(got) == 404
+        assert got == want
+
+
 def test_simhash_dup_pairs(spark):
     base = " ".join(f"w{i}" for i in range(60))
     df = spark.createDataFrame(
