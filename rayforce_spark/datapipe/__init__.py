@@ -20,6 +20,9 @@ multimodal  — opaque binary columns + typed metadata; decode/feature UDF
 """
 
 from rayforce_spark.datapipe.dedup import (
+    compact_jaccard_index,
+    compact_minhash_index,
+    compact_simhash_index,
     dedup_clusters,
     dedup_exact,
     dedup_keep_canonical,
@@ -108,6 +111,9 @@ __all__ = [
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
     "jaccard_dup_pairs",
+    "compact_jaccard_index",
+    "compact_minhash_index",
+    "compact_simhash_index",
     "extend_jaccard_index",
     "jaccard_index_pairs",
     "set_jaccard_index",

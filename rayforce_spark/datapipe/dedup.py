@@ -545,6 +545,99 @@ def extend_minhash_index(new_df: DataFrame, path: str, text_col: str,
     buckets.write.mode("append").parquet(f"{path}/buckets")
 
 
+def _compact_leg(spark, leg_path: str) -> tuple[int, int]:
+    """Compact ONE index leg directory in place: read it, collapse
+    exact-duplicate rows (only torn/replayed appends produce them —
+    every index-leg row kind is semantically idempotent, and the probes
+    already pair-dedup, so collapsing is safe), rewrite as
+    size-targeted files APPENDED to the same directory, then delete the
+    pre-existing data files. Returns (files_before, files_after).
+
+    Crash-safe by the same argument the extends use: a crash AFTER the
+    append but before the deletes leaves every row present twice
+    (probes tolerate duplicates by construction; re-running compaction
+    collapses them and finishes), and a crash mid-delete leaves every
+    row present at least once. No window loses rows, so a
+    compact-then-crash is always recoverable by re-running. The
+    eager localCheckpoint severs the read's lineage from the files
+    being replaced (executor-local MEMORY_AND_DISK blocks hold the leg
+    during the rewrite — on a real cluster the leg is spilled, not
+    driver-collected)."""
+    from rayforce_spark.sources._sidecar import _fs_path
+
+    fs, p = _fs_path(spark, leg_path)
+    # data files only: Spark ignores _*/.* (markers, _SUCCESS), and the
+    # append below REwrites _SUCCESS at the same name — deleting it from
+    # the before-list would remove the fresh one
+    stats = [
+        f for f in fs.listStatus(p)
+        if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+    ]
+    before = [f.getPath() for f in stats]
+    total_bytes = sum(f.getLen() for f in stats)
+    # ~128 MB per output file, floor 1 — NO parallelism floor: parquet
+    # is row-group splittable, so a probe scan of few large files still
+    # fans out to maxPartitionBytes-sized splits, while a parallelism
+    # floor would UNDO compaction for any leg smaller than
+    # cores x 128 MB (measured: it re-fragmented toy legs)
+    target_files = int(total_bytes // (128 << 20)) + 1
+    data = (spark.read.parquet(leg_path).dropDuplicates()
+            .repartition(target_files)
+            .localCheckpoint(eager=True))
+    data.write.mode("append").parquet(leg_path)
+    for f in before:
+        fs.delete(f, False)
+    after = sum(
+        1 for f in fs.listStatus(p)
+        if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+    )
+    return len(before), after
+
+
+def _compact_index(spark, path: str, legs: list[str], read_meta) -> dict:
+    """Shared compaction driver: checks the _meta sidecar first (loud
+    failure on a half-built or stale-format index), then compacts each
+    leg independently. Returns {leg: {"files_before": n, "files_after":
+    m}} for observability."""
+    read_meta(spark, path)  # format + existence gate
+    return {
+        leg: dict(zip(("files_before", "files_after"),
+                      _compact_leg(spark, f"{path}/{leg}")))
+        for leg in legs
+    }
+
+
+def compact_minhash_index(spark, path: str) -> dict:
+    """Compact a persisted MinHash index's appended legs into
+    size-targeted files — the maintenance op continuous ingestion needs
+    (r10 verdict: streaming extends append up-to-parallelism parquet
+    fragments per micro-batch forever; after thousands of batches the
+    probe-side file listing and tiny-split scan dominate, a cost the
+    single-process mmap reference never meets). Safe to run between
+    ingest batches; probe results are IDENTICAL before and after
+    (pinned by test_index_compaction_*). Do not run CONCURRENTLY with
+    an extend — compaction snapshots the file list before rewriting,
+    and an extend landing mid-window would have its files read by the
+    rewrite AND kept, double-counting rows until the next compaction
+    collapses them (correct, just not smaller)."""
+    return _compact_index(spark, path, ["shingles", "buckets"],
+                          _read_minhash_meta)
+
+
+def compact_simhash_index(spark, path: str) -> dict:
+    """SimHash twin of :func:`compact_minhash_index` (one leg:
+    ``banded``)."""
+    return _compact_index(spark, path, ["banded"], _read_simhash_meta)
+
+
+def compact_jaccard_index(spark, path: str) -> dict:
+    """Jaccard twin of :func:`compact_minhash_index` (legs ``docs`` and
+    ``prefixes``; ``dfreq`` is written once at build — frozen order —
+    and never appended, so it needs no compaction)."""
+    return _compact_index(spark, path, ["docs", "prefixes"],
+                          _read_jaccard_meta)
+
+
 def minhash_index_pairs(path: str, new_df: DataFrame,
                         text_col: str, id_col: str, *,
                         threshold: float = 0.7) -> DataFrame:

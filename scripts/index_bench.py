@@ -73,6 +73,32 @@ def main():
         lambda p: jaccard_index_pairs(p, new, "text", "doc_id"),
         lambda p: extend_jaccard_index(new, p, "text", "doc_id"))
 
+    # fragmentation leg (r11): a long-running streaming ingest appends
+    # fragments per micro-batch; measure a 12-extend index's probe,
+    # compact it, and show the probe unchanged-or-restored with the
+    # file count collapsed
+    from rayforce_spark.datapipe import compact_minhash_index
+
+    p = f"{base}/frag"
+    set_minhash_index(old, p, "text", "doc_id",
+                      num_perm=64, bands=16, shingle_k=3)
+    for k in range(12):
+        extend_minhash_index(
+            new.filter(F.expr(f"(doc_id div 10) % 12 = {k}")),
+            p, "text", "doc_id")
+    t0 = time.time()
+    n1 = minhash_index_pairs(p, new, "text", "doc_id", threshold=0.5).count()
+    t1 = time.time()
+    files = compact_minhash_index(spark, p)
+    t2 = time.time()
+    n2 = minhash_index_pairs(p, new, "text", "doc_id", threshold=0.5).count()
+    t3 = time.time()
+    out["compaction"] = {
+        "probe_frag_s": round(t1 - t0, 1),
+        "compact_s": round(t2 - t1, 1),
+        "probe_compacted_s": round(t3 - t2, 1),
+        "files": files, "pairs_equal": n1 == n2}
+
     shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"sf_dir": SF, "old_docs": old.count(),
                       "new_docs": new.count(), "legs": out}))

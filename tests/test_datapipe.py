@@ -289,6 +289,70 @@ def test_jaccard_index_max_doc_freq_frozen(spark, tmp_path):
     assert got == {(10, 1, 0.75)}
 
 
+def test_index_compaction_preserves_probes(tables, tmp_path, spark):
+    """compact_*_index rewrites the per-batch appended parquet fragments
+    into size-targeted files: probe output is IDENTICAL before/after,
+    the data-file count drops, and a second compaction (the recovery
+    path after a crash between the append and the deletes) is
+    idempotent. This is the day-2 maintenance op continuous ingestion
+    needs — extends append fragments forever otherwise (r10 verdict)."""
+    from rayforce_spark.datapipe import (
+        compact_jaccard_index,
+        compact_minhash_index,
+        compact_simhash_index,
+        extend_jaccard_index,
+        extend_minhash_index,
+        extend_simhash_index,
+        jaccard_index_pairs,
+        minhash_index_pairs,
+        set_jaccard_index,
+        set_minhash_index,
+        set_simhash_index,
+        simhash_index_pairs,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 4 == 1)
+    batches = [docs.filter(F.col("doc_id") % 4 == k) for k in (2, 3)]
+    probe = docs.filter(F.col("doc_id") % 4 == 0)
+
+    fams = [
+        ("minhash",
+         lambda p: set_minhash_index(old, p, "text", "doc_id",
+                                     num_perm=32, bands=16, shingle_k=1),
+         lambda b, p: extend_minhash_index(b, p, "text", "doc_id"),
+         lambda p: minhash_index_pairs(p, probe, "text", "doc_id",
+                                       threshold=0.5),
+         compact_minhash_index),
+        ("simhash",
+         lambda p: set_simhash_index(old, p, "text", "doc_id",
+                                     max_hamming=3),
+         lambda b, p: extend_simhash_index(b, p, "text", "doc_id"),
+         lambda p: simhash_index_pairs(p, probe, "text", "doc_id"),
+         compact_simhash_index),
+        ("jaccard",
+         lambda p: set_jaccard_index(old, p, "text", "doc_id",
+                                     shingle_k=1, threshold=0.5),
+         lambda b, p: extend_jaccard_index(b, p, "text", "doc_id"),
+         lambda p: jaccard_index_pairs(p, probe, "text", "doc_id"),
+         compact_jaccard_index),
+    ]
+    for name, set_fn, ext_fn, probe_fn, compact_fn in fams:
+        path = str(tmp_path / name)
+        set_fn(path)
+        for b in batches:
+            ext_fn(b, path)
+        want = {tuple(r) for r in probe_fn(path).collect()}
+        assert want, f"{name}: fixture must produce probe pairs"
+        report = compact_fn(spark, path)
+        assert sum(s["files_after"] for s in report.values()) < sum(
+            s["files_before"] for s in report.values()), (name, report)
+        got = {tuple(r) for r in probe_fn(path).collect()}
+        assert got == want, name
+        compact_fn(spark, path)  # idempotent re-run (crash recovery)
+        assert {tuple(r) for r in probe_fn(path).collect()} == want, name
+
+
 def test_index_format_version_gate(spark, tmp_path):
     """A _meta sidecar without (or with a different) on-disk format
     version must fail LOUDLY at probe time: r10 changed minhash band
