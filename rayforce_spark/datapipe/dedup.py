@@ -638,12 +638,47 @@ def compact_jaccard_index(spark, path: str) -> dict:
                           _read_jaccard_meta)
 
 
+def _probe_output(verified: DataFrame, mode: str) -> DataFrame:
+    """Shared output shaping for the index probes. ``mode="pairs"``
+    emits every qualifying (new_id, index_id, score) row — pair-key
+    deduped LAST so probes tolerate torn appends (duplicate index rows
+    emit duplicate pairs; the dedup collapses them at the cost of one
+    shuffle over the verified output). ``mode="reps"`` is the
+    PAIR-FREE mode for dense corpora (r10 verdict: a 10x template-dense
+    probe spent 358 s materializing 52.85M pairs a dedup consumer
+    immediately collapses): one row (new_id, rep_id) per new doc that
+    has any qualifying match, rep_id = its SMALLEST matching index id.
+    The min aggregate is idempotent over duplicate rows (torn-append
+    tolerance for free) and map-side combines, so the O(dups²) pair set
+    collapses inside the scan stage and never crosses the shuffle.
+
+    When the indexed corpus is canonical (already deduplicated — the
+    standing day-2 invariant: you extend the index with SURVIVORS) and
+    ids grow monotonically across batches, rep_id IS the cluster
+    representative dedup_clusters∘pairs would assign (each new doc's
+    component contains exactly one index doc — its rep; pinned by
+    test_index_probe_reps_mode). Against a non-canonical index it is
+    still the correct dedup target (the smallest indexed duplicate),
+    just not a component label — multi-hop labeling stays
+    dedup_clusters' job."""
+    if mode == "reps":
+        return verified.groupBy("new_id").agg(
+            F.min("index_id").alias("rep_id"))
+    if mode != "pairs":
+        raise ValueError(f"unknown mode: {mode!r} "
+                         "(expected 'pairs' or 'reps')")
+    return verified.dropDuplicates(["new_id", "index_id"])
+
+
 def minhash_index_pairs(path: str, new_df: DataFrame,
                         text_col: str, id_col: str, *,
-                        threshold: float = 0.7) -> DataFrame:
+                        threshold: float = 0.7,
+                        mode: str = "pairs") -> DataFrame:
     """Near-duplicate pairs of a NEW batch against a persisted MinHash
     index (see :func:`set_minhash_index`): returns (new_id, index_id,
-    jaccard) with jaccard >= threshold, exact-verified — identical
+    jaccard) with jaccard >= threshold — or, with ``mode="reps"``, one
+    (new_id, rep_id) row per matched new doc (pair-free output for
+    dense corpora; see :func:`_probe_output`) — exact-verified, identical
     family and banding as the index (read from ``_meta``), so a doc
     re-probed against an index containing itself pairs with exactly
     its true near-duplicates (self-pairs on equal ids are excluded).
@@ -657,7 +692,14 @@ def minhash_index_pairs(path: str, new_df: DataFrame,
     spark = new_df.sparkSession
     meta = _read_minhash_meta(spark, path)
     shingled, buckets = _minhash_parts(new_df, text_col, id_col, **meta)
-    idx = spark.read.parquet(f"{path}/buckets")
+    # fanout the INDEX leg scan: a small/fresh index arrives as few
+    # parquet splits, and with the batch side broadcast the candidate
+    # join's entire emission runs on those splits' task count — measured
+    # single-task at the 10x corpus (the leg was ONE file). Round-robin
+    # widening is skew-free here (index-side hot buckets spread across
+    # tasks; the broadcast batch reaches all of them) and a no-op at
+    # real scale, where index legs always carry more splits than cores.
+    idx = fanout(spark.read.parquet(f"{path}/buckets"))
     cand = (
         buckets.alias("n")
         .join(idx.alias("o"), "__bucket")
@@ -675,18 +717,18 @@ def minhash_index_pairs(path: str, new_df: DataFrame,
                       F.col("__bh").alias("__sb")), "index_id")
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     uni = (F.size("__sa") + F.size("__sb")).cast("double") - inter
-    return (
+    return _probe_output(
         s2.withColumn("jaccard", F.try_divide(inter, uni))
         .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "index_id", "jaccard")
-        # pair-key dedup LAST: a crash-torn extend (append committed,
-        # marker not — see streaming.ops.stream_minhash_index_ingest)
-        # leaves duplicate index rows for a batch, and the verify joins
-        # would emit one identical row per duplicate; jaccard is
-        # functionally determined by the pair, so this dedup makes every
-        # probe insensitive to torn appends at the cost of one shuffle
-        # over the (small) verified-pair output
-        .dropDuplicates(["new_id", "index_id"])
+        .select("new_id", "index_id", "jaccard"),
+        # pair-key dedup (or the reps-mode min) LAST: a crash-torn
+        # extend (append committed, marker not — see
+        # streaming.ops.stream_minhash_index_ingest) leaves duplicate
+        # index rows for a batch, and the verify joins would emit one
+        # identical row per duplicate; jaccard is functionally
+        # determined by the pair, so both output modes absorb torn
+        # appends — see _probe_output
+        mode,
     )
 
 
@@ -1171,10 +1213,14 @@ def extend_jaccard_index(new_df: DataFrame, path: str, text_col: str,
 
 def jaccard_index_pairs(path: str, new_df: DataFrame, text_col: str,
                         id_col: str, *,
-                        threshold: float | None = None) -> DataFrame:
+                        threshold: float | None = None,
+                        mode: str = "pairs") -> DataFrame:
     """EXACT Jaccard near-dup pairs of a NEW batch against a persisted
     Jaccard index: returns (new_id, index_id, jaccard) with jaccard >=
-    threshold — the same result a full jaccard_dup_pairs run over
+    threshold — or, with ``mode="reps"``, one (new_id, rep_id) row per
+    matched new doc (pair-free output for dense corpora, where the
+    exact pair set is O(dups²); see :func:`_probe_output`) — the same
+    result a full jaccard_dup_pairs run over
     index-corpus ∪ batch would emit for cross pairs, by the frozen-
     order prefix argument (see set_jaccard_index). ``threshold``
     defaults to the index's; any override >= the stored value stays
@@ -1200,7 +1246,17 @@ def jaccard_index_pairs(path: str, new_df: DataFrame, text_col: str,
     den = _JAC_DEN
     docs, pref = _jaccard_probe_parts(new_df, path, text_col, id_col,
                                       meta, num)
-    idx_pref = spark.read.parquet(f"{path}/prefixes")
+    # fanout the index prefix scan — same single-task-emission hazard
+    # as minhash_index_pairs (see there); on a template-dense corpus
+    # the quadratic candidate emission otherwise runs on ONE task
+    # (r11: the 10x probe was single-core for minutes)
+    idx_pref = fanout(spark.read.parquet(f"{path}/prefixes"))
+    # the batch pref side inherits the sorted-docs aggregate's
+    # AQE-coalesced partitioning (ONE partition for a small batch) —
+    # if AQE broadcasts the index side instead, the batch becomes the
+    # stream and the emission single-cores; an unconditional
+    # repartition is batch-sized, slim rows, and AQE-immune
+    pref = pref.repartition(spark.sparkContext.defaultParallelism)
     cand = (
         pref.alias("a")
         .join(
@@ -1230,10 +1286,9 @@ def jaccard_index_pairs(path: str, new_df: DataFrame, text_col: str,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", "jaccard")
-        # same torn-append tolerance as minhash_index_pairs
-        .dropDuplicates(["new_id", "index_id"])
     )
-    return out
+    # same torn-append tolerance as minhash_index_pairs (both modes)
+    return _probe_output(out, mode)
 
 
 def _simhash_chunk(col: Column, b: int, chunk: int) -> Column:
@@ -1396,10 +1451,13 @@ def extend_simhash_index(new_df: DataFrame, path: str, text_col: str,
 
 def simhash_index_pairs(path: str, new_df: DataFrame, text_col: str,
                         id_col: str, *,
-                        max_hamming: int | None = None) -> DataFrame:
+                        max_hamming: int | None = None,
+                        mode: str = "pairs") -> DataFrame:
     """Near-dup pairs of a NEW batch against a persisted SimHash index
     (see :func:`set_simhash_index`): returns (new_id, index_id,
-    hamming) with hamming <= max_hamming, exact recall by the same
+    hamming) with hamming <= max_hamming — or one (new_id, rep_id) row
+    per matched new doc with ``mode="reps"`` (see :func:`_probe_output`)
+    — exact recall by the same
     pigeonhole argument as simhash_dup_pairs — banding comes from the
     index's ``_meta``, so buckets line up by construction.
     ``max_hamming`` defaults to the index's; any override BELOW the
@@ -1423,10 +1481,12 @@ def simhash_index_pairs(path: str, new_df: DataFrame, text_col: str,
                   token_hash=meta["token_hash"])
           .withColumnRenamed(id_col, "__id"))
     banded = _simhash_banded(fp, bands)
-    idx = spark.read.parquet(f"{path}/banded")
+    # fanout: same index-leg scan-parallelism guard as
+    # minhash_index_pairs / jaccard_index_pairs
+    idx = fanout(spark.read.parquet(f"{path}/banded"))
     xor = F.col("n.simhash").bitwiseXOR(F.col("o.simhash"))
     hamming = F.bit_count(xor)
-    return (
+    verified = (
         banded.alias("n")
         .join(
             idx.alias("o"),
@@ -1439,12 +1499,13 @@ def simhash_index_pairs(path: str, new_df: DataFrame, text_col: str,
         .select(F.col("n.__id").alias("new_id"),
                 F.col("o.__id").alias("index_id"),
                 hamming.alias("hamming"))
-        # canonical-band makes emission exactly-once against a CLEAN
-        # index; a re-run extend (duplicate banded rows) would emit per
-        # copy — pair-key dedup keeps probes insensitive to that, same
-        # tolerance as minhash_index_pairs / jaccard_index_pairs
-        .dropDuplicates(["new_id", "index_id"])
     )
+    # canonical-band makes emission exactly-once against a CLEAN
+    # index; a re-run extend (duplicate banded rows) would emit per
+    # copy — the pair-key dedup (or reps-mode min) keeps probes
+    # insensitive to that, same tolerance as minhash_index_pairs /
+    # jaccard_index_pairs
+    return _probe_output(verified, mode)
 
 
 #: fixed-point unit for cross-engine-exact cosine: products are rounded

@@ -73,6 +73,15 @@ def main():
         lambda p: jaccard_index_pairs(p, new, "text", "doc_id"),
         lambda p: extend_jaccard_index(new, p, "text", "doc_id"))
 
+    # pair-free probe (r11): same jaccard index (post-extend),
+    # mode="reps" — one row per matched new doc instead of the
+    # O(dups²) pair set
+    t0 = time.time()
+    nreps = jaccard_index_pairs(f"{base}/jaccard", new, "text", "doc_id",
+                                mode="reps").count()
+    out["jaccard"]["probe_reps_s"] = round(time.time() - t0, 1)
+    out["jaccard"]["probe_reps_rows"] = nreps
+
     # fragmentation leg (r11): a long-running streaming ingest appends
     # fragments per micro-batch; measure a 12-extend index's probe,
     # compact it, and show the probe unchanged-or-restored with the

@@ -289,6 +289,74 @@ def test_jaccard_index_max_doc_freq_frozen(spark, tmp_path):
     assert got == {(10, 1, 0.75)}
 
 
+def test_index_probe_reps_mode(spark, tables, tmp_path):
+    """mode='reps' is the pair-free probe output: one (new_id, rep_id)
+    row per matched new doc, rep_id = smallest qualifying index id.
+    Pinned two ways: (a) exact parity with mode='pairs' ∘ min on real
+    data for all three families; (b) on a CANONICAL index with
+    monotone ids — the day-2 invariant — rep assignment equals the
+    dedup_clusters∘pairs component representative."""
+    from rayforce_spark.datapipe import (
+        dedup_clusters,
+        jaccard_index_pairs,
+        minhash_index_pairs,
+        set_jaccard_index,
+        set_minhash_index,
+        set_simhash_index,
+        simhash_index_pairs,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    fams = []
+    p = str(tmp_path / "mh")
+    set_minhash_index(old, p, "text", "doc_id", num_perm=32, bands=16,
+                      shingle_k=1)
+    fams.append(lambda m, p=p: minhash_index_pairs(
+        p, new, "text", "doc_id", threshold=0.5, mode=m))
+    p = str(tmp_path / "sh")
+    set_simhash_index(old, p, "text", "doc_id", max_hamming=8, bands=9)
+    fams.append(lambda m, p=p: simhash_index_pairs(
+        p, new, "text", "doc_id", mode=m))
+    p = str(tmp_path / "jc")
+    set_jaccard_index(old, p, "text", "doc_id", shingle_k=1,
+                      threshold=0.5)
+    fams.append(lambda m, p=p: jaccard_index_pairs(
+        p, new, "text", "doc_id", mode=m))
+    for probe in fams:
+        exp: dict = {}
+        for r in probe("pairs").collect():
+            exp[r.new_id] = min(exp.get(r.new_id, r.index_id), r.index_id)
+        got = {r.new_id: r.rep_id for r in probe("reps").collect()}
+        assert exp and got == exp
+
+    # canonical index (no intra-index dups), monotone ids: reps ==
+    # connected-component representatives of the probe's pair graph
+    base = "alpha beta gamma delta epsilon zeta"
+    other = "one two three four five six"
+    idx_docs = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, base + " eta"), (11, base + " theta"),
+         (20, other.replace("six", "seven"))],
+        "doc_id long, text string")
+    path = str(tmp_path / "canon")
+    set_minhash_index(idx_docs, path, "text", "doc_id",
+                      num_perm=64, bands=64, shingle_k=1)
+    pairs = minhash_index_pairs(path, batch, "text", "doc_id",
+                                threshold=0.5)
+    want = {r.doc_id: r.cluster_id
+            for r in dedup_clusters(pairs, id_a="new_id",
+                                    id_b="index_id").collect()
+            if r.doc_id >= 10}
+    got = {r.new_id: r.rep_id
+           for r in minhash_index_pairs(path, batch, "text", "doc_id",
+                                        threshold=0.5,
+                                        mode="reps").collect()}
+    assert got == want == {10: 1, 11: 1, 20: 2}
+
+
 def test_index_compaction_preserves_probes(tables, tmp_path, spark):
     """compact_*_index rewrites the per-batch appended parquet fragments
     into size-targeted files: probe output is IDENTICAL before/after,
