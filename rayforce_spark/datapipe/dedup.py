@@ -319,6 +319,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     sig_impl: str = "expr",
     reuse_shingles: bool = False,
+    cand_parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
     Jaccard over the shingle sets.
@@ -347,7 +348,12 @@ def minhash_lsh_pairs(
     net LOSS at bench scale (sf0.1: reuse 0.89-1.07 s vs noreuse
     0.55-0.71 s min-of-6) — it moves every document's array to save a
     scan-stage recompute that is cheaper than the move. Kept for corpora
-    where shingling dominates (very long documents / large k)."""
+    where shingling dominates (very long documents / large k).
+
+    ``cand_parallelism``: opt-in AQE-immune width for the candidate
+    self-join on duplicate-DENSE corpora (see the inline note at the
+    join) — pass the cluster's parallelism there; leave None for
+    normal corpora."""
     df = fanout(df)
     shingled_in = with_shingle_hashes(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
@@ -358,26 +364,40 @@ def minhash_lsh_pairs(
             df.sparkSession.sparkContext.defaultParallelism // 2 or 1)
     sig = _minhash_sig(shingled_in, num_perm=num_perm, sig_impl=sig_impl)
     banded = _band_buckets(sig, num_perm=num_perm, bands=bands)
-    # bucket -> id list -> within-bucket pairs. A groupBy of the NARROW
-    # (id, bucket) rows: the signature subtree is evaluated once (a
-    # banded⋈banded self-join would compute it per side — Catalyst can't
-    # reuse the exchange across aliases). Per-bucket arrays are tiny by
-    # construction (band collisions); a degenerate all-identical corpus is
-    # the only skew case and exact-dedup first is the documented answer.
-    buckets = (
-        banded.groupBy("__bucket")
-        .agg(F.collect_list("__id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .withColumn("ids", F.array_sort("ids"))
-    )
-    pair_gen = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)),"
-        " y -> struct(x AS id_a, y AS id_b))))"
-    )
+    # within-bucket pairs via a bucket SELF-JOIN (r11 — the r8->r9
+    # simhash lesson applied to minhash): the former
+    # groupBy+collect_list+array pair expansion built each bucket's k²
+    # pairs as ONE array in ONE task. "Buckets are tiny by construction"
+    # is FALSE on a duplicate-dense corpus — identical docs share every
+    # band bucket, so bucket size tracks the largest duplicate group
+    # (measured on the 10x template corpus: the expansion crawled for
+    # 20+ minutes on 1-2 cores and was killed; the self-join emits the
+    # same candidate multiset in 3.8 s end-to-end, and is also ~30%
+    # faster at bench scale: 0.65 vs 0.97 s warm min). The lazy
+    # localCheckpoint materializes the 16-byte (id, bucket) rows once
+    # so the signature subtree isn't computed per join side, and pairs
+    # STREAM through join tasks instead of materializing per-bucket
+    # arrays.
+    #
+    # ``cand_parallelism`` (duplicate-DENSE corpora): AQE sizes the
+    # join's exchanges from banded's tiny map bytes and cannot see the
+    # quadratic emission, so on a corpus where every doc has ~100 near-
+    # identical copies the join runs on 1-2 coalesced partitions
+    # (measured: the 10x template corpus crawled 20+ min; with the pin
+    # at 32 the same run takes 3.8 s end-to-end for 250,600 verified
+    # pairs). The pin costs an extra ~0.2-0.7 s at sparse/bench scale,
+    # so it is opt-in — and on corpora THAT dense, exact-dedup first
+    # remains the documented cheaper answer.
+    b = banded.localCheckpoint(eager=False)
+    if cand_parallelism:
+        b = b.repartition(int(cand_parallelism), "__bucket")
     cand = (
-        buckets.select(F.explode(pair_gen).alias("p"))
-        .select("p.id_a", "p.id_b")
+        b.alias("a")
+        .join(b.alias("b"),
+              (F.col("a.__bucket") == F.col("b.__bucket"))
+              & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"))
         # dedup band-duplicate candidates BEFORE the verify joins: a
         # 16-byte-row exchange here is far cheaper than verifying (and
         # shuffling two shingle arrays for) the same pair once per

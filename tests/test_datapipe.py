@@ -101,6 +101,13 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 2) in got
     assert (1, 4) in got
     assert all(3 not in p for p in got)
+    # the dense-corpus candidate-width pin changes the plan, never the
+    # verified pair set
+    pinned = minhash_lsh_pairs(
+        df, "text", "doc_id", num_perm=64, bands=16, shingle_k=2,
+        threshold=0.5, cand_parallelism=4,
+    )
+    assert {(r.id_a, r.id_b) for r in pinned.collect()} == got
 
 
 def test_minhash_index_incremental_matches_full_run(tables, tmp_path, spark):
