@@ -210,9 +210,12 @@ def _prev_round_compare(times: dict, spread: dict,
     slower is expected to run Spark ~12% slower, and flagging that as
     a regression is noise the instrument can't act on (the r10 round's
     only 'slower' flag decomposed into exactly this drift plus one
-    plan change). The ratio is clamped to [0.75, 1.35]: outside that
-    the fingerprint itself is suspect (a loaded core mid-sample) and
-    trusting it would hide real regressions. delta_pct is the
+    plan change). A ratio outside [0.75, 1.35] means the fingerprint
+    itself is suspect (a loaded core mid-sample) — it is DISCARDED
+    (raw compare, ratio recorded as box_ratio_suspect in
+    compare_summary) rather than clamped: a clamp would still apply up
+    to ±35% normalization from a bogus stamp, masking or manufacturing
+    a regression of that size (r11 ADVICE). delta_pct is the
     NORMALIZED delta when a ratio applies (delta_raw_pct keeps the
     unadjusted one); box_ratio lands in compare_summary."""
     import glob
@@ -244,9 +247,11 @@ def _prev_round_compare(times: dict, spread: dict,
     if prev is None:
         return {}
     prev_loop = prev.get("py_loop_s")
-    ratio = None
+    ratio = suspect = None
     if cur_loop and prev_loop and prev_loop > 0:
-        ratio = max(0.75, min(1.35, cur_loop / prev_loop))
+        ratio = cur_loop / prev_loop
+        if not (0.75 <= ratio <= 1.35):
+            suspect, ratio = round(ratio, 3), None
     pq, pr = prev.get("queries", {}), prev.get("reps", {})
     cmpd = {}
     for name, cur in times.items():
@@ -276,6 +281,8 @@ def _prev_round_compare(times: dict, spread: dict,
     summary = {"noise": len(cmpd) - n_sig, "significant": n_sig}
     if ratio:
         summary["box_ratio"] = round(ratio, 3)
+    if suspect:
+        summary["box_ratio_suspect"] = suspect
     return {"prev_round": rnd, "compare": cmpd,
             "compare_summary": summary}
 

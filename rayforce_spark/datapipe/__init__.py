@@ -22,6 +22,7 @@ multimodal  — opaque binary columns + typed metadata; decode/feature UDF
 from rayforce_spark.datapipe.dedup import (
     compact_jaccard_index,
     compact_minhash_index,
+    stamp_index_format,
     compact_simhash_index,
     dedup_clusters,
     dedup_exact,
@@ -113,6 +114,7 @@ __all__ = [
     "jaccard_dup_pairs",
     "compact_jaccard_index",
     "compact_minhash_index",
+    "stamp_index_format",
     "compact_simhash_index",
     "extend_jaccard_index",
     "jaccard_index_pairs",

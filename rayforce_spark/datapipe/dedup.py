@@ -308,6 +308,181 @@ def _band_buckets(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+#: Predicted within-bucket candidate emission (unordered pairs) above
+#: which the dense-corpus guard reroutes a pair generator to its
+#: rep-collapsed plan. AQE sizes exchanges from MAP OUTPUT bytes and
+#: cannot see a join's downstream emission, so a duplicate-dense corpus
+#: — where bucket size tracks the largest duplicate group — quietly
+#: emits its k² candidates on 1-2 coalesced tasks (measured r10/r11:
+#: 20+ min crawls at 10x scale). 2M pairs is conservatively low: a
+#: single task streams that in seconds, and the dense branch is exact
+#: (same output), so a false trigger costs only the collapse shuffle
+#: over slim (id, key) rows.
+_DENSE_GUARD_THRESHOLD = 2_000_000
+
+
+def _predicted_emission(b: DataFrame, keys: list[str]) -> int:
+    """Σ k·(k−1)/2 over bucket sizes — the exact number of candidate
+    rows the within-bucket self-join will emit (before dedup). One
+    map-side-combined aggregate over slim bucket rows, one driver row;
+    runs BEFORE the quadratic join so the guard can reroute the plan.
+    This is the only way to close the AQE blind spot: emission is a
+    property of the key distribution, which no plan-time statistic
+    sees."""
+    row = (
+        b.groupBy(*keys).agg(F.count("*").alias("__n"))
+        .agg(F.sum(F.col("__n") * (F.col("__n") - 1) / 2).alias("__e"))
+        .collect()[0]
+    )
+    return int(row["__e"] or 0)
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, reps: DataFrame,
+                      members: DataFrame, metric_col: str,
+                      within_value, within_filter: Column | None = None,
+                      ) -> DataFrame:
+    """Expand REPRESENTATIVE pairs back to member pairs.
+
+    The dense-corpus branch of each pair generator collapses docs with
+    identical collapse keys (identical shingle/token SETS, or identical
+    simhash fingerprints) to one representative before the quadratic
+    candidate join: a duplicate group of size k contributes k² candidate
+    rows per shared bucket that one rep + this expansion reconstructs
+    output-linearly. Exactness: the verified metric (Jaccard, hamming)
+    is a function of the SET/fingerprint only, so every member pair of a
+    verified rep pair carries the rep pair's metric verbatim, and every
+    within-group pair scores the identity value (Jaccard 1.0 /
+    hamming 0) without verification.
+
+    ``rep_pairs``: (id_a, id_b, metric) over rep ids.
+    ``reps``: (__gkey, __rid, ...) one row per group.
+    ``members``: (__gkey, __id, ...) one row per doc.
+    ``within_filter``: groups whose within pairs must NOT be emitted
+    (e.g. empty shingle sets, whose Jaccard is null and filtered on the
+    sparse path too).
+
+    Plan: four slim joins (reps/rep_pairs are post-collapse — AQE
+    broadcasts them when small) + one members self-join on __gkey for
+    the within pairs. Output id order re-normalized with
+    least/greatest: a member of group A may outrank a member of B even
+    though rep_a < rep_b. NB: a single group of size k still emits its
+    k·(k−1)/2 within pairs in the task owning its __gkey — that is
+    output volume, not join blowup (no verify, no arrays, streams);
+    corpora dominated by one giant exact-dup group should use
+    dedup_clusters / index mode="reps" rather than all-pairs output."""
+    mtype = dict(rep_pairs.dtypes)[metric_col]
+    ga = reps.select(F.col("__rid").alias("id_a"), F.col("__gkey").alias("__ka"))
+    gb = reps.select(F.col("__rid").alias("id_b"), F.col("__gkey").alias("__kb"))
+    ma = members.select(F.col("__gkey").alias("__ka"), F.col("__id").alias("__ea"))
+    mb = members.select(F.col("__gkey").alias("__kb"), F.col("__id").alias("__eb"))
+    cross = (
+        rep_pairs.join(ga, "id_a").join(gb, "id_b")
+        .join(ma, "__ka").join(mb, "__kb")
+        .select(F.least("__ea", "__eb").alias("id_a"),
+                F.greatest("__ea", "__eb").alias("id_b"),
+                F.col(metric_col))
+    )
+    wm = members if within_filter is None else members.filter(within_filter)
+    within = (
+        wm.alias("x")
+        .join(wm.alias("y"),
+              (F.col("x.__gkey") == F.col("y.__gkey"))
+              & (F.col("x.__id") < F.col("y.__id")))
+        .select(F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"),
+                F.lit(within_value).cast(mtype).alias(metric_col))
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_verify(cand: DataFrame, texts: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Verify (id_a, id_b) candidates by exact Jaccard over a
+    (__tid, __vsh) shingle-hash frame — the shared tail of the sparse
+    and dense minhash plans. Two joins against the SAME texts subtree:
+    the exchanges/broadcasts are byte-identical, so Spark plans a
+    ReusedExchange for the second join — texts is computed and moved
+    ONCE, and no array-carrying groupBy exists at all (the former
+    explode-legs + grouped-max plan shuffled every candidate's arrays a
+    second time; measured -23% on the sf0.1 bench path)."""
+    s1 = cand.join(texts, cand.id_a == texts.__tid).select(
+        "id_a", "id_b", F.col("__vsh").alias("__sa"))
+    s2 = s1.join(texts, s1.id_b == texts.__tid).select(
+        "id_a", "id_b", "__sa", F.col("__vsh").alias("__sb"))
+    # |A∪B| = |A| + |B| − |A∩B| over DISTINCT shingle sets: skips
+    # materializing the union array per pair (sets are distinct by
+    # construction in with_shingle_hashes)
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    uni = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    return (
+        s2.withColumn("jaccard", F.try_divide(inter, uni))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_pairs_dense(df: DataFrame, text_col: str, id_col: str, *,
+                         num_perm: int, bands: int, shingle_k: int,
+                         threshold: float, sig_impl: str) -> DataFrame:
+    """Rep-collapsed MinHash pair plan for duplicate-DENSE corpora.
+
+    Collapse key: xxhash64 of the SORTED shingle-hash set — docs with
+    identical shingle sets have identical signatures, identical band
+    buckets, and Jaccard 1.0 with each other, so one representative per
+    set reproduces the sparse plan's output exactly (cross-group
+    Jaccard is a set function; within-group pairs are 1.0 unless the
+    set is empty, in which case the sparse verify yields null and drops
+    them — the within_filter preserves that). 64-bit set-hash
+    collisions merge two distinct sets once per ~2^64 — the same
+    negligible-collision stance as the band buckets above.
+
+    The LSH self-join then runs over REPS (duplicate mass gone — a
+    group of k docs costs 1 bucket row instead of k² candidate rows per
+    shared band) with an unconditional AQE-immune width pin, and
+    member pairs are reconstructed output-linearly by
+    _expand_rep_pairs. Measured (10x template corpus, 32 cores, warm):
+    the unguarded sparse plan crawled 20+ min on 1-2 AQE-coalesced
+    tasks; this branch returns the identical 250,600-pair set in
+    single-digit seconds."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    keyed = with_shingle_hashes(
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(text_col).alias("__text")),
+        "__text", shingle_k, "__bh",
+    ).select("__id", "__bh",
+             F.xxhash64(F.array_sort("__bh")).alias("__gkey"),
+             F.size("__bh").alias("__nsh"))
+    members = (keyed.select("__id", "__gkey", "__nsh")
+               .localCheckpoint(eager=False))
+    reps = (members.groupBy("__gkey")
+            .agg(F.min("__id").alias("__rid"))
+            .localCheckpoint(eager=False))
+    rep_ids = reps.select(F.col("__rid").alias("__id"))
+    # rep shingle sets: semi-join the (recomputed — house rule: a
+    # scan-stage recompute beats shuffling every doc's array) shingle
+    # stream against the collapsed id set; feeds both the signature
+    # subtree and the verify texts
+    rep_sh = keyed.join(rep_ids, "__id", "left_semi").select("__id", "__bh")
+    sig = _minhash_sig(rep_sh, num_perm=num_perm, sig_impl=sig_impl)
+    banded = _band_buckets(sig, num_perm=num_perm, bands=bands)
+    b = (banded.localCheckpoint(eager=False)
+         .repartition(p, "__bucket"))
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"),
+              (F.col("a.__bucket") == F.col("b.__bucket"))
+              & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = rep_sh.select(F.col("__id").alias("__tid"),
+                          F.col("__bh").alias("__vsh"))
+    rep_pairs = _minhash_verify(cand, texts, threshold)
+    return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0,
+                             within_filter=F.col("__nsh") > 0)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -320,6 +495,8 @@ def minhash_lsh_pairs(
     sig_impl: str = "expr",
     reuse_shingles: bool = False,
     cand_parallelism: int | None = None,
+    guard: str = "auto",
+    dense_threshold: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
     Jaccard over the shingle sets.
@@ -350,10 +527,25 @@ def minhash_lsh_pairs(
     scan-stage recompute that is cheaper than the move. Kept for corpora
     where shingling dominates (very long documents / large k).
 
-    ``cand_parallelism``: opt-in AQE-immune width for the candidate
-    self-join on duplicate-DENSE corpora (see the inline note at the
-    join) — pass the cluster's parallelism there; leave None for
-    normal corpora."""
+    ``guard`` (r12, default "auto"): the dense-corpus emission guard.
+    After the banded rows are checkpointed, one cheap count-per-bucket
+    aggregate predicts the candidate join's emission (Σ k·(k−1)/2 —
+    _predicted_emission); past ``dense_threshold`` (default
+    _DENSE_GUARD_THRESHOLD) the plan reroutes to the rep-collapsed
+    branch (_minhash_pairs_dense): identical output, no quadratic
+    duplicate mass in the LSH join, AQE-immune width. "off" restores
+    the pure-lazy r11 plan (no stats job — the returned DataFrame
+    triggers no work until acted on). The guard decision changes only
+    the PLAN, never the result, so its data-dependence is safe. On a
+    corpus dense enough to trigger, the already-built sparse banding
+    is discarded (detection needs the bucket distribution) — one
+    wasted signature pass, dwarfed by the 20+ min single-task crawl it
+    avoids (measured, 10x template corpus).
+
+    ``cand_parallelism``: explicit AQE-immune width for the candidate
+    self-join — pass the cluster's parallelism to pin the sparse plan's
+    join width yourself. Pre-dates the auto guard; when set, the stats
+    job is skipped and the sparse plan (pinned) always runs."""
     df = fanout(df)
     shingled_in = with_shingle_hashes(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
@@ -391,6 +583,17 @@ def minhash_lsh_pairs(
     b = banded.localCheckpoint(eager=False)
     if cand_parallelism:
         b = b.repartition(int(cand_parallelism), "__bucket")
+    elif guard == "auto":
+        thresh = (_DENSE_GUARD_THRESHOLD if dense_threshold is None
+                  else dense_threshold)
+        # the stats job forces b's checkpoint materialization — work the
+        # candidate join needs anyway, so the sparse path's extra cost
+        # is one slim aggregate over the checkpointed 16-byte rows
+        if _predicted_emission(b, ["__bucket"]) > thresh:
+            return _minhash_pairs_dense(
+                df, text_col, id_col, num_perm=num_perm, bands=bands,
+                shingle_k=shingle_k, threshold=threshold,
+                sig_impl=sig_impl)
     cand = (
         b.alias("a")
         .join(b.alias("b"),
@@ -421,26 +624,7 @@ def minhash_lsh_pairs(
                       F.col(text_col).alias("__t")),
             "__t", shingle_k, "__vsh",
         ).select("__tid", "__vsh")
-    # resolve each pair's two shingle sets with two joins against the SAME
-    # texts subtree: the exchanges/broadcasts are byte-identical, so Spark
-    # plans a ReusedExchange for the second join — texts is computed and
-    # moved ONCE, and no array-carrying groupBy exists at all (the former
-    # explode-legs + grouped-max plan shuffled every candidate's arrays a
-    # second time; measured -23% on the sf0.1 bench path)
-    s1 = cand.join(texts, cand.id_a == texts.__tid).select(
-        "id_a", "id_b", F.col("__vsh").alias("__sa"))
-    s2 = s1.join(texts, s1.id_b == texts.__tid).select(
-        "id_a", "id_b", "__sa", F.col("__vsh").alias("__sb"))
-    # |A∪B| = |A| + |B| − |A∩B| over DISTINCT shingle sets: skips
-    # materializing the union array per pair (sets are distinct by
-    # construction in with_shingle_hashes)
-    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    uni = (F.size("__sa") + F.size("__sb")).cast("double") - inter
-    return (
-        s2.withColumn("jaccard", F.try_divide(inter, uni))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _minhash_verify(cand, texts, threshold)
 
 
 #: On-disk format versions of the persisted index families. Bumped when
@@ -470,6 +654,79 @@ def _check_index_format(meta_row, expected: int, family: str,
             "prefixes were computed by an incompatible hash family, and "
             "probing it would silently return empty or incomplete pairs. "
             f"Rebuild it into a fresh path with set_{family}_index.")
+
+
+def _lease(spark, path: str):
+    """(fs, jpath) of the index's compaction lease marker."""
+    from rayforce_spark.sources._sidecar import _fs_path
+
+    fs, _ = _fs_path(spark, path)
+    return fs, spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_compacting")
+
+
+def _check_compaction_lease(spark, path: str, family: str) -> None:
+    """Raise if a compaction lease is held on the index — the ENFORCED
+    form of the compact_*_index concurrency contract (r11 verdict #2:
+    streaming ingest extends continuously, which is exactly the
+    deployment that wants compaction most, so a doc-only "don't run
+    concurrently" is weakest where it matters). Compaction writes
+    ``_compacting`` before snapshotting a leg's file list and removes
+    it only after the old files are deleted; inside that window an
+    extend would have its fresh rows read by the rewrite AND kept
+    (double-counted until the next compaction) and a probe can plan
+    against files the rewrite then deletes (FileNotFoundException
+    mid-job, or silently dropped rows under
+    spark.sql.files.ignoreMissingFiles). A lease left behind by a
+    CRASHED compaction keeps these failing loudly until the compaction
+    is re-run — it is duplicate-tolerant and completes the interrupted
+    rewrite (see _compact_leg's crash-safety note); the auto-compaction
+    hook in streaming ingest self-heals this way. NB the check is
+    advisory-at-the-edges: a probe that passes the check while
+    compaction starts a moment later still races — schedule external
+    probes/extends away from compaction windows; the lease turns the
+    overlap from silent corruption into a loud error in the common
+    case."""
+    fs, jp = _lease(spark, path)
+    if fs.exists(jp):
+        raise RuntimeError(
+            f"{family} index at {path} holds a compaction lease "
+            "(_compacting): a compact_*_index run is in progress or "
+            "crashed mid-rewrite. Re-run the compaction to completion "
+            "(it is duplicate-tolerant and clears the lease), then "
+            "retry this extend/probe.")
+
+
+def stamp_index_format(spark, path: str, family: str) -> None:
+    """One-shot ``_meta`` migration for a PRE-VERSIONING simhash or
+    jaccard index: those families' on-disk leg content is identical to
+    format 1 (only minhash actually changed content, in the r10
+    32-bit→xxhash64 bucket-key switch), so an index written before
+    format versioning existed can be stamped format-1 in place instead
+    of paying a full rebuild for bytes that didn't change (r11 ADVICE).
+    Refuses minhash (its unversioned content is format-0 by definition
+    — rebuild with set_minhash_index) and refuses an already-versioned
+    sidecar. The sidecar overwrite is not atomic — run this as the
+    one-shot maintenance op it is, not concurrently with readers."""
+    fmts = {"simhash": _SIMHASH_INDEX_FORMAT, "jaccard": _JACCARD_INDEX_FORMAT}
+    if family not in fmts:
+        raise ValueError(
+            f"stamp_index_format supports simhash/jaccard, not {family!r}: "
+            "an unversioned minhash index predates the r10 bucket-hash "
+            "change and its stored buckets ARE incompatible — rebuild it "
+            "with set_minhash_index.")
+    meta = spark.read.parquet(f"{path}/_meta")
+    row = meta.collect()[0]
+    if row.asDict().get("format") is not None:
+        raise ValueError(
+            f"{family} index at {path} already carries on-disk format "
+            f"{row['format']} — nothing to migrate.")
+    # materialize the row driver-side BEFORE overwriting the files it
+    # reads, and drop the stale file-listing cache afterwards (an
+    # overwritten path otherwise serves FileNotFound from the cache)
+    out = spark.createDataFrame([row], meta.schema)
+    (out.drop("format").withColumn("format", F.lit(fmts[family]))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta"))
+    spark.catalog.refreshByPath(f"{path}/_meta")
 
 
 def _minhash_parts(df: DataFrame, text_col: str, id_col: str, *,
@@ -552,6 +809,7 @@ def extend_minhash_index(new_df: DataFrame, path: str, text_col: str,
     parameters come from the index's own ``_meta`` sidecar). The
     existing index files are untouched — this is the ingest step of
     the dedup-then-extend loop."""
+    _check_compaction_lease(new_df.sparkSession, path, "minhash")
     meta = _read_minhash_meta(new_df.sparkSession, path)
     shingled, buckets = _minhash_parts(new_df, text_col, id_col, **meta)
     # VERIFY leg (shingles) first, CANDIDATE leg (buckets) second: a
@@ -616,15 +874,24 @@ def _compact_leg(spark, leg_path: str) -> tuple[int, int]:
 
 def _compact_index(spark, path: str, legs: list[str], read_meta) -> dict:
     """Shared compaction driver: checks the _meta sidecar first (loud
-    failure on a half-built or stale-format index), then compacts each
-    leg independently. Returns {leg: {"files_before": n, "files_after":
-    m}} for observability."""
+    failure on a half-built or stale-format index), takes the
+    compaction LEASE (``_compacting`` — extends and probes raise while
+    it is held, see _check_compaction_lease), compacts each leg, then
+    releases the lease. The lease is deliberately NOT released on
+    failure: a crashed compaction leaves legs mid-rewrite, and the
+    lease keeps readers loudly out until a re-run (idempotent,
+    duplicate-tolerant) finishes the job. Returns {leg:
+    {"files_before": n, "files_after": m}} for observability."""
     read_meta(spark, path)  # format + existence gate
-    return {
+    fs, jp = _lease(spark, path)
+    fs.mkdirs(jp)  # idempotent — a re-run after a crash re-takes it
+    out = {
         leg: dict(zip(("files_before", "files_after"),
                       _compact_leg(spark, f"{path}/{leg}")))
         for leg in legs
     }
+    fs.delete(jp, True)
+    return out
 
 
 def compact_minhash_index(spark, path: str) -> dict:
@@ -636,10 +903,17 @@ def compact_minhash_index(spark, path: str) -> dict:
     single-process mmap reference never meets). Safe to run between
     ingest batches; probe results are IDENTICAL before and after
     (pinned by test_index_compaction_*). Do not run CONCURRENTLY with
-    an extend — compaction snapshots the file list before rewriting,
-    and an extend landing mid-window would have its files read by the
-    rewrite AND kept, double-counting rows until the next compaction
-    collapses them (correct, just not smaller)."""
+    an extend OR a probe: an extend landing mid-window has its files
+    read by the rewrite AND kept (double-counted rows until the next
+    compaction collapses them — correct, just not smaller), and a
+    probe DataFrame planned before the rewrite but executed after the
+    deletes hits FileNotFoundException mid-job (or silently loses rows
+    under spark.sql.files.ignoreMissingFiles). Enforced, not just
+    advised (r12): compaction holds a ``_compacting`` lease for the
+    window and extends/probes raise while it is held — see
+    _check_compaction_lease; streaming ingest gets safe periodic
+    compaction via ``compact_every`` (serial micro-batches can't
+    overlap their own compaction)."""
     return _compact_index(spark, path, ["shingles", "buckets"],
                           _read_minhash_meta)
 
@@ -710,6 +984,7 @@ def minhash_index_pairs(path: str, new_df: DataFrame,
     corpus is never re-shingled; intra-batch pairs are
     minhash_lsh_pairs(new_df)'s job."""
     spark = new_df.sparkSession
+    _check_compaction_lease(spark, path, "minhash")
     meta = _read_minhash_meta(spark, path)
     shingled, buckets = _minhash_parts(new_df, text_col, id_col, **meta)
     # fanout the INDEX leg scan: a small/fresh index arrives as few
@@ -752,6 +1027,33 @@ def minhash_index_pairs(path: str, new_df: DataFrame,
     )
 
 
+def _plain_emission_sampled(df: DataFrame, text_col: str, id_col: str,
+                            shingle_k: int, hot: DataFrame | None,
+                            p: float = 0.05) -> int:
+    """Doc-level-sampled emission estimate for the UNINDEXED
+    inverted-token join: with each doc kept independently at rate
+    ``p``, a token of document frequency d appears in the sample
+    d_s ~ Binomial(d, p) times, and E[d_s·(d_s−1)] = p²·d·(d−1) — so
+    Σ d_s·(d_s−1)/2 over the sampled tokens divided by p² is an
+    unbiased estimator of the full join's emission Σ d·(d−1)/2.
+    Sampling DOCS before shingling costs ~p of one scan pass instead
+    of the full token aggregate the prefix path already owns. The
+    estimate only ever picks between two EXACT plans, so its variance
+    (high for rare tokens, concentrated for the hot/duplicated mass
+    that matters) is safe — a boundary flip changes runtime, never
+    output. ``hot``: the max_doc_freq stopword set, applied to the
+    sample so the estimate sees the same token stream the join
+    would."""
+    samp = with_shingle_hashes(
+        df.sample(fraction=p, seed=42)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__t", shingle_k, "__sh",
+    ).select("__id", F.explode("__sh").alias("tok"))
+    if hot is not None:
+        samp = samp.join(hot, "tok", "left_anti")
+    return int(_predicted_emission(samp, ["tok"]) / (p * p))
+
+
 def jaccard_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -761,6 +1063,8 @@ def jaccard_dup_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     prefix_filter: bool | None = None,
+    guard: str = "auto",
+    dense_threshold: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard duplicate pairs via an inverted-index join —
     no LSH approximation, no O(n²) cross join.
@@ -795,6 +1099,13 @@ def jaccard_dup_pairs(
       similarity. Sizes are recomputed over the REDUCED sets to keep
       numerator and denominator consistent. Composes with the prefix
       filter (applied first).
+    ``guard``/``dense_threshold`` (r12): the dense-corpus emission
+    guard — same contract as minhash_lsh_pairs. On the prefix path the
+    stats run over the prefix rows; on the plain path a 5% doc sample
+    estimates the join emission (_plain_emission_sampled) and a trigger
+    reroutes to the prefix plan (exact — same output), whose guard then
+    applies rep-collapse if the density is duplicate mass.
+
     The prefix path also applies PPJoin's POSITIONAL filter (Xiao et
     al., WWW'08): prefix tokens carry their position in the sorted token
     array, and a candidate occurrence is pruned join-locally when the
@@ -828,7 +1139,26 @@ def jaccard_dup_pairs(
     if prefix_filter is None:
         prefix_filter = shingle_k == 1
     if prefix_filter:
-        return _jaccard_prefix_filtered(toks, threshold)
+        return _jaccard_prefix_filtered(toks, threshold, guard=guard,
+                                        dense_threshold=dense_threshold)
+
+    if guard == "auto":
+        thresh = (_DENSE_GUARD_THRESHOLD if dense_threshold is None
+                  else dense_threshold)
+        hot_f = hot if max_doc_freq is not None else None
+        # the plain path computes no global aggregate the guard could
+        # piggyback on, so its detector samples DOCS (5%) before
+        # shingling — ~5% of one scan pass instead of a full token
+        # aggregate; on trigger, reroute to the prefix-filtered plan
+        # (EXACT — same output), whose own guard then decides whether
+        # the density is exact-dup mass (rep-collapse) or merely hot
+        # tokens (the prefix filter itself is the fix, and on a corpus
+        # hot enough to trigger, the df-sort overhead that keeps the
+        # prefix AUTO-off for k>=2 is exactly the trade that wins)
+        if _plain_emission_sampled(df, text_col, id_col, shingle_k,
+                                   hot_f) > thresh:
+            return _jaccard_prefix_filtered(toks, threshold, guard="auto",
+                                            dense_threshold=dense_threshold)
 
     sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
     co = (
@@ -911,10 +1241,85 @@ def _pos_ok(num: int, den: int) -> Column:
     )
 
 
-def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_candidates(pref: DataFrame, num: int, den: int) -> DataFrame:
+    """Prefix-token self-join (+ size/positional filters) → distinct
+    (id_a, id_b) candidates — shared by the sparse and dense plans."""
+    return (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & _size_ok(num, den) & _pos_ok(num, den),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _jaccard_verify(cand: DataFrame, docs: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Re-attach both sides' sorted token arrays and apply the true
+    float threshold — shared verify tail of the sparse and dense
+    plans."""
+    return (
+        cand
+        .join(docs.select(F.col("__id").alias("id_a"),
+                          F.col("__toks").alias("__ta"),
+                          F.col("sz").alias("sz_a")), "id_a")
+        .join(docs.select(F.col("__id").alias("id_b"),
+                          F.col("__toks").alias("__tb"),
+                          F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__ta", "__tb")))
+        .withColumn(
+            "jaccard",
+            F.try_divide(F.col("inter"),
+                         F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _jaccard_pairs_dense(docs: DataFrame, threshold: float,
+                         num: int, den: int) -> DataFrame:
+    """Rep-collapsed exact-Jaccard pair plan for duplicate-DENSE
+    corpora.
+
+    Collapse key: xxhash64 of the doc's (df, tok)-sorted token array —
+    identical token SETS sort to identical arrays under the global
+    (df, tok) order, so one representative per set reproduces the
+    sparse plan's output exactly (Jaccard is a set function;
+    within-group pairs are exactly 1.0 — every doc in ``docs`` has
+    >= 1 token by construction, since docs is grouped from the exploded
+    token stream). Same negligible 2^-64 set-hash collision stance as
+    the minhash collapse. The prefix self-join then runs over reps with
+    an AQE-immune width pin; _expand_rep_pairs reconstructs member
+    pairs output-linearly. ``docs``: the checkpointed
+    (__id, __toks, sz) sorted-docs frame."""
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    members = docs.select("__id", F.xxhash64("__toks").alias("__gkey"))
+    reps = (members.groupBy("__gkey").agg(F.min("__id").alias("__rid"))
+            .localCheckpoint(eager=False))
+    rep_docs = (docs.join(reps.select(F.col("__rid").alias("__id")),
+                          "__id", "left_semi")
+                .localCheckpoint(eager=False))
+    pref = _prefix_rows(rep_docs, num, den).repartition(p, "tok")
+    rep_pairs = _jaccard_verify(_jaccard_candidates(pref, num, den),
+                                rep_docs, threshold)
+    return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0)
+
+
+def _jaccard_prefix_filtered(toks: DataFrame, threshold: float,
+                             guard: str = "auto",
+                             dense_threshold: int | None = None,
+                             ) -> DataFrame:
     """Prefix-filtered exact Jaccard join over an exploded (__id, tok)
     table (see jaccard_dup_pairs docstring). One df aggregate, one
-    prefix-token shuffle join (rare tokens only), one verify join."""
+    prefix-token shuffle join (rare tokens only), one verify join.
+    ``guard``/``dense_threshold``: the dense-corpus emission guard —
+    stats over the PREFIX rows (a cheap projection of the checkpointed
+    docs frame), reroute to _jaccard_pairs_dense past the threshold."""
     num = int(threshold * _JAC_DEN)
     den = _JAC_DEN
 
@@ -944,34 +1349,17 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float) -> DataFrame:
     # blocks, MEMORY_AND_DISK), same device dedup_clusters already uses.
     docs = docs.localCheckpoint(eager=False)
     pref = _prefix_rows(docs, num, den)
-    cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.__id") < F.col("b.__id"))
-            & _size_ok(num, den) & _pos_ok(num, den),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
-    return (
-        cand
-        .join(docs.select(F.col("__id").alias("id_a"),
-                          F.col("__toks").alias("__ta"),
-                          F.col("sz").alias("sz_a")), "id_a")
-        .join(docs.select(F.col("__id").alias("id_b"),
-                          F.col("__toks").alias("__tb"),
-                          F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("__ta", "__tb")))
-        .withColumn(
-            "jaccard",
-            F.try_divide(F.col("inter"),
-                         F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    if guard == "auto":
+        thresh = (_DENSE_GUARD_THRESHOLD if dense_threshold is None
+                  else dense_threshold)
+        # the stats job forces docs' checkpoint materialization — work
+        # every later stage needs anyway; emission is measured on the
+        # PREFIX rows (what the join actually sees), not the full token
+        # stream, so stopword-df alone does not false-trigger
+        if _predicted_emission(pref, ["tok"]) > thresh:
+            return _jaccard_pairs_dense(docs, threshold, num, den)
+    return _jaccard_verify(_jaccard_candidates(pref, num, den),
+                           docs, threshold)
 
 
 def simhash_fingerprint_numpy(bits: int):
@@ -1219,6 +1607,7 @@ def extend_jaccard_index(new_df: DataFrame, path: str, text_col: str,
     files are untouched; dfreq is NOT updated (the frozen order is the
     exactness contract — see set_jaccard_index's drift note)."""
     spark = new_df.sparkSession
+    _check_compaction_lease(spark, path, "jaccard")
     meta = _read_jaccard_meta(spark, path)
     num = int(meta["threshold"] * _JAC_DEN)
     docs, pref = _jaccard_probe_parts(new_df, path, text_col, id_col,
@@ -1254,6 +1643,7 @@ def jaccard_index_pairs(path: str, new_df: DataFrame, text_col: str,
     corpus is never re-shingled or re-sorted; intra-batch pairs are
     jaccard_dup_pairs(new_df)'s job."""
     spark = new_df.sparkSession
+    _check_compaction_lease(spark, path, "jaccard")
     meta = _read_jaccard_meta(spark, path)
     if threshold is None:
         threshold = meta["threshold"]
@@ -1356,45 +1746,22 @@ def _simhash_validate(max_hamming: int, bands: int) -> None:
         raise ValueError(f"bands ({bands}) must be <= 63 (63-bit fingerprint)")
 
 
-def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                      *, max_hamming: int = 3, bands: int | None = None,
-                      token_hash: str = "xxhash64",
-                      fp_impl: str = "numpy") -> DataFrame:
-    """Near-dup pairs with SimHash distance <= max_hamming, found by the
-    pigeonhole trick: split the fingerprint into ``bands`` chunks — any
-    pair within distance < bands shares at least one exact chunk, so a
-    chunk-equality self-join finds all candidates; verify with popcount.
-    Returns (id_a, id_b, hamming).
-
-    Recall is exact ONLY when bands > max_hamming (pigeonhole needs more
-    chunks than differing bits); bands defaults to max_hamming + 1 and an
-    explicit smaller value raises rather than silently dropping pairs.
-    More bands than the minimum trades candidate volume for nothing —
-    keep the default unless distance-skew profiling says otherwise."""
-    if bands is None:
-        bands = max_hamming + 1
-    _simhash_validate(max_hamming, bands)
-    # the fingerprint is 16 bytes/doc — a lazy localCheckpoint
-    # materializes it once so neither self-join side (nor an AQE
-    # broadcast of one) re-runs the 63-bit aggregation over the token
-    # explosion
-    fp = (simhash(df, text_col, id_col, token_hash=token_hash,
-                  fp_impl=fp_impl)
-          .withColumnRenamed(id_col, "__id")
-          .localCheckpoint(eager=False))
-    banded = _simhash_banded(fp, bands)
-    # banded (band, key) self-join with CANONICAL-BAND emission: a pair
-    # agreeing in several bands is emitted only by the FIRST band whose
-    # chunks agree (= first zero chunk of the fingerprint XOR — a pure
-    # bit expression), so no dropDuplicates pass over the raw candidate
-    # stream is needed. The r8 shape (bucket collect_list + O(k²)
-    # array-expression pair expansion + dedup shuffle) built the whole
-    # k² block of a hot bucket as ONE array in ONE task — at sf0.1 the
-    # largest bucket held 2642 docs = 3.5M structs in a single row, and
-    # the 23.4M-row dedup shuffle followed (measured 30 s; this shape is
-    # ~3 s). A join streams the same k² pairs through normal task
-    # parallelism, and the hamming + canonical-band filters run inside
-    # the join projection so only final pairs ever materialize.
+def _simhash_join(banded: DataFrame, bands: int,
+                  max_hamming: int) -> DataFrame:
+    """Banded (band, key) self-join with CANONICAL-BAND emission — the
+    shared candidate+verify stage of the sparse and dense simhash
+    plans: a pair agreeing in several bands is emitted only by the
+    FIRST band whose chunks agree (= first zero chunk of the
+    fingerprint XOR — a pure bit expression), so no dropDuplicates
+    pass over the raw candidate stream is needed. The r8 shape (bucket
+    collect_list + O(k²) array-expression pair expansion + dedup
+    shuffle) built the whole k² block of a hot bucket as ONE array in
+    ONE task — at sf0.1 the largest bucket held 2642 docs = 3.5M
+    structs in a single row, and the 23.4M-row dedup shuffle followed
+    (measured 30 s; this shape is ~3 s). A join streams the same k²
+    pairs through normal task parallelism, and the hamming +
+    canonical-band filters run inside the join projection so only
+    final pairs ever materialize."""
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor)
     return (
@@ -1411,6 +1778,80 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                 F.col("b.__id").alias("id_b"),
                 hamming.alias("hamming"))
     )
+
+
+def _simhash_pairs_dense(fp: DataFrame, *, bands: int,
+                         max_hamming: int) -> DataFrame:
+    """Rep-collapsed simhash pair plan for duplicate-DENSE corpora.
+
+    Collapse key: the FINGERPRINT itself — no hash-collision caveat at
+    all (hamming is a function of the two fingerprints, so members of a
+    fingerprint group are interchangeable: cross-group pairs carry the
+    rep pair's hamming verbatim, within-group pairs are hamming 0,
+    which every max_hamming >= 0 admits). The banded self-join runs
+    over one rep per distinct fingerprint with an AQE-immune width pin;
+    _expand_rep_pairs reconstructs member pairs output-linearly.
+    ``fp``: the checkpointed (__id, simhash) frame."""
+    p = fp.sparkSession.sparkContext.defaultParallelism
+    reps = (fp.groupBy("simhash").agg(F.min("__id").alias("__rid"))
+            .localCheckpoint(eager=False))
+    rep_fp = reps.select(F.col("__rid").alias("__id"), "simhash")
+    banded = (_simhash_banded(rep_fp, bands)
+              .localCheckpoint(eager=False)
+              .repartition(p, "band", "key"))
+    rep_pairs = _simhash_join(banded, bands, max_hamming)
+    members = fp.select(F.col("simhash").alias("__gkey"), "__id")
+    reps_k = reps.select(F.col("simhash").alias("__gkey"), "__rid")
+    return _expand_rep_pairs(rep_pairs, reps_k, members, "hamming", 0)
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                      *, max_hamming: int = 3, bands: int | None = None,
+                      token_hash: str = "xxhash64",
+                      fp_impl: str = "numpy", guard: str = "auto",
+                      dense_threshold: int | None = None) -> DataFrame:
+    """Near-dup pairs with SimHash distance <= max_hamming, found by the
+    pigeonhole trick: split the fingerprint into ``bands`` chunks — any
+    pair within distance < bands shares at least one exact chunk, so a
+    chunk-equality self-join finds all candidates; verify with popcount.
+    Returns (id_a, id_b, hamming).
+
+    Recall is exact ONLY when bands > max_hamming (pigeonhole needs more
+    chunks than differing bits); bands defaults to max_hamming + 1 and an
+    explicit smaller value raises rather than silently dropping pairs.
+    More bands than the minimum trades candidate volume for nothing —
+    keep the default unless distance-skew profiling says otherwise.
+
+    ``guard``/``dense_threshold`` (r12): the dense-corpus emission
+    guard — same contract as minhash_lsh_pairs (one count-per-bucket
+    stats job; past the threshold the plan reroutes to the
+    rep-collapsed _simhash_pairs_dense branch, identical output;
+    "off" restores the pure-lazy plan)."""
+    if bands is None:
+        bands = max_hamming + 1
+    _simhash_validate(max_hamming, bands)
+    # the fingerprint is 16 bytes/doc — a lazy localCheckpoint
+    # materializes it once so neither self-join side (nor an AQE
+    # broadcast of one) re-runs the 63-bit aggregation over the token
+    # explosion
+    fp = (simhash(df, text_col, id_col, token_hash=token_hash,
+                  fp_impl=fp_impl)
+          .withColumnRenamed(id_col, "__id")
+          .localCheckpoint(eager=False))
+    banded = _simhash_banded(fp, bands)
+    if guard == "auto":
+        thresh = (_DENSE_GUARD_THRESHOLD if dense_threshold is None
+                  else dense_threshold)
+        # stats over the banded rows (a cheap projection of the
+        # checkpointed fp, which the join needs materialized anyway):
+        # past the threshold the quadratic duplicate mass moves to the
+        # rep-collapsed branch — identical output (see
+        # _simhash_pairs_dense), guard="off" restores the pure-lazy
+        # r11 plan
+        if _predicted_emission(banded, ["band", "key"]) > thresh:
+            return _simhash_pairs_dense(fp, bands=bands,
+                                        max_hamming=max_hamming)
+    return _simhash_join(banded, bands, max_hamming)
 
 
 def set_simhash_index(corpus: DataFrame, path: str, text_col: str,
@@ -1462,6 +1903,7 @@ def extend_simhash_index(new_df: DataFrame, path: str, text_col: str,
     banding parameters come from the index's own ``_meta`` sidecar).
     Existing index files are untouched — the ingest step of the
     dedup-then-extend loop."""
+    _check_compaction_lease(new_df.sparkSession, path, "simhash")
     meta = _read_simhash_meta(new_df.sparkSession, path)
     fp = (simhash(new_df, text_col, id_col, token_hash=meta["token_hash"])
           .withColumnRenamed(id_col, "__id"))
@@ -1492,6 +1934,7 @@ def simhash_index_pairs(path: str, new_df: DataFrame, text_col: str,
     corpus is never re-fingerprinted. Self-pairs on equal ids are
     excluded; intra-batch pairs are simhash_dup_pairs(new_df)'s job."""
     spark = new_df.sparkSession
+    _check_compaction_lease(spark, path, "simhash")
     meta = _read_simhash_meta(spark, path)
     bands = meta["bands"]
     if max_hamming is None:

@@ -278,6 +278,7 @@ def stream_minhash_index_ingest(
     *,
     threshold: float = 0.7,
     intra_batch: bool = True,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Continuous day-2 ingestion against a persisted MinHash index
     (datapipe.dedup.set_minhash_index): returns a ``foreachBatch``
@@ -320,6 +321,7 @@ def stream_minhash_index_ingest(
     """
     from rayforce_spark.datapipe.dedup import (
         _read_minhash_meta,
+        compact_minhash_index,
         extend_minhash_index,
         minhash_index_pairs,
         minhash_lsh_pairs,
@@ -347,22 +349,42 @@ def stream_minhash_index_ingest(
 
     return _index_ingest_foreachbatch(
         index_path, pairs_path, pairs_of,
-        lambda b: extend_minhash_index(b, index_path, text_col, id_col))
+        lambda b: extend_minhash_index(b, index_path, text_col, id_col),
+        compact=compact_minhash_index, compact_every=compact_every)
 
 
 def _index_ingest_foreachbatch(index_path, pairs_path, pairs_of,
-                               extend) -> Callable[[DataFrame, int], None]:
+                               extend, compact=None, compact_every=None,
+                               ) -> Callable[[DataFrame, int], None]:
     """The family-independent foreachBatch core shared by the three
     index-ingest wrappers (minhash / simhash / jaccard — the
     idempotency contract is documented on stream_minhash_index_ingest
     and identical for all three): marker-skip, one localCheckpoint of
     the micro-batch, per-batch overwrite pair partition, extend, commit
-    marker last."""
+    marker last.
+
+    ``compact``/``compact_every``: run ``compact(spark, index_path)``
+    (a compact_*_index) after every ``compact_every``-th committed
+    batch. foreachBatch is the ONE place auto-compaction is safe by
+    construction: micro-batches are serial, so the compaction window
+    can never overlap this stream's own extends/probes (the
+    compact↔extend hazard the _compacting lease enforces against
+    everyone else). A compaction that crashes mid-rewrite leaves the
+    lease held; the next batch sees it BEFORE touching the index and
+    re-runs the compaction to completion (duplicate-tolerant —
+    dedup._compact_leg's crash-safety note), self-healing instead of
+    wedging the stream on the lease error."""
     from rayforce_spark.sources._sidecar import _fs_path
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fs, _ = _fs_path(spark, index_path)
+        if compact is not None:
+            from rayforce_spark.datapipe.dedup import _lease
+
+            _, lease = _lease(spark, index_path)
+            if fs.exists(lease):  # crashed compaction — finish it first
+                compact(spark, index_path)
         marker = spark._jvm.org.apache.hadoop.fs.Path(
             f"{index_path}/_batches/batch-{batch_id}")
         if fs.exists(marker):
@@ -376,6 +398,12 @@ def _index_ingest_foreachbatch(index_path, pairs_path, pairs_of,
                 f"{pairs_path}/batch={batch_id}")
             extend(batch_df)
         fs.mkdirs(marker)  # the commit marker, written LAST
+        # compaction AFTER the commit marker: a crash mid-compaction
+        # replays nothing (the batch is committed) and the next batch
+        # self-heals the lease
+        if compact is not None and compact_every and (
+                (batch_id + 1) % int(compact_every) == 0):
+            compact(spark, index_path)
 
     return _ingest
 
@@ -387,6 +415,7 @@ def stream_simhash_index_ingest(
     id_col: str,
     *,
     intra_batch: bool = True,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Continuous day-2 ingestion against a persisted SimHash index —
     the hamming-distance twin of :func:`stream_minhash_index_ingest`
@@ -396,6 +425,7 @@ def stream_simhash_index_ingest(
     bound, so the whole-stream emission is deterministic."""
     from rayforce_spark.datapipe.dedup import (
         _read_simhash_meta,
+        compact_simhash_index,
         extend_simhash_index,
         simhash_dup_pairs,
         simhash_index_pairs,
@@ -421,7 +451,8 @@ def stream_simhash_index_ingest(
 
     return _index_ingest_foreachbatch(
         index_path, pairs_path, pairs_of,
-        lambda b: extend_simhash_index(b, index_path, text_col, id_col))
+        lambda b: extend_simhash_index(b, index_path, text_col, id_col),
+        compact=compact_simhash_index, compact_every=compact_every)
 
 
 def stream_jaccard_index_ingest(
@@ -431,6 +462,7 @@ def stream_jaccard_index_ingest(
     id_col: str,
     *,
     intra_batch: bool = True,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Continuous day-2 ingestion against a persisted exact-Jaccard
     index — the exact-similarity twin of
@@ -442,6 +474,7 @@ def stream_jaccard_index_ingest(
     come from jaccard_dup_pairs over the batch alone."""
     from rayforce_spark.datapipe.dedup import (
         _read_jaccard_meta,
+        compact_jaccard_index,
         extend_jaccard_index,
         jaccard_dup_pairs,
         jaccard_index_pairs,
@@ -468,4 +501,5 @@ def stream_jaccard_index_ingest(
 
     return _index_ingest_foreachbatch(
         index_path, pairs_path, pairs_of,
-        lambda b: extend_jaccard_index(b, index_path, text_col, id_col))
+        lambda b: extend_jaccard_index(b, index_path, text_col, id_col),
+        compact=compact_jaccard_index, compact_every=compact_every)

@@ -68,15 +68,19 @@ def main():
     orig_fanout = dd.fanout
 
     def build(outer, use_fanout, bands32):
+        # restore in finally: an exception mid-build must not leave the
+        # dedup module globally patched for the rest of the process
+        # (r11 ADVICE)
         dd._band_buckets = _band_buckets_hash32 if bands32 else orig_bands
         dd.fanout = orig_fanout if use_fanout else (lambda df: df)
-        d = docs if outer is None else docs.repartition(outer)
-        out = dd.minhash_lsh_pairs(
-            d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
-            threshold=0.5, sig_impl="expr", reuse_shingles=False)
-        dd._band_buckets = orig_bands
-        dd.fanout = orig_fanout
-        return out
+        try:
+            d = docs if outer is None else docs.repartition(outer)
+            return dd.minhash_lsh_pairs(
+                d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
+                threshold=0.5, sig_impl="expr", reuse_shingles=False)
+        finally:
+            dd._band_buckets = orig_bands
+            dd.fanout = orig_fanout
 
     variants = {
         "bench_today": (half, True, False),
