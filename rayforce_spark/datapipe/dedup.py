@@ -281,7 +281,11 @@ def _minhash_sig(shingled: DataFrame, *, num_perm: int,
     else:
         sig_col = minhash_signature_from_hashes(F.col("__bh"),
                                                 num_perm=num_perm)
-    return shingled.select("__id", sig_col.alias("__sig"))
+    # extra columns (e.g. the guard's __gkey collapse key) ride along;
+    # the index path passes exactly (__id, __bh), so its output schema
+    # — and the persisted bucket-leg format downstream — is unchanged
+    carry = [c for c in shingled.columns if c not in ("__id", "__bh")]
+    return shingled.select("__id", *carry, sig_col.alias("__sig"))
 
 
 def _band_buckets(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
@@ -302,8 +306,9 @@ def _band_buckets(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
         f" {b})"
         for b in range(bands)
     )
+    carry = [c for c in sig.columns if c not in ("__id", "__sig")]
     return sig.select(
-        "__id",
+        "__id", *carry,
         F.expr(f"explode(array({band_exprs}))").alias("__bucket"),
     )
 
@@ -335,6 +340,98 @@ def _predicted_emission(b: DataFrame, keys: list[str]) -> int:
         .collect()[0]
     )
     return int(row["__e"] or 0)
+
+
+#: Bucket-row floor below which the minhash/simhash guards skip their
+#: grouped stats job and stay sparse. The stats aggregate is ~0.4 s of
+#: mostly FIXED job cost — 60%+ overhead on an interactive sf0.1 run,
+#: noise at corpus scale — while a cheap narrow count() over the
+#: checkpointed rows is ~0.1 s. Sound ONLY where bucket rows are
+#: docs×bands (banded layouts): below ~2M such rows (≈125k docs at
+#: bands=16) an EXACT-dup-dense corpus is output-bound anyway
+#: (dedup_clusters / index mode="reps" is the tool), and the residual
+#: unguarded window — a sub-floor NEAR-dup-dense corpus — is bounded to
+#: minutes, not the 20+ min corpus-scale crawls the guard exists for;
+#: pass dense_threshold explicitly to force stats on a small corpus.
+#: NEVER apply to jaccard prefix rows: they are per-doc compressed, so
+#: few rows can hide billions of predicted pairs (measured — see the
+#: note at the jaccard call site).
+_DENSE_GUARD_ROW_FLOOR = 2_000_000
+
+
+def _dense_decision(b: DataFrame, keys: list[str], gkey: str,
+                    thresh: int, *, mod_col: str | None = None,
+                    sample_mod: int = 16, row_floor: int = 0) -> str:
+    """Pick the candidate-join plan from the bucket-size distribution:
+
+    - "sparse"   — predicted emission Σ n·(n−1)/2 ≤ ``thresh``: the r11
+      plan unchanged.
+    - "collapse" — emission is high AND at least half of it is
+      duplicate mass (Σ g·(g−1)/2 over DISTINCT collapse keys per
+      bucket — exactly the emission the rep-collapsed join would see —
+      is ≤ half the raw): reroute to the rep-collapsed branch.
+    - "pin"      — emission is high but collapsing wouldn't halve it
+      (near-dup-dense or intrinsically coarse buckets — e.g. simhash's
+      7-bit chunk keys make hot buckets NORMAL, measured 127M predicted
+      pairs on the ordinary sf0.1 corpus): keep the sparse join but
+      repartition its input to cluster width, AQE-immune — the r11
+      manual cand_parallelism fix, now automatic. Collapse would only
+      add overhead here (measured: simhash sf0.1 auto-collapse 3.1 s
+      vs sparse 1.6 s, because reps ≈ docs).
+
+    One map-side-combined aggregate over the slim checkpointed bucket
+    rows, one driver row. The decision changes only the PLAN — all
+    three branches produce identical output — so a boundary flip is
+    safe.
+
+    ``mod_col``/``sample_mod``: BUCKET-COMPLETE subsampling — keep only
+    buckets whose (well-mixed hash) key ≡ 0 mod ``sample_mod`` and
+    scale both sums back up. Unlike row sampling (which thins each
+    bucket binomially and biases the distinct-group count), selecting
+    whole buckets by key value keeps within-bucket structure exact, so
+    both estimators stay unbiased with tiny variance over many buckets.
+    This is what makes the stats job cheap on ordinary corpora: the
+    minhash aggregate over ~1M mostly-singleton sf0.1 buckets cost
+    0.46 s un-sampled vs ~0.1 s at mod 16 (measured) — only use it
+    when the bucket key is a mixed hash AND the key population is
+    large (minhash buckets: ≥ docs·bands distinct values by
+    construction). NOT for simhash (raw fingerprint chunks — biased
+    bits, and its group count is bounded by bands·2^chunk anyway) and
+    NOT for jaccard prefixes (the distinct prefix vocabulary can be
+    tiny — measured: the 10x template corpus's ~60 hot prefix tokens
+    all missed residue 0 mod 16, sampling a 4.5B-pair emission down to
+    an estimated ZERO).
+
+    ``thresh`` is PER-GENERATOR: it encodes the per-candidate cost of
+    the join the guard protects. Minhash/jaccard candidates feed an
+    array-intersect verify plus a dedup shuffle (expensive per pair —
+    base threshold 2M); simhash candidates die in an inline bit-count
+    filter (the ordinary sf0.1 corpus predicts 127M pairs yet streams
+    them in ~1.3 s, and that corpus's real exact-dup mass makes
+    rep·2 ≤ raw TRUE there — measured: collapsing it cost 2.6 s vs
+    1.2 s sparse), so simhash's default is 100x the base and ordinary
+    corpora stay on the sparse plan."""
+    if row_floor and b.count() < row_floor:
+        return "sparse"
+    scale = 1
+    if mod_col is not None and sample_mod > 1:
+        b = b.filter(F.pmod(F.col(mod_col), F.lit(sample_mod)) == 0)
+        scale = sample_mod
+    row = (
+        b.groupBy(*keys)
+        .agg(F.count("*").alias("__n"),
+             F.countDistinct(gkey).alias("__g"))
+        .agg(F.sum(F.col("__n") * (F.col("__n") - 1) / 2).alias("__raw"),
+             F.sum(F.col("__g") * (F.col("__g") - 1) / 2).alias("__rep"))
+        .collect()[0]
+    )
+    raw = scale * int(row["__raw"] or 0)
+    rep = scale * int(row["__rep"] or 0)
+    if raw <= thresh:
+        return "sparse"
+    if rep * 2 <= raw:
+        return "collapse"
+    return "pin"
 
 
 def _expand_rep_pairs(rep_pairs: DataFrame, reps: DataFrame,
@@ -529,18 +626,22 @@ def minhash_lsh_pairs(
 
     ``guard`` (r12, default "auto"): the dense-corpus emission guard.
     After the banded rows are checkpointed, one cheap count-per-bucket
-    aggregate predicts the candidate join's emission (Σ k·(k−1)/2 —
-    _predicted_emission); past ``dense_threshold`` (default
-    _DENSE_GUARD_THRESHOLD) the plan reroutes to the rep-collapsed
-    branch (_minhash_pairs_dense): identical output, no quadratic
-    duplicate mass in the LSH join, AQE-immune width. "off" restores
-    the pure-lazy r11 plan (no stats job — the returned DataFrame
-    triggers no work until acted on). The guard decision changes only
-    the PLAN, never the result, so its data-dependence is safe. On a
-    corpus dense enough to trigger, the already-built sparse banding
-    is discarded (detection needs the bucket distribution) — one
-    wasted signature pass, dwarfed by the 20+ min single-task crawl it
-    avoids (measured, 10x template corpus).
+    aggregate predicts the candidate join's emission and how much of it
+    is exact-duplicate mass (_dense_decision): past ``dense_threshold``
+    (default _DENSE_GUARD_THRESHOLD) the plan either reroutes to the
+    rep-collapsed branch (_minhash_pairs_dense — duplicate-dense
+    corpora; identical output, no quadratic duplicate mass in the LSH
+    join) or, when collapse wouldn't halve the emission (near-dup-dense
+    — distinct sets sharing buckets), pins the sparse join's width to
+    cluster parallelism, AQE-immune (the r11 manual cand_parallelism
+    fix, now automatic). "off" restores the pure-lazy r11 plan (no
+    stats job — the returned DataFrame triggers no work until acted
+    on). The guard decision changes only the PLAN, never the result,
+    so its data-dependence is safe. On a corpus dense enough to
+    trigger collapse, the already-built sparse banding is discarded
+    (detection needs the bucket distribution) — one wasted signature
+    pass, dwarfed by the 20+ min single-task crawl it avoids
+    (measured, 10x template corpus).
 
     ``cand_parallelism``: explicit AQE-immune width for the candidate
     self-join — pass the cluster's parallelism to pin the sparse plan's
@@ -551,6 +652,14 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         "__text", shingle_k, "__bh",
     ).select("__id", "__bh")
+    if guard == "auto" and not cand_parallelism:
+        # the guard's collapse key (hash of the sorted shingle SET)
+        # rides through the signature/banding projections so one stats
+        # aggregate over the checkpointed rows can split duplicate mass
+        # from mere bucket heat — see _dense_decision
+        shingled_in = shingled_in.select(
+            "__id", F.xxhash64(F.array_sort("__bh")).alias("__gkey"),
+            "__bh")
     if reuse_shingles:
         shingled_in = shingled_in.repartition(
             df.sparkSession.sparkContext.defaultParallelism // 2 or 1)
@@ -588,12 +697,20 @@ def minhash_lsh_pairs(
                   else dense_threshold)
         # the stats job forces b's checkpoint materialization — work the
         # candidate join needs anyway, so the sparse path's extra cost
-        # is one slim aggregate over the checkpointed 16-byte rows
-        if _predicted_emission(b, ["__bucket"]) > thresh:
+        # is one slim aggregate over the checkpointed rows
+        decision = _dense_decision(
+            b, ["__bucket"], "__gkey", thresh, mod_col="__bucket",
+            row_floor=(0 if dense_threshold is not None
+                       else _DENSE_GUARD_ROW_FLOOR))
+        if decision == "collapse":
             return _minhash_pairs_dense(
                 df, text_col, id_col, num_perm=num_perm, bands=bands,
                 shingle_k=shingle_k, threshold=threshold,
                 sig_impl=sig_impl)
+        if decision == "pin":
+            b = b.repartition(
+                df.sparkSession.sparkContext.defaultParallelism,
+                "__bucket")
     cand = (
         b.alias("a")
         .join(b.alias("b"),
@@ -1207,10 +1324,15 @@ def _prefix_rows(docs: DataFrame, num: int, den: int) -> DataFrame:
     its 1-based POSITION in the (df, tok)-sorted array — a scalar, so
     the positional filter runs in the join stage with zero extra
     width."""
+    # extra columns (e.g. the guard's __gkey collapse key) ride along;
+    # the index/probe paths pass exactly (__id, __toks, sz), so the
+    # persisted prefix-leg schema is unchanged
+    carry = [c for c in docs.columns if c not in ("__id", "__toks", "sz")]
     return (
-        docs.select("__id", "sz", F.posexplode(
+        docs.select("__id", "sz", *carry, F.posexplode(
             F.slice("__toks", 1, _prefix_len(num, den))).alias("__p0", "tok"))
-        .select("__id", "sz", (F.col("__p0") + 1).alias("pos"), "tok")
+        .select("__id", "sz", *carry,
+                (F.col("__p0") + 1).alias("pos"), "tok")
     )
 
 
@@ -1354,10 +1476,26 @@ def _jaccard_prefix_filtered(toks: DataFrame, threshold: float,
                   else dense_threshold)
         # the stats job forces docs' checkpoint materialization — work
         # every later stage needs anyway; emission is measured on the
-        # PREFIX rows (what the join actually sees), not the full token
-        # stream, so stopword-df alone does not false-trigger
-        if _predicted_emission(pref, ["tok"]) > thresh:
+        # PREFIX rows (what the join actually sees, so stopword-df
+        # alone does not false-trigger), with the token-SET hash as the
+        # collapse key for the duplicate-mass split
+        pref_g = _prefix_rows(
+            docs.withColumn("__gkey", F.xxhash64("__toks")), num, den)
+        # no bucket subsampling and no row floor here: prefix rows are
+        # per-doc COMPRESSED (~prefix-len rows/doc) and their group count
+        # is bounded by the distinct prefix vocabulary, so the stats job
+        # is inherently cheap — and BOTH shortcuts misfire on this shape
+        # (measured on the 10x template corpus: 261k prefix rows hide a
+        # 4.5B-pair emission, under any row floor; and its ~60 distinct
+        # hot tokens can ALL miss a mod-16 residue, sampling the stats
+        # to zero). The 455 s sparse crawl those shortcuts caused vs
+        # 13.5 s guarded is the round's measured counterexample.
+        decision = _dense_decision(pref_g, ["tok"], "__gkey", thresh)
+        if decision == "collapse":
             return _jaccard_pairs_dense(docs, threshold, num, den)
+        if decision == "pin":
+            pref = pref.repartition(
+                docs.sparkSession.sparkContext.defaultParallelism, "tok")
     return _jaccard_verify(_jaccard_candidates(pref, num, den),
                            docs, threshold)
 
@@ -1840,17 +1978,29 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
           .localCheckpoint(eager=False))
     banded = _simhash_banded(fp, bands)
     if guard == "auto":
-        thresh = (_DENSE_GUARD_THRESHOLD if dense_threshold is None
+        # 100x the base threshold: simhash candidates cost ~1/100th of
+        # a minhash/jaccard candidate (inline bit-count, no verify
+        # join), and its coarse chunk keys make hot buckets NORMAL —
+        # see the per-generator paragraph on _dense_decision. Stats run
+        # over the banded rows (a cheap projection of the checkpointed
+        # fp, which the join needs materialized anyway) with the
+        # fingerprint itself as the collapse key — no set hash needed,
+        # and the group count is bounded by bands·2^chunk, so no
+        # bucket subsampling either. guard="off" restores the
+        # pure-lazy r11 plan.
+        thresh = (_DENSE_GUARD_THRESHOLD * 100 if dense_threshold is None
                   else dense_threshold)
-        # stats over the banded rows (a cheap projection of the
-        # checkpointed fp, which the join needs materialized anyway):
-        # past the threshold the quadratic duplicate mass moves to the
-        # rep-collapsed branch — identical output (see
-        # _simhash_pairs_dense), guard="off" restores the pure-lazy
-        # r11 plan
-        if _predicted_emission(banded, ["band", "key"]) > thresh:
+        decision = _dense_decision(
+            banded, ["band", "key"], "simhash", thresh,
+            row_floor=(0 if dense_threshold is not None
+                       else _DENSE_GUARD_ROW_FLOOR))
+        if decision == "collapse":
             return _simhash_pairs_dense(fp, bands=bands,
                                         max_hamming=max_hamming)
+        if decision == "pin":
+            banded = banded.repartition(
+                fp.sparkSession.sparkContext.defaultParallelism,
+                "band", "key")
     return _simhash_join(banded, bands, max_hamming)
 
 

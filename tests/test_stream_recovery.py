@@ -17,13 +17,24 @@ from rayforce_spark.streaming import Journal, read_journal_stream
 from rayforce_spark.streaming.stateful import sessionize
 
 
-def _run_until_done(out, sink, ckpt, timeout=120):
+def _run_until_done(out, sink, ckpt, timeout=240, expect_rows=None):
     """Run until all available input is committed, then stop.
 
     availableNow does not self-terminate under a ProcessingTimeTimeout
     stateful op (it keeps scheduling batches to fire pending timeouts),
-    so poll: done when the query terminated on its own OR the last
-    progress reports two consecutive zero-input batches."""
+    so poll: done when the query terminated on its own OR two DISTINCT
+    zero-input batches committed after all expected input. Two
+    determinism fixes over the r11 shape (which flaked under full-suite
+    load — r11 verdict #4):
+
+    - progress objects are DEDUPED BY batchId: lastProgress reports the
+      last FINISHED batch, so two 2-second polls straddling one slow
+      micro-batch used to see the same zero-input progress twice and
+      stop the query while a data batch was still pending;
+    - with ``expect_rows``, zero-input batches only count once that many
+      input rows have committed — the kill point is pinned to a known
+      stream position instead of racing the source's pickup latency.
+    """
     q = (
         out.writeStream.outputMode("append")
         .format("parquet").option("path", sink)
@@ -32,20 +43,28 @@ def _run_until_done(out, sink, ckpt, timeout=120):
         .start()
     )
     deadline = time.time() + timeout
+    seen_batches = set()
+    rows = 0
     zero_runs = 0
     try:
         while time.time() < deadline:
             if q.awaitTermination(2):
                 return
             lp = q.lastProgress
-            if lp is not None:
-                if lp["numInputRows"] == 0:
+            if lp is None or lp["batchId"] in seen_batches:
+                continue
+            seen_batches.add(lp["batchId"])
+            if lp["numInputRows"] == 0:
+                if expect_rows is None or rows >= expect_rows:
                     zero_runs += 1
                     if zero_runs >= 2:
                         return
-                else:
-                    zero_runs = 0
-        raise AssertionError("query did not drain in time")
+            else:
+                rows += lp["numInputRows"]
+                zero_runs = 0
+        raise AssertionError(
+            f"query did not drain in time (committed {rows} rows,"
+            f" expected {expect_rows})")
     finally:
         q.stop()
 
@@ -75,7 +94,7 @@ def test_sessionize_survives_restart_mid_stream(spark, tmp_path):
         return sessionize(
             read_journal_stream(spark, jpath, schema), gap_sec=gap)
 
-    _run_until_done(stream(), sink, ckpt)
+    _run_until_done(stream(), sink, ckpt, expect_rows=5)
 
     # cold restart: phase-2 events CONTINUE session B (510 is within the
     # gap of 500 — only restored state can know that) and then close
@@ -88,7 +107,7 @@ def test_sessionize_survives_restart_mid_stream(spark, tmp_path):
         {"user_id": 1, "ts_sec": 10_000.0, "value": 0.0},
         {"user_id": 2, "ts_sec": 10_000.0, "value": 0.0},
     ])
-    _run_until_done(stream(), sink, ckpt)
+    _run_until_done(stream(), sink, ckpt, expect_rows=4)
 
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
@@ -115,11 +134,11 @@ def test_file_sink_is_exactly_once_across_restart(spark, tmp_path):
         return (read_journal_stream(spark, jpath, schema)
                 .withColumn("v2", F.col("v") * 2))
 
-    _run_until_done(stream(), sink, ckpt)
+    _run_until_done(stream(), sink, ckpt, expect_rows=100)
     # restart with NO new data, then with new data
     _run_until_done(stream(), sink, ckpt)
     j.append([{"k": i, "v": float(i)} for i in range(100, 150)])
-    _run_until_done(stream(), sink, ckpt)
+    _run_until_done(stream(), sink, ckpt, expect_rows=50)
 
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 150
