@@ -23,14 +23,18 @@ def _run_until_done(out, sink, ckpt, timeout=240, expect_rows=None):
     availableNow does not self-terminate under a ProcessingTimeTimeout
     stateful op (it keeps scheduling batches to fire pending timeouts),
     so poll: done when the query terminated on its own OR two DISTINCT
-    zero-input batches committed after all expected input. Two
+    zero-input batches committed after all expected input rows. The
     determinism fixes over the r11 shape (which flaked under full-suite
     load — r11 verdict #4):
 
-    - progress objects are DEDUPED BY batchId: lastProgress reports the
-      last FINISHED batch, so two 2-second polls straddling one slow
-      micro-batch used to see the same zero-input progress twice and
-      stop the query while a data batch was still pending;
+    - progress is read from ``recentProgress`` (the ~100-entry buffer),
+      deduped by batchId — NOT ``lastProgress``, which only reports the
+      single most recent finished batch: under load the data batch's
+      progress is replaced by follow-on timeout batches before the
+      first 2-second poll ever sees it, so any lastProgress-based
+      accounting either misses data rows (livelock against an
+      expect_rows gate) or double-counts a slow batch across two polls
+      (the original early-stop flake);
     - with ``expect_rows``, zero-input batches only count once that many
       input rows have committed — the kill point is pinned to a known
       stream position instead of racing the source's pickup latency.
@@ -50,18 +54,17 @@ def _run_until_done(out, sink, ckpt, timeout=240, expect_rows=None):
         while time.time() < deadline:
             if q.awaitTermination(2):
                 return
-            lp = q.lastProgress
-            if lp is None or lp["batchId"] in seen_batches:
-                continue
-            seen_batches.add(lp["batchId"])
-            if lp["numInputRows"] == 0:
-                if expect_rows is None or rows >= expect_rows:
+            for lp in q.recentProgress:  # oldest..newest, ~last 100
+                if lp["batchId"] in seen_batches:
+                    continue
+                seen_batches.add(lp["batchId"])
+                if lp["numInputRows"] > 0:
+                    rows += lp["numInputRows"]
+                    zero_runs = 0
+                elif expect_rows is None or rows >= expect_rows:
                     zero_runs += 1
-                    if zero_runs >= 2:
-                        return
-            else:
-                rows += lp["numInputRows"]
-                zero_runs = 0
+            if zero_runs >= 2:
+                return
         raise AssertionError(
             f"query did not drain in time (committed {rows} rows,"
             f" expected {expect_rows})")
