@@ -113,7 +113,8 @@ def main():
         "queries": times,
         "reps": spread,
         "instance": inst,
-        **_prev_round_compare(times, spread, inst["py_loop_20m_s"]),
+        **_prev_round_compare(times, spread, inst["py_loop_20m_s"],
+                              inst["jvm_probe_s"]),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # full evidence (reps, fingerprint, variance-aware compare) goes to a
@@ -142,6 +143,7 @@ def main():
         # the only record it can read — BENCH_DETAIL.json is
         # overwritten every run)
         "py_loop_s": inst["py_loop_20m_s"],
+        "jvm_probe_s": inst["jvm_probe_s"],
         "compare_summary": cs,
         "detail": "BENCH_DETAIL.json",
     }
@@ -182,20 +184,51 @@ def _instance_fingerprint(spark) -> dict:
         # cross-round Spark deltas should be read against the ratio of
         # this number first.
         "py_loop_20m_s": _py_loop_fingerprint(),
+        # JVM-side twin (r12): Spark rows drifted +15-20% on a box whose
+        # py_loop read FASTER — Python integer speed does not track JVM
+        # throughput (JIT/memory bandwidth/NUMA placement). A fixed
+        # 50M-row codegen aggregate, min of 3; future compares prefer
+        # its ratio when both records carry it.
+        "jvm_probe_s": _jvm_probe_fingerprint(spark),
     }
 
 
+def _jvm_probe_fingerprint(spark) -> float:
+    """MIN of 3 samples of a fixed whole-stage-codegen aggregate over
+    spark.range — the JVM-throughput stamp (see the instance-block
+    comment). ~0.1-0.3 s per sample at local[32]."""
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 7)").collect()
+        samples.append(time.time() - t0)
+    return round(min(samples), 3)
+
+
 def _py_loop_fingerprint() -> float:
-    t0 = time.time()
-    x = 0
-    for i in range(20_000_000):
-        x += i * i
-    assert x  # keep the loop un-eliminable
-    return round(time.time() - t0, 2)
+    """MIN of 3 samples of a fixed 20M-iteration integer loop — the
+    box-speed stamp the cross-round compare normalizes by. Min, not a
+    single shot: two back-to-back idle r12 runs sampled 0.98 s and
+    1.33 s from single shots (frequency scaling / scheduler placement),
+    and a ±35% stamp manufactures ±35% normalized 'faster'/'slower'
+    verdicts on perfectly-drifting rows — the min of 3 tracks the
+    box's attainable speed, which is what the Spark mins it normalizes
+    are also measuring."""
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        assert x  # keep the loop un-eliminable
+        samples.append(time.time() - t0)
+    return round(min(samples), 2)
 
 
 def _prev_round_compare(times: dict, spread: dict,
-                        cur_loop: float | None = None) -> dict:
+                        cur_loop: float | None = None,
+                        cur_jvm: float | None = None) -> dict:
     """Diff this run against the newest committed BENCH_r*.json with a
     variance-aware verdict per query: the noise band is the larger of
     the two runs' own min-to-max rep spreads (floored at 10%), so a
@@ -247,11 +280,17 @@ def _prev_round_compare(times: dict, spread: dict,
     if prev is None:
         return {}
     prev_loop = prev.get("py_loop_s")
-    ratio = suspect = None
-    if cur_loop and prev_loop and prev_loop > 0:
-        ratio = cur_loop / prev_loop
-        if not (0.75 <= ratio <= 1.35):
-            suspect, ratio = round(ratio, 3), None
+    prev_jvm = prev.get("jvm_probe_s")
+    ratio = suspect = basis = None
+    # prefer the JVM stamp when both records carry it (r12: it tracks
+    # the drift the Spark rows actually experience; the Python loop is
+    # the fallback for records that predate it)
+    if cur_jvm and prev_jvm and prev_jvm > 0:
+        ratio, basis = cur_jvm / prev_jvm, "jvm"
+    elif cur_loop and prev_loop and prev_loop > 0:
+        ratio, basis = cur_loop / prev_loop, "py"
+    if ratio is not None and not (0.75 <= ratio <= 1.35):
+        suspect, ratio = round(ratio, 3), None
     pq, pr = prev.get("queries", {}), prev.get("reps", {})
     cmpd = {}
     for name, cur in times.items():
@@ -281,6 +320,7 @@ def _prev_round_compare(times: dict, spread: dict,
     summary = {"noise": len(cmpd) - n_sig, "significant": n_sig}
     if ratio:
         summary["box_ratio"] = round(ratio, 3)
+        summary["box_ratio_basis"] = basis
     if suspect:
         summary["box_ratio_suspect"] = suspect
     return {"prev_round": rnd, "compare": cmpd,
