@@ -249,3 +249,32 @@ def test_stamp_index_format_migrates_preversioning(tables, tmp_path, spark):
         stamp_index_format(spark, path, "simhash")
     with pytest.raises(ValueError, match="rebuild"):
         stamp_index_format(spark, path, "minhash")
+
+
+def test_minhash_pin_branch_parity(spark):
+    """The guard's third outcome: high emission with NO exact-dup mass
+    (mutated near-dups share band buckets but have distinct shingle
+    sets, so rep-collapse can't halve the join). The decision must be
+    "pin" — the sparse join with an AQE-immune width repartition, no
+    collapse Union — and the output must equal the unguarded plan."""
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(400)]
+    rows, did = [], 0
+    for _ in range(25):
+        base = rng.choices(words, k=40)
+        for c in range(12):  # 12 distinct mutations of each base
+            mut = list(base)
+            mut[c % len(mut)] = f"mut{c}"
+            rows.append((did, " ".join(mut)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_perm=64, bands=16, shingle_k=3, threshold=0.5)
+    sparse = minhash_lsh_pairs(docs, "text", "doc_id", guard="off", **kw)
+    auto = minhash_lsh_pairs(docs, "text", "doc_id", guard="auto",
+                             dense_threshold=0, **kw)
+    plan = auto._jdf.queryExecution().toString()
+    assert "Union" not in plan  # not the collapse branch
+    # the pin is an explicit round-robin-free hash repartition on the
+    # bucket column at cluster width
+    assert "hashpartitioning(__bucket" in plan
+    assert _pairset(sparse) == _pairset(auto)
