@@ -468,18 +468,28 @@ def _expand_rep_pairs(rep_pairs: DataFrame, reps: DataFrame,
     corpora dominated by one giant exact-dup group should use
     dedup_clusters / index mode="reps" rather than all-pairs output."""
     mtype = dict(rep_pairs.dtypes)[metric_col]
+    p = rep_pairs.sparkSession.sparkContext.defaultParallelism
     ga = reps.select(F.col("__rid").alias("id_a"), F.col("__gkey").alias("__ka"))
     gb = reps.select(F.col("__rid").alias("id_b"), F.col("__gkey").alias("__kb"))
     ma = members.select(F.col("__gkey").alias("__ka"), F.col("__id").alias("__ea"))
     mb = members.select(F.col("__gkey").alias("__kb"), F.col("__id").alias("__eb"))
+    # width-pin the FIRST fan-out join (and the within self-join): these
+    # are the same AQE blind spot the guard exists for — slim rep-pair
+    # map bytes, output-proportional emission — so AQE would coalesce
+    # them and fan the whole member expansion out of a few tasks on a
+    # very dense corpus. One slim AQE-immune exchange each; the second
+    # member join needs no pin because its input's map bytes are already
+    # output-sized (AQE sizes it correctly from real volume).
     cross = (
         rep_pairs.join(ga, "id_a").join(gb, "id_b")
+        .repartition(p, "__ka")
         .join(ma, "__ka").join(mb, "__kb")
         .select(F.least("__ea", "__eb").alias("id_a"),
                 F.greatest("__ea", "__eb").alias("id_b"),
                 F.col(metric_col))
     )
     wm = members if within_filter is None else members.filter(within_filter)
+    wm = wm.repartition(p, "__gkey")
     within = (
         wm.alias("x")
         .join(wm.alias("y"),
