@@ -623,17 +623,26 @@ def q_sessionize(spark, sf):
 
 
 def q_quantiles(spark, sf):
-    """Exact interpolated quantiles per group (generalized med)."""
+    """Exact interpolated quantiles per group (generalized med).
+
+    r12: the three probabilities ride ONE ``percentile(col, array(...))``
+    aggregate (A.quantiles) instead of three independent percentile
+    functions — one value buffer and one sort per group instead of three
+    of each (same Catalyst expression, element-identical values; the
+    unpacking projection restores the declared scalar schema)."""
     (li,) = _t(spark, sf, "lineitem")
-    return select(
+    q3 = select(
         li,
-        {
-            "p25": A.quantile("l_extendedprice", 0.25),
-            "p75": A.quantile("l_extendedprice", 0.75),
-            "p99": A.quantile("l_extendedprice", 0.99),
-            "n": A.count(),
-        },
+        {"__q": A.quantiles("l_extendedprice", [0.25, 0.75, 0.99]),
+         "n": A.count()},
         by="l_returnflag",
+    )
+    return q3.select(
+        "l_returnflag",
+        F.col("__q")[0].alias("p25"),
+        F.col("__q")[1].alias("p75"),
+        F.col("__q")[2].alias("p99"),
+        "n",
     )
 
 
