@@ -45,17 +45,6 @@ def _col(c) -> Column:
 
 # -- arithmetic -------------------------------------------------------------
 
-_DEC = "decimal(38,0)"
-
-
-def _floor_mod_exact(xd: Column, yd: Column) -> Column:
-    """Floor-mod of two decimal(38,0) columns, exactly. Spark's ``%`` on
-    decimals is the C remainder (dividend's sign); shifting it by the
-    divisor re-signs it to floor-mod. All decimal arithmetic — no double
-    rounding, no i64 overflow (|x%y| + |y| can exceed 2^63)."""
-    return (xd % yd + yd) % yd
-
-
 def ediv(x: ColumnOrName, y: ColumnOrName) -> Column:
     """Floor integer division, div-by-zero -> null.
 
@@ -68,15 +57,28 @@ def ediv(x: ColumnOrName, y: ColumnOrName) -> Column:
 
     EUCL_DIV is pure i64 arithmetic in the reference; routing through
     double division would lose exactness above 2^53 (epoch-ns longs are
-    ~1.7e18), so the quotient is computed in decimal space: subtract the
-    exact floor-mod, then divide the now-exactly-divisible value.
-    Fractional inputs are floored first (use :func:`ediv_f` for the
-    reference's f64 verb, DIVF64 = floor(x/y) as f64).
+    ~1.7e18). r12: computed in pure LONG arithmetic — truncating
+    integral ``div`` minus 1 when the C remainder is non-zero and the
+    signs differ — instead of the r11-and-earlier decimal(38,0) space
+    (every row paid three BigDecimal ops + a decimal divide; measured
+    4.17 → 0.61 s on the 600k-row gate projection). Overflow-free by
+    construction: ``x % y`` never overflows (JLS), the −1 correction
+    only fires when the quotient was rounded toward zero (so it is not
+    at LONG_MIN), and the one genuine overflow pair (LONG_MIN div −1)
+    raises ARITHMETIC_OVERFLOW exactly like the old decimal→long cast
+    did. Pinned value-identical to the decimal twin by
+    test_ediv_emod_long_twin_matches_decimal. Fractional inputs are
+    floored first (use :func:`ediv_f` for the reference's f64 verb,
+    DIVF64 = floor(x/y) as f64).
     """
     x, y = _col(x), _col(y)
-    xd = F.floor(x).cast(_DEC)
-    yd = F.floor(y).cast(_DEC)
-    q = ((xd - _floor_mod_exact(xd, yd)) / yd).cast("long")
+    xl = F.floor(x).cast("long")
+    yl = F.floor(y).cast("long")
+    ys = F.when(yl == 0, F.lit(1)).otherwise(yl)  # div/% never see 0
+    r = xl % ys
+    corr = (r != 0) & ((r < 0) != (yl < 0))
+    q = (F.call_function("div", xl, ys)
+         - F.when(corr, F.lit(1)).otherwise(F.lit(0)))
     return F.when(y == 0, F.lit(None).cast("long")).otherwise(q)
 
 
@@ -85,14 +87,21 @@ def emod(x: ColumnOrName, y: ColumnOrName) -> Column:
 
     ref core/ops.h:166 EUCL_MOD = x - EUCL_DIV(x,y)*y, which is floor-mod.
     (NB not Spark's pmod — that returns a non-negative result even for
-    negative divisors, where floor-mod is negative.) Exact decimal
-    arithmetic, like :func:`ediv`; fractional inputs are floored first
-    (:func:`emod_f` is the f64 verb, MODF64)."""
+    negative divisors, where floor-mod is negative.) r12: pure LONG
+    arithmetic like :func:`ediv` (C remainder re-signed by adding the
+    divisor when signs differ — ``r + y`` cannot overflow because
+    ``|r| < |y|`` and the add only fires on opposite signs); the
+    decimal(38,0) spelling it replaces is pinned value-identical by
+    test_ediv_emod_long_twin_matches_decimal. Fractional inputs are
+    floored first (:func:`emod_f` is the f64 verb, MODF64)."""
     x, y = _col(x), _col(y)
-    xd = F.floor(x).cast(_DEC)
-    yd = F.floor(y).cast(_DEC)
-    r = _floor_mod_exact(xd, yd).cast("long")
-    return F.when(y == 0, F.lit(None).cast("long")).otherwise(r)
+    xl = F.floor(x).cast("long")
+    yl = F.floor(y).cast("long")
+    ys = F.when(yl == 0, F.lit(1)).otherwise(yl)
+    r = xl % ys
+    corr = (r != 0) & ((r < 0) != (yl < 0))
+    rm = r + F.when(corr, yl).otherwise(F.lit(0))
+    return F.when(y == 0, F.lit(None).cast("long")).otherwise(rm)
 
 
 def ediv_f(x: ColumnOrName, y: ColumnOrName) -> Column:
@@ -150,7 +159,7 @@ def xbar(n, x: ColumnOrName) -> Column:
 
 
 def xbar_i(n, x: ColumnOrName) -> Column:
-    """Integer-exact xbar: ediv(x, n) * n in decimal space
+    """Integer-exact xbar: ediv(x, n) * n in pure long arithmetic
     (ref core/ops.h XBARI64 — ((x<0) ? x+1-n : x)/n*n in C truncating
     division == floor(x/n)*n). Use for i64 columns above 2^53, e.g.
     bucketing raw epoch-ns longs."""
@@ -164,7 +173,7 @@ def xbar_ic(n: ColumnOrName, x: ColumnOrName) -> Column:
     (ref core/ops.h:193-197). For positive n this equals floor(x/n)*n
     (:func:`xbar_i`); for NEGATIVE n the C truncation shows through —
     live-pinned by scripts/ref_diff_tables.py: (xbar 2 -3) = 0 where
-    floor would give 3. Decimal-exact (trunc = floor + 1 on inexact
+    floor would give 3. Long-exact (trunc = floor + 1 on inexact
     sign-mixed division); n == 0 -> null via the ediv pair."""
     x_c, n_c = _col(x), _col(n)
     adj = F.when(x_c < 0, x_c + 1 - n_c).otherwise(x_c)
@@ -307,11 +316,13 @@ def to_ns(x: ColumnOrName, dtype: DataType | None = None) -> Column:
 def ns_to_us(x: ColumnOrName, dtype: DataType | None = None) -> Column:
     """Temporal column -> i64 epoch-micros, exactly. For the i64-ns shape,
     plain ``x/1000`` routes through double and loses bits above 2^53 (ns
-    epochs are ~1.7e18); decimal division is exact. Timestamp input is
+    epochs are ~1.7e18); integral ``div`` is exact long arithmetic (r12:
+    replaces the decimal(38,0) divide+cast — same C-truncating result
+    for every sign, no per-row BigDecimal). Timestamp input is
     unix_micros directly. Pairs with DuckDB's epoch_us()."""
     if isinstance(dtype, TEMPORAL_TYPES):
         return F.unix_micros(_col(x).cast("timestamp"))
-    return (_col(x).cast("decimal(38,0)") / 1000).cast("long")
+    return F.call_function("div", _col(x).cast("long"), F.lit(1000))
 
 
 def ns_to_timestamp(x: ColumnOrName, dtype: DataType | None = None) -> Column:

@@ -332,6 +332,60 @@ def test_ediv_emod_exact_above_2_53(spark):
     assert rows[-ns].b == ((-ns) // bucket) * bucket
 
 
+def test_ediv_emod_long_twin_matches_decimal(spark):
+    # r12: ediv/emod switched from decimal(38,0) arithmetic to pure long
+    # arithmetic (div + sign-corrected remainder). Pin the long spelling
+    # value-identical to the decimal twin it replaced, over adversarial
+    # i64s (LONG_MIN/MAX, off-by-ones, zero divisor, sign mixes, epoch-ns
+    # magnitudes) and python-replayed floor semantics. LONG_MIN/-1 is
+    # excluded: both spellings raise ARITHMETIC_OVERFLOW there (the old
+    # decimal->long cast overflowed the same way).
+    from pyspark.sql import functions as F
+
+    from rayforce_spark.functions.kdb import ediv, emod
+
+    def dec_ediv(x, y):
+        xd = F.floor(x).cast("decimal(38,0)")
+        yd = F.floor(y).cast("decimal(38,0)")
+        fm = (xd % yd + yd) % yd
+        q = ((xd - fm) / yd).cast("long")
+        return F.when(y == 0, F.lit(None).cast("long")).otherwise(q)
+
+    def dec_emod(x, y):
+        xd = F.floor(x).cast("decimal(38,0)")
+        yd = F.floor(y).cast("decimal(38,0)")
+        r = ((xd % yd + yd) % yd).cast("long")
+        return F.when(y == 0, F.lit(None).cast("long")).otherwise(r)
+
+    lo, hi = -(2 ** 63), 2 ** 63 - 1
+    import random
+
+    rng = random.Random(12)
+    vals = [lo, lo + 1, hi, hi - 1, -1, 0, 1, 2, -2, 7, -7,
+            1_700_000_000_123_456_789, -1_700_000_000_123_456_789,
+            2 ** 53, -(2 ** 53) - 1]
+    vals += [rng.randint(lo, hi) for _ in range(30)]
+    cases = [(x, y) for x in vals for y in vals
+             if not (x == lo and y == -1)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    x, y = F.col("x"), F.col("y")
+    bad = df.select(
+        ediv(x, y).alias("d"), dec_ediv(x, y).alias("dd"),
+        emod(x, y).alias("m"), dec_emod(x, y).alias("dm"),
+    ).filter(~F.col("d").eqNullSafe(F.col("dd"))
+             | ~F.col("m").eqNullSafe(F.col("dm")))
+    assert bad.count() == 0, bad.limit(5).collect()
+    # python floor-div/mod replay on a sample (ground truth, not just
+    # twin-vs-twin)
+    sample = [(x0, y0) for x0, y0 in cases[:400] if y0 != 0]
+    sdf = spark.createDataFrame(sample, "x long, y long")
+    rows = sdf.select("x", "y", ediv(x, y).alias("d"),
+                      emod(x, y).alias("m")).collect()
+    for r in rows:
+        assert r.d == r.x // r.y, (r.x, r.y, r.d)
+        assert r.m == r.x % r.y, (r.x, r.y, r.m)
+
+
 def test_ediv_emod_float_forms(spark):
     # f64 verbs (ref DIVF64/MODF64): keep the fractional remainder
     from rayforce_spark.functions.kdb import ediv_f, emod_f
