@@ -89,10 +89,24 @@ def main():
     by_status: dict[str, int] = {}
     for r in results.values():
         by_status[r["status"]] = by_status.get(r["status"], 0) + 1
+    # box-speed stamp (r12): cross-run row comparisons need the same
+    # normalization bench.py grew in r10-r12 — the oracle + collect legs
+    # are Python/DuckDB-bound and drift with the instance (measured this
+    # round: two r12 boxes ran the same unchanged rows 20-60% apart).
+    loop = []
+    for _ in range(3):
+        ts = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        assert x
+        loop.append(time.time() - ts)
     out = {
         "metric": "oracle_gate_at_sf0.1",
         "sf_dir": sf_dir,
         "total_secs": round(time.time() - t0, 1),
+        "py_loop_20m_s": round(min(loop), 2),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "counts": by_status,
         "results": results,
     }
