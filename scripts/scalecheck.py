@@ -65,6 +65,20 @@ def main():
         # little headroom for the 3M-pair broadcast (observed OOM), and
         # a crash here must degrade to a recorded fail, not lose the
         # other 49 rows.
+        # r12: STOP the gate's own Spark JVM first — leaving the idle
+        # 16g driver alive while the subprocess spins its own 16g JVM
+        # + 32 executor threads made the verifier contend for memory/
+        # cores and read 88-93 s in-run where the same script measures
+        # 30-31 s standalone (both r12 boxes; the row is a wall-clock
+        # record, so the contention was pure measurement error).
+        try:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+        except Exception:  # noqa: BLE001 — losing the stop only costs secs
+            pass
         import subprocess
 
         try:
