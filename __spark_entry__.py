@@ -951,9 +951,12 @@ def q_dedup_minhash_bench(spark, sf):
     # The oracle-gated q_dedup_minhash runs bands=num_perm for exact
     # recall, which inflates the candidate set ~20x — correct for the
     # gate, wrong for the bench (r2 regression: 2.7s -> 15.1s).
-    # sig_impl="numpy": the Arrow-vectorized signature (3x faster stage,
-    # dedup.minhash_signature_numpy docstring has the numbers); the gated
-    # config keeps the pure-JVM expression fold.
+    # sig_impl="expr" since the r11 single-expr restructure: the within-
+    # JVM A/B (scripts/minhash_ab.py) measured the expression fold at
+    # 0.93-0.96 s vs ~1.08 for the then-numpy path — the "numpy 3x
+    # faster" note that used to live here predates that restructure and
+    # measured the SIGNATURE STAGE in isolation, not the full row; the
+    # gated q_dedup_minhash still exercises both impls (r12 doc fix).
     from rayforce_spark.datapipe import minhash_lsh_pairs
 
     (d,) = _t(spark, sf, "documents")
