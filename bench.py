@@ -137,6 +137,13 @@ def main():
         "queries": times,
         "reps": {k: [round(x, 3) for x in v] for k, v in spread.items()},
         "sf": detail["sf"],
+        # effective master in the COMPACT line (r13, closing the r12
+        # verdict's suspect_cpus_ignored false positive): the env var IS
+        # honored (session.py builds local[$SPARK_GRAFT_CPUS]) but the
+        # only record the driver reads is this line, and without the
+        # master stamp an overhead-bound ≈1 scaling ratio at sf0.1 is
+        # indistinguishable from an ignored core count
+        "master": inst["master"],
         "load_1m": load_at_start[0],
         # absolute box speed in the COMPACT line: the next round's
         # compare normalizes prev/cur by this ratio (BENCH_r*.json is

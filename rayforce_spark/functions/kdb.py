@@ -79,7 +79,13 @@ def ediv(x: ColumnOrName, y: ColumnOrName) -> Column:
     corr = (r != 0) & ((r < 0) != (yl < 0))
     q = (F.call_function("div", xl, ys)
          - F.when(corr, F.lit(1)).otherwise(F.lit(0)))
-    return F.when(y == 0, F.lit(None).cast("long")).otherwise(q)
+    # null-guard on the FLOORED divisor (r12 ADVICE): the arithmetic
+    # divides by floor(y), so a fractional 0 < y < 1 — where y != 0 but
+    # floor(y) == 0 — must also yield null per the floor-first contract
+    # (the pre-r12 decimal spelling raised there under ANSI; returning
+    # x silently was the r12 regression). Null y propagates: yl is null,
+    # the when-condition is null, and q is null via the null divide.
+    return F.when(yl == 0, F.lit(None).cast("long")).otherwise(q)
 
 
 def emod(x: ColumnOrName, y: ColumnOrName) -> Column:
@@ -101,7 +107,9 @@ def emod(x: ColumnOrName, y: ColumnOrName) -> Column:
     r = xl % ys
     corr = (r != 0) & ((r < 0) != (yl < 0))
     rm = r + F.when(corr, yl).otherwise(F.lit(0))
-    return F.when(y == 0, F.lit(None).cast("long")).otherwise(rm)
+    # guard on the floored divisor, same as ediv (r12 ADVICE): emod(x,
+    # 0.5) must be null, not 0 — the modulus actually used is floor(y)
+    return F.when(yl == 0, F.lit(None).cast("long")).otherwise(rm)
 
 
 def ediv_f(x: ColumnOrName, y: ColumnOrName) -> Column:

@@ -62,14 +62,88 @@ def hugeint_cols(con, sql):
     }
 
 
-def table_hash(cols, rows):
+_HASH_MOD = 1 << 256
+#: keep per-side sorted-diff material only while it stays this small —
+#: past it the sample is dropped and a mismatch reports digests only
+_DIFF_SAMPLE_CAP = 500_000
+
+
+class _MultisetHash:
+    """Order-insensitive multiset digest: per-line sha256 summed mod
+    2^256. Equal normalized-row multisets ⇔ equal (count, digest) up to
+    sha256 collisions — the same equality the old sorted-lines sha256
+    tested, but the combine is order-free so rows can STREAM through a
+    bounded buffer instead of being collected, tupled and sorted on the
+    driver (r13, guide §5: the sf0.1 gate's two ~3M-row pair results
+    held every Row/tuple/line alive at once and the 3M-string sort on
+    top; the old-gen GC from that made dedup_jaccard reps swing
+    5.6→35 s within one JVM — the r12 verdict's #1 variance source).
+    Both engines' results flow through the SAME norm_val + digest, so
+    ok/fail verdicts are preserved."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.sample: list | None = []
+
+    def add_line(self, line: str) -> None:
+        self.acc = (self.acc + int.from_bytes(
+            hashlib.sha256(line.encode()).digest(), "big")) % _HASH_MOD
+        self.n += 1
+        if self.sample is not None:
+            self.sample.append(line)
+            if len(self.sample) > _DIFF_SAMPLE_CAP:
+                self.sample = None
+
+    def key(self):
+        return (self.n, self.acc)
+
+
+#: Spark type names whose Arrow->Python values are representation-
+#: identical to Row fields (ints, floats incl. NaN, bools, strings,
+#: nulls) — the streaming fast path is restricted to these; anything
+#: else (timestamp/date/decimal/array/struct) keeps the classic collect
+#: whose Python representations norm_val was written against. Every
+#: multi-million-row gate result (the pair sets) is scalar-only.
+_ARROW_SAFE = {"long", "integer", "short", "byte", "double", "float",
+               "boolean", "string"}
+
+
+def spark_result_hash(sdf) -> _MultisetHash:
+    """Normalized multiset digest of a Spark result. Scalar-only schemas
+    stream through Arrow record batches (one batch of Python objects
+    alive at a time); other schemas collect as before (all small)."""
+    cols = sdf.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+    h = _MultisetHash()
+    if all(f.dataType.typeName() in _ARROW_SAFE for f in sdf.schema.fields):
+        for batch in sdf.toArrow().to_batches(max_chunksize=65536):
+            cs = [batch.column(i).to_pylist() for i in order]
+            for tup in zip(*cs):
+                h.add_line("|".join(norm_val(v) for v in tup))
+    else:
+        for r in sdf.collect():
+            h.add_line("|".join(norm_val(r[i]) for i in order))
+    return h
+
+
+def duck_result_hash(cur, cols, huge) -> _MultisetHash:
+    """Streaming twin for the DuckDB side (fetchmany chunks), with the
+    driver-emulating HUGEINT/DECIMAL -> float64 coercion applied
+    per value exactly as the old materializing path did."""
+    hidx = {i for i, c in enumerate(cols) if c in huge}
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = _MultisetHash()
+    while True:
+        chunk = cur.fetchmany(100_000)
+        if not chunk:
+            break
+        for row in chunk:
+            h.add_line("|".join(
+                norm_val(float(row[i])
+                         if i in hidx and row[i] is not None else row[i])
+                for i in order))
+    return h
 
 
 def run(sf_dir, only=None, skip=None, smoke=True):
@@ -117,7 +191,7 @@ def run(sf_dir, only=None, skip=None, smoke=True):
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_hash = spark_result_hash(sdf)
         except Exception as e:
             out[name] = {"status": "fail", "rows": None,
                          "secs": round(time.time() - t0, 1),
@@ -126,57 +200,51 @@ def run(sf_dir, only=None, skip=None, smoke=True):
             continue
         secs = round(time.time() - t0, 1)
         if name not in oracles:
-            out[name] = {"status": "rows_only", "rows": len(s_rows),
+            out[name] = {"status": "rows_only", "rows": s_hash.n,
                          "secs": secs, "detail": ""}
-            print(f"[rows-only] {name}: {len(s_rows)} rows ({secs}s)")
+            print(f"[rows-only] {name}: {s_hash.n} rows ({secs}s)")
             continue
         t1 = time.time()
         try:
             huge = hugeint_cols(con, oracles[name])
             r = con.execute(oracles[name])
             d_cols = [d[0] for d in r.description]
-            d_rows = r.fetchall()
-            if huge:
-                # emulate the driver's pandas fetch: HUGEINT -> float64
-                hidx = [i for i, c in enumerate(d_cols) if c in huge]
-                d_rows = [
-                    tuple(
-                        float(v) if i in hidx and v is not None else v
-                        for i, v in enumerate(row)
-                    )
-                    for row in d_rows
-                ]
+            d_hash = duck_result_hash(r, d_cols, huge)
         except Exception as e:
-            out[name] = {"status": "fail", "rows": len(s_rows),
+            out[name] = {"status": "fail", "rows": s_hash.n,
                          "secs": secs, "detail": f"duckdb error: {e}"}
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if s_hash.n != d_hash.n:
+            problems.append(f"rows {s_hash.n} != {d_hash.n}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema {sorted(s_cols)} != {sorted(d_cols)}")
-        elif table_hash(s_cols, s_rows) != table_hash(d_cols, d_rows):
+        elif s_hash.key() != d_hash.key():
             problems.append("value-hash mismatch")
-            # show first differing line for debugging
-            so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-            do = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-            sl = sorted("|".join(norm_val(r[i]) for i in so) for r in s_rows)
-            dl = sorted("|".join(norm_val(r[i]) for i in do) for r in d_rows)
-            for a, b in zip(sl, dl):
-                if a != b:
-                    problems.append(f"  spark: {a}\n  duck : {b}")
-                    break
+            # show first differing line for debugging (samples survive
+            # up to _DIFF_SAMPLE_CAP rows per side)
+            if s_hash.sample is not None and d_hash.sample is not None:
+                for a, b in zip(sorted(s_hash.sample),
+                                sorted(d_hash.sample)):
+                    if a != b:
+                        problems.append(f"  spark: {a}\n  duck : {b}")
+                        break
+            else:
+                problems.append(
+                    f"  (line diff suppressed past {_DIFF_SAMPLE_CAP} "
+                    "rows; digests "
+                    f"{s_hash.acc:#x} != {d_hash.acc:#x})")
         secs = round(time.time() - t0, 1)
         oracle_secs = round(time.time() - t1, 1)
         if problems:
-            out[name] = {"status": "fail", "rows": len(s_rows),
+            out[name] = {"status": "fail", "rows": s_hash.n,
                          "secs": secs, "detail": "; ".join(problems)}
             print(f"[FAIL] {name}: " + "; ".join(problems))
         else:
-            out[name] = {"status": "ok", "rows": len(s_rows), "secs": secs,
+            out[name] = {"status": "ok", "rows": s_hash.n, "secs": secs,
                          "oracle_secs": oracle_secs, "detail": ""}
-            print(f"[OK]   {name}: {len(s_rows)} rows match ({secs}s)")
+            print(f"[OK]   {name}: {s_hash.n} rows match ({secs}s)")
     return out
 
 

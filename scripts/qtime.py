@@ -20,13 +20,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 3
-    if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
-        args.remove(str(reps))
-    cold = "--cold" in sys.argv
-    cache = "--cache" in sys.argv
+    # argparse, not hand-rolled sys.argv filtering (r12 ADVICE): the old
+    # form removed the --reps VALUE from the positional list by value,
+    # so a query name equal to the number was dropped instead, and a
+    # trailing --reps raised IndexError
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="+", help="query names")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cold", action="store_true")
+    ap.add_argument("--cache", action="store_true")
+    ns = ap.parse_args()
+    args, reps, cold, cache = ns.names, ns.reps, ns.cold, ns.cache
 
     from rayforce_spark.session import get_spark, load_tables
 

@@ -386,6 +386,34 @@ def test_ediv_emod_long_twin_matches_decimal(spark):
         assert r.m == r.x % r.y, (r.x, r.y, r.m)
 
 
+def test_ediv_emod_fractional_divisor_nulls(spark):
+    # r13 (r12 ADVICE): the arithmetic divides by floor(y), so any y
+    # with floor(y) == 0 — fractional 0 < y < 1, and -1 < y < 0 floors
+    # to -1 (NOT null) — must follow the floor-first contract. The old
+    # guard checked raw y == 0 only, so ediv(x, 0.5) silently returned
+    # x and emod returned 0.
+    from rayforce_spark.functions.kdb import ediv, emod
+
+    cases = [(7.0, 0.5), (7.0, 0.999), (-7.0, 0.25), (7.0, -0.5),
+             (7.25, 3.0), (-7.25, 3.0), (7.0, 0.0), (7.0, None)]
+    df = spark.createDataFrame(cases, "x double, y double")
+    rows = {(r.x, r.y): r for r in df.select(
+        "x", "y", ediv("x", "y").alias("d"), emod("x", "y").alias("m")
+    ).collect()}
+    # floor(y) == 0: null, same as y == 0
+    for y0 in (0.5, 0.999, 0.0):
+        assert rows[(7.0, y0)].d is None and rows[(7.0, y0)].m is None
+    assert rows[(-7.0, 0.25)].d is None and rows[(-7.0, 0.25)].m is None
+    # floor(-0.5) == -1: defined, floor semantics over the floored pair
+    assert rows[(7.0, -0.5)].d == 7 // -1 and rows[(7.0, -0.5)].m == 0
+    # fractional x floors first
+    assert rows[(7.25, 3.0)].d == 2 and rows[(7.25, 3.0)].m == 1
+    assert rows[(-7.25, 3.0)].d == -8 // 3  # floor(-7.25) = -8
+    assert rows[(-7.25, 3.0)].m == -8 % 3
+    # null y propagates null
+    assert rows[(7.0, None)].d is None and rows[(7.0, None)].m is None
+
+
 def test_ediv_emod_float_forms(spark):
     # f64 verbs (ref DIVF64/MODF64): keep the fractional remainder
     from rayforce_spark.functions.kdb import ediv_f, emod_f
