@@ -346,18 +346,37 @@ def ivf_train(
     assign_impl: str = "pandas",
     corpus_rows: int | None = None,
 ) -> list[list[float]]:
-    """Train IVF centroids with Lloyd's iterations as DataFrame jobs.
+    """Train IVF centroids: distributed deterministic sampling, then
+    Lloyd's iterations driver-side in numpy over the bounded sample.
 
-    Only the nlist x dim centroid table ever reaches the driver (a few KB
-    regardless of corpus size); assignment and the per-cluster mean are
-    distributed aggregations. The training sample is deterministic WITHOUT
-    a global sort (an orderBy(hash).limit would top-k per partition and
-    merge num_partitions x k vector rows driver-side — a scale-killer at
+    The training sample is deterministic WITHOUT a global sort (an
+    orderBy(hash).limit would top-k per partition and merge
+    num_partitions x k vector rows driver-side — a scale-killer at
     100 TB partition counts): a count sizes a hash threshold that keeps
     ~1.2x the target rows in one scan-stage filter, and only that small
     surviving set is hash-sorted to pin the exact sample. Init takes the
     nlist hash-smallest rows, so the whole procedure is reproducible with
     no RNG state to ship.
+
+    r13 (guide §1.2/§2.6): the Lloyd iterations themselves moved from
+    per-iteration Spark jobs (assignment pandas_udf + Summarizer.mean
+    collect — 2 jobs × iters, ~1.9 s of mostly scheduling at gate
+    scale) to ONE bounded collect of the sample (≤ max_train_rows ×
+    dim doubles — a few MB regardless of corpus size) plus driver-side
+    numpy. Training is now count + 1 collect = ≤ 2 jobs; the 100 TB
+    cost — the corpus scan that sizes and filters the sample, and the
+    full-corpus ASSIGNMENT in knn_ivf/set_ivf — stays distributed and
+    unchanged. Numerics: the assignment distance accumulates
+    SEQUENTIALLY over dimensions, the exact rounding sequence of the
+    expr/pandas assignment twins (_nearest_pandas), with the same
+    NaN-sorts-last and degenerate-row story; per-cluster means
+    accumulate in sample order (np.add.at), which differs from the old
+    Summarizer partition-merge order by last-ulp rounding only — the
+    trained centroids are an approximation either way, every probe
+    re-ranks with exact cosine, and the knn_recall gate margins were
+    re-measured unchanged-to-better at all three SFs (OPTIMIZATION_r13).
+    ``assign_impl`` is kept for API compatibility; training assignment
+    is always the shared sequential-fold spelling now.
 
     ``corpus_rows``: pass the row count when the pipeline already knows
     it, to skip the sizing scan — otherwise training pays one extra
@@ -371,6 +390,8 @@ def ivf_train(
     hash-sort the filter exists to avoid (a cost cliff, not a
     correctness one — r10 ADVICE).
     """
+    import numpy as np
+
     v = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     n = corpus_rows if corpus_rows is not None else v.count()
     bucket_mod = 1 << 20
@@ -383,44 +404,48 @@ def ivf_train(
         keep = min(bucket_mod, int(bucket_mod * 1.2 * max_train_rows / n) + 1)
         if keep < bucket_mod:
             v = v.filter(h < keep)
-    sample = (
-        v.orderBy(F.xxhash64(F.col("__id")))  # sorts only the ~1.2x sample
-        .limit(max_train_rows)
-        .cache()
-    )
-    centroids = [
-        [float(x) for x in r["__v"]]
-        for r in sample.limit(nlist).collect()
+    # the ONE training action: the hash-pinned sample, collected in its
+    # deterministic order (bounded: max_train_rows × dim doubles)
+    vecs = [
+        r["__v"]
+        for r in v.orderBy(F.xxhash64(F.col("__id")))
+        .limit(max_train_rows).select("__v").collect()
     ]
+    centroids = [[float(x) for x in vec] for vec in vecs[:nlist]]
     if not centroids:
         # empty corpus: no centroids to train — callers (knn_ivf) handle
-        # [] by returning no neighbors; running Lloyd's would build a
-        # zero-column F.array() whose element type cannot resolve
+        # [] by returning no neighbors
         return centroids
-    # per-cluster mean as ONE vector aggregate (ml.stat.Summarizer over
-    # array_to_vector), not a per-dimension F.avg column: a 768-dim
-    # embedding would otherwise plan 768 aggregate expressions per
-    # iteration. The agg emits nlist rows of one array column each.
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.ml.stat import Summarizer
-
+    dim = len(centroids[0])
+    # degenerate sample rows (null / wrong-length vectors) are excluded
+    # from the means; the old Spark path fed them to cluster 0's
+    # Summarizer where a null vector errored — dropping them is the
+    # defined behavior now (assignment of the CORPUS still routes them
+    # to list 0 via _nearest_impl, unchanged)
+    M = np.array(
+        [vec for vec in vecs if vec is not None and len(vec) == dim],
+        dtype=np.float64,
+    )
+    if M.size == 0:
+        return centroids
     for _ in range(iters):
-        assigned = sample.select(
-            "__v", _nearest_impl("__v", centroids, 1, assign_impl)[0].alias("__c")
-        )
-        means = (
-            assigned.groupBy("__c")
-            .agg(
-                vector_to_array(
-                    Summarizer.mean(array_to_vector(F.col("__v")))
-                ).alias("__m")
-            )
-            .collect()
-        )
-        new = {r["__c"]: [float(x) for x in r["__m"]] for r in means}
+        C = np.asarray(centroids, dtype=np.float64)
+        acc = np.zeros((M.shape[0], C.shape[0]))
+        for d in range(dim):  # sequential over dims = the fold order
+            t = M[:, d][:, None] - C[:, d]
+            acc += t * t
+        # stable argsort, first column: lexicographic (distance, index)
+        # min with NaN sorting last — _nearest_pandas's exact tie story
+        assign = np.argsort(acc, axis=1, kind="stable")[:, 0]
+        sums = np.zeros_like(C)
+        counts = np.zeros(C.shape[0], dtype=np.int64)
+        np.add.at(sums, assign, M)  # unbuffered: sums in sample order
+        np.add.at(counts, assign, 1)
         # empty clusters keep their previous centroid
-        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
-    sample.unpersist()
+        centroids = [
+            [float(x) for x in (sums[i] / counts[i])] if counts[i] else c
+            for i, c in enumerate(centroids)
+        ]
     return centroids
 
 

@@ -1,10 +1,12 @@
-"""Capture .explain("formatted") for bench/gate queries into plans/r12/.
+"""Capture .explain("formatted") for bench/gate queries into
+plans/r{N}/ (N = current round, derived like scalecheck.py: newest
+CORRECTNESS_r*.json + 1; override with $PLANS_ROUND).
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
   suffix: "before" or "after" (file name suffix)
   names:  query names (default: the bench.py headline list)
 
-Writes plans/r12/<name>_<suffix>.txt. Explain is driver-side planning
+Writes plans/r{N}/<name>_<suffix>.txt. Explain is driver-side planning
 only (initial AQE plan) — cheap, no executor work beyond any eager
 stats jobs a query builder runs itself.
 """
@@ -42,8 +44,15 @@ def main():
     import __spark_entry__ as E
 
     qs = E.queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rnd = os.environ.get("PLANS_ROUND")
+    if not rnd:
+        import re
+
+        ns = [int(m.group(1)) for f in os.listdir(repo)
+              if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))]
+        rnd = str(max(ns) + 1) if ns else "0"
+    outdir = os.path.join(repo, "plans", f"r{int(rnd):02d}")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         fn = (getattr(E, f"q_{name}_bench", None) or qs.get(name)

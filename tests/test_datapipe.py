@@ -774,6 +774,38 @@ def test_ivf_nearest_pandas_bit_equal(tables, spark):
         assert list(r.e) == list(r.p) == [0, 1, 2]
 
 
+def test_ivf_train_deterministic_and_bounded_jobs(tables, spark):
+    # r13: Lloyd's moved driver-side — training must (a) stay exactly
+    # reproducible run-to-run (hash-pinned sample, fixed-order numpy
+    # accumulation), and (b) run as a BOUNDED number of Spark jobs
+    # (sizing count + the one sample collect; the old shape paid 2 jobs
+    # per iteration and grew with iters)
+    emb = tables["embeddings"]
+    st = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("ivf_det_a", "train A")
+    a = ivf_train(emb, "embedding", "vec_id", nlist=8, iters=3)
+    spark.sparkContext.setJobGroup("ivf_det_b", "train B")
+    b = ivf_train(emb, "embedding", "vec_id", nlist=8, iters=3)
+    spark.sparkContext.setJobGroup("ivf_det_c", "train C, more iters")
+    c = ivf_train(emb, "embedding", "vec_id", nlist=8, iters=7)
+    spark.sparkContext.setJobGroup("ivf_det_other", "outside")
+    assert a == b
+    assert len(c) == len(a)
+    ja = st.getJobIdsForGroup("ivf_det_a")
+    jc = st.getJobIdsForGroup("ivf_det_c")
+    assert 0 < len(ja) <= 3, ja
+    # job count independent of iteration count (driver-side Lloyd)
+    assert len(jc) == len(ja), (ja, jc)
+    # corpus_rows skips the sizing count: strictly fewer jobs
+    n = emb.count()
+    spark.sparkContext.setJobGroup("ivf_det_d", "train D, known rows")
+    d = ivf_train(emb, "embedding", "vec_id", nlist=8, iters=3,
+                  corpus_rows=n)
+    spark.sparkContext.setJobGroup("ivf_det_other", "outside")
+    assert d == a
+    assert len(st.getJobIdsForGroup("ivf_det_d")) < len(ja)
+
+
 def test_knn_ivf_recall(tables):
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
@@ -832,8 +864,8 @@ def test_knn_cosine_double_matches_fixed(tables):
 
 
 def test_ivf_highdim(spark):
-    # dim-256 clustered vectors: the vector-native Summarizer mean keeps
-    # the training plan at one aggregate column regardless of dim, and
+    # dim-256 clustered vectors: the driver-side numpy Lloyd (r13)
+    # handles high-dim training from the one bounded sample collect, and
     # probing all lists reproduces brute-force top-k
     import random
 
@@ -1382,9 +1414,10 @@ def test_decontaminate_plan_broadcasts_eval(spark):
 
 
 def test_knn_ivf_highdim_vector_native_training(spark):
-    # dim=256: training must stay a single vector aggregate per iteration
-    # (Summarizer.mean), not 256 per-dimension avg columns — and recall
-    # on well-separated clusters survives the high-dim regime
+    # dim=256: training must stay one bounded sample collect + numpy
+    # Lloyd (r13; previously one vector aggregate per iteration), never
+    # 256 per-dimension avg columns — and recall on well-separated
+    # clusters survives the high-dim regime
     import random
 
     rnd = random.Random(7)
