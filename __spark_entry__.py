@@ -933,15 +933,36 @@ def q_dedup_minhash(spark, sf):
     recovered; the result is released only at >= 90%, so a recall
     regression flips this driver row red."""
     from rayforce_spark.datapipe import minhash_lsh_pairs
+    from rayforce_spark.datapipe.dedup import fanout, with_shingle_hashes
 
     (d,) = _t(spark, sf, "documents")
+    # r13: ONE checkpointed shingle-hash frame for both pipelines. The
+    # exact and production runs each shingled the corpus twice
+    # (signature + verify side), 4 passes total; the shared lazy
+    # localCheckpoint shingles once and every consumer reads the
+    # materialized 8-byte hash arrays locally (no exchange — the
+    # reuse_shingles repartition trade does not apply). Pair values are
+    # identical: with_shingle_hashes is deterministic, so sharing vs
+    # recomputing cannot change any Jaccard. Impl coverage note: the
+    # expr-vs-numpy same-pairs pin lives in pytest
+    # (test_minhash_numpy_signature_same_pairs); this gate still runs
+    # sig_impl= both ways end-to-end, unchanged.
+    sh = (
+        with_shingle_hashes(
+            fanout(d.select(F.col("doc_id").alias("__id"),
+                            F.col("text").alias("__text"))),
+            "__text", 3, "__bh",
+        )
+        .select("__id", "__bh")
+        .localCheckpoint(eager=False)
+    )
     exact = minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=64, shingle_k=3,
-        threshold=0.5,
+        threshold=0.5, shingles=sh,
     ).withColumn("jaccard", F.round("jaccard", 6))
     prod = minhash_lsh_pairs(
         d, "text", "doc_id", num_perm=64, bands=16, shingle_k=3,
-        threshold=0.5, sig_impl="numpy",
+        threshold=0.5, sig_impl="numpy", shingles=sh,
     )
     return _recall_gate(exact, prod, ["id_a", "id_b"], 90)
 

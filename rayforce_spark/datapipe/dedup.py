@@ -530,7 +530,8 @@ def _minhash_verify(cand: DataFrame, texts: DataFrame,
 
 def _minhash_pairs_dense(df: DataFrame, text_col: str, id_col: str, *,
                          num_perm: int, bands: int, shingle_k: int,
-                         threshold: float, sig_impl: str) -> DataFrame:
+                         threshold: float, sig_impl: str,
+                         shingles: DataFrame | None = None) -> DataFrame:
     """Rep-collapsed MinHash pair plan for duplicate-DENSE corpora.
 
     Collapse key: xxhash64 of the SORTED shingle-hash set — docs with
@@ -552,13 +553,18 @@ def _minhash_pairs_dense(df: DataFrame, text_col: str, id_col: str, *,
     tasks; this branch returns the identical 250,600-pair set in
     single-digit seconds."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    keyed = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__id"),
-                  F.col(text_col).alias("__text")),
-        "__text", shingle_k, "__bh",
-    ).select("__id", "__bh",
-             F.xxhash64(F.array_sort("__bh")).alias("__gkey"),
-             F.size("__bh").alias("__nsh"))
+    if shingles is not None:
+        src = shingles.select("__id", "__bh")
+    else:
+        src = with_shingle_hashes(
+            df.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__text")),
+            "__text", shingle_k, "__bh",
+        ).select("__id", "__bh")
+    keyed = src.select(
+        "__id", "__bh",
+        F.xxhash64(F.array_sort("__bh")).alias("__gkey"),
+        F.size("__bh").alias("__nsh"))
     members = (keyed.select("__id", "__gkey", "__nsh")
                .localCheckpoint(eager=False))
     reps = (members.groupBy("__gkey")
@@ -604,6 +610,7 @@ def minhash_lsh_pairs(
     cand_parallelism: int | None = None,
     guard: str = "auto",
     dense_threshold: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by exact
     Jaccard over the shingle sets.
@@ -656,12 +663,29 @@ def minhash_lsh_pairs(
     ``cand_parallelism``: explicit AQE-immune width for the candidate
     self-join — pass the cluster's parallelism to pin the sparse plan's
     join width yourself. Pre-dates the auto guard; when set, the stats
-    job is skipped and the sparse plan (pinned) always runs."""
-    df = fanout(df)
-    shingled_in = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
-        "__text", shingle_k, "__bh",
-    ).select("__id", "__bh")
+    job is skipped and the sparse plan (pinned) always runs.
+
+    ``shingles`` (r13): a pre-computed ``(__id, __bh)`` shingle-hash
+    frame (the with_shingle_hashes output over the same corpus/k) to
+    use for BOTH the signature and verify sides instead of shingling
+    here. For a single pipeline the default recompute stays the right
+    trade (see ``reuse_shingles``), but when a caller runs TWO
+    pipelines over one corpus (q_dedup_minhash's exact-recall gate vs
+    production tuning), a caller-side lazy localCheckpoint of this
+    frame shingles the corpus once for all four consumers instead of
+    four times — with no shuffle (checkpoint partitions are read
+    locally, unlike the reuse_shingles exchange). ``reuse_shingles``
+    is moot and ignored when this is set."""
+    if shingles is not None:
+        shingled_in = shingles.select("__id", "__bh")
+        reuse_shingles = False
+    else:
+        df = fanout(df)
+        shingled_in = with_shingle_hashes(
+            df.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__text")),
+            "__text", shingle_k, "__bh",
+        ).select("__id", "__bh")
     if guard == "auto" and not cand_parallelism:
         # the guard's collapse key (hash of the sorted shingle SET)
         # rides through the signature/banding projections so one stats
@@ -716,7 +740,7 @@ def minhash_lsh_pairs(
             return _minhash_pairs_dense(
                 df, text_col, id_col, num_perm=num_perm, bands=bands,
                 shingle_k=shingle_k, threshold=threshold,
-                sig_impl=sig_impl)
+                sig_impl=sig_impl, shingles=shingles)
         if decision == "pin":
             b = b.repartition(
                 df.sparkSession.sparkContext.defaultParallelism,
@@ -740,7 +764,12 @@ def minhash_lsh_pairs(
     # the candidate id set here — that would reference `cand` three times
     # and Spark re-executes the whole candidate subtree per reference;
     # re-shingling all docs once is the cheaper, single-pass plan.
-    if reuse_shingles:
+    if shingles is not None:
+        # the caller's checkpointed frame: local partition reads, no
+        # recompute and no exchange
+        texts = shingles.select(F.col("__id").alias("__tid"),
+                                F.col("__bh").alias("__vsh"))
+    elif reuse_shingles:
         # byte-identical subtree to the signature path's input, ending in
         # the same exchange -> ReusedExchange, shingles computed once
         texts = shingled_in.select(F.col("__id").alias("__tid"),

@@ -530,6 +530,38 @@ def test_minhash_numpy_signature_same_pairs(spark, tables):
     assert expr_pairs == np_pairs
 
 
+def test_minhash_shared_shingles_same_pairs(spark, tables):
+    # r13: a caller-provided checkpointed shingle frame (the shared-
+    # subtree spelling q_dedup_minhash uses for its two pipelines) must
+    # reproduce the default recompute path's pair set exactly — for
+    # both sig impls, and through the dense-collapse branch
+    from rayforce_spark.datapipe.dedup import fanout, with_shingle_hashes
+
+    d = tables["documents"].limit(300)
+    sh = (with_shingle_hashes(
+            fanout(d.select(F.col("doc_id").alias("__id"),
+                            F.col("text").alias("__text"))),
+            "__text", 3, "__bh")
+          .select("__id", "__bh").localCheckpoint(eager=False))
+    kw = dict(num_perm=32, bands=32, shingle_k=3, threshold=0.5)
+    for impl in ("expr", "numpy"):
+        want = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                minhash_lsh_pairs(d, "text", "doc_id", sig_impl=impl,
+                                  **kw).collect()}
+        got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+               minhash_lsh_pairs(d, "text", "doc_id", sig_impl=impl,
+                                 shingles=sh, **kw).collect()}
+        assert want and got == want
+    # dense-collapse branch consumes the shared frame too
+    dense = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+             minhash_lsh_pairs(d, "text", "doc_id", dense_threshold=1,
+                               **kw).collect()}
+    dense_sh = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                minhash_lsh_pairs(d, "text", "doc_id", dense_threshold=1,
+                                  shingles=sh, **kw).collect()}
+    assert dense == dense_sh == want
+
+
 def test_simhash_fp_numpy_bit_equal(spark, tables):
     """The Arrow fingerprint twin (fp_impl='numpy', the default) must be
     BIT-EQUAL to the 63-aggregate expression plan for both token-hash
