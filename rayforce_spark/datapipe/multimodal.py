@@ -120,12 +120,20 @@ def _fake_features(content: bytes, dim: int) -> list[float]:
     little-endian bytes so the scheme is reproducible in plain SQL
     (md5(text || '0') — DuckDB's md5 is VARCHAR-only and cannot embed NUL
     bytes); each digest byte maps to [0,1] via a single fp division,
-    which is bit-exact in any IEEE engine."""
+    which is bit-exact in any IEEE engine.
+
+    ``content`` is any buffer-protocol object (bytes, or r13: a
+    memoryview over the Arrow data buffer — hashed in place). The old
+    ``md5(content + salt)`` spelling copied the whole blob per counter
+    round; the streaming spelling (hash content once, ``copy()`` the
+    digest state per round) is md5-identical and copies nothing."""
+    base = hashlib.md5(content)
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.md5(content + str(counter).encode()).digest()
-        out.extend(b / 255.0 for b in h)
+        h = base.copy()
+        h.update(str(counter).encode())
+        out.extend(b / 255.0 for b in h.digest())
         counter += 1
     return out[:dim]
 
@@ -140,13 +148,26 @@ def extract_features(
     batch_size_hint: int = 1024,
 ) -> DataFrame:
     """Decode media bytes and emit a feature vector per row via
-    mapInPandas (Arrow batches; only id+content columns are shipped to
+    mapInArrow (Arrow batches; only id+content columns are shipped to
     Python — project before, join after, so the wide table stays JVM-side).
 
     decoder="stdlib" really decodes BMP/WAV (:mod:`codecs`); a row whose
     bytes parse as neither gets features=NULL (quarantine, don't crash).
     decoder="real" is the plug-point for PIL/librosa/ffmpeg pipelines —
     not available in this container, so it raises NotImplementedError.
+
+    Byte-copy accounting per blob (r13, guide §4.2 — mapInArrow instead
+    of mapInPandas so the blob bytes are read IN PLACE from the Arrow
+    data buffer):
+    * fake tier, before: Arrow->pandas materialized every blob as a
+      Python bytes object (copy 1) and ``md5(content + salt)`` copied it
+      again per digest round (copy 2). After: the digest reads a
+      memoryview sliced straight from the batch's data buffer via the
+      offsets buffer — ZERO copies; n_bytes comes from the offsets alone
+      without touching blob data.
+    * stdlib tier: the codec parsers (``wave.open`` wants a real
+      seekable buffer) still get one materialized ``bytes`` per blob —
+      1 copy, down from 2.
     """
     if decoder == "real":
         raise NotImplementedError(
@@ -165,30 +186,51 @@ def extract_features(
     ])
 
     def gen(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
         from rayforce_spark.datapipe.codecs import CodecError, media_features
 
-        def one(c):
-            if c is None:
-                return None
-            if decoder == "fake":
-                return _fake_features(bytes(c), dim)
-            try:
-                return media_features(bytes(c), dim)
-            except CodecError:
-                return None
+        feat_type = pa.list_(pa.float64())
+        for batch in batches:
+            ids = batch.column(0)
+            content = batch.column(1)
+            n = len(content)
+            # per-blob zero-copy views: slice the shared data buffer by
+            # the offsets buffer (int64 offsets when Spark ships
+            # large_binary under arrow.useLargeVarTypes)
+            _, off_buf, data_buf = content.buffers()
+            off_dt = (np.int64 if pa.types.is_large_binary(content.type)
+                      else np.int32)
+            offs = np.frombuffer(off_buf, dtype=off_dt)[
+                content.offset:content.offset + n + 1]
+            data = (memoryview(data_buf) if data_buf is not None
+                    else memoryview(b""))
+            nulls = (content.is_null().to_numpy(zero_copy_only=False)
+                     if content.null_count else None)
+            feats: list[list[float] | None] = []
+            nb: list[int | None] = []
+            for i in range(n):
+                if nulls is not None and nulls[i]:
+                    feats.append(None)
+                    nb.append(None)
+                    continue
+                view = data[offs[i]:offs[i + 1]]
+                nb.append(len(view))
+                if decoder == "fake":
+                    feats.append(_fake_features(view, dim))
+                else:
+                    try:
+                        feats.append(media_features(view.tobytes(), dim))
+                    except CodecError:
+                        feats.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(feats, type=feat_type),
+                 pa.array(nb, type=pa.int32())],
+                names=[id_col, "features", "n_bytes"])
 
-        for pdf in batches:
-            feats = [one(c) for c in pdf[content_col]]
-            nb = [None if c is None else len(c) for c in pdf[content_col]]
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                "features": feats,
-                "n_bytes": nb,
-            })
-
-    return narrow.mapInPandas(gen, out_schema)
+    return narrow.mapInArrow(gen, out_schema)
 
 
 def resize_media(

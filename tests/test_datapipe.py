@@ -985,6 +985,36 @@ def test_multimodal_plumbing(tables):
     assert all(again[r.media_id] == bytes(r.content) for r in srows)
 
 
+def test_extract_features_arrow_edges(spark):
+    # r13 (mapInArrow + zero-copy buffer slices): pin the edges the
+    # offsets/validity handling must get right — null blob, empty blob,
+    # multi-round md5 (dim > 16), undecodable stdlib bytes — and pin the
+    # streaming-md5 spelling to the original concat spelling's values
+    import hashlib
+
+    rows = [(1, b"hello world"), (2, None), (3, b""), (4, b"x" * 100)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in
+           extract_features(df, dim=20).collect()}
+    assert got[2].features is None and got[2].n_bytes is None
+    assert got[3].n_bytes == 0 and len(got[3].features) == 20
+    assert got[1].n_bytes == 11 and got[4].n_bytes == 100
+    # reference: md5(content + ascii counter), digest bytes / 255
+    for mid, content in ((1, b"hello world"), (3, b""), (4, b"x" * 100)):
+        want = []
+        counter = 0
+        while len(want) < 20:
+            d = hashlib.md5(content + str(counter).encode()).digest()
+            want.extend(b / 255.0 for b in d)
+            counter += 1
+        assert got[mid].features == want[:20]
+    # stdlib decoder: junk bytes quarantine to null features, n_bytes kept
+    sl = {r.media_id: r for r in
+          extract_features(df, dim=3, decoder="stdlib").collect()}
+    assert sl[1].features is None and sl[1].n_bytes == 11
+    assert sl[2].features is None and sl[2].n_bytes is None
+
+
 def test_extract_features_real_decoder_stub(tables):
     import pytest
 
