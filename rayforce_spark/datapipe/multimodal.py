@@ -3,8 +3,9 @@
 Design (100 TB): media bytes live in a BinaryType column (or a pointer
 column to object storage), metadata in sibling typed columns. Decode /
 feature-extraction / resize / frame-sampling run as Arrow-batched
-mapInPandas stages — the bytes never round-trip through the driver and
-each partition streams batch-by-batch.
+Python stages (mapInArrow — blob bytes are read in place from the Arrow
+buffers, r13) — the bytes never round-trip through the driver and each
+partition streams batch-by-batch.
 
 Decoder tiers:
 * ``decoder="stdlib"`` — REAL decode for BMP (hand-rolled 24-bit parser)
@@ -80,7 +81,20 @@ def synthesize_media(
     Both closed forms are plain-SQL expressible (AVG((id*k + i) % 256)
     over a generated series), so a decode->feature pipeline over these
     bytes has an exact DuckDB oracle — the bytes themselves round-trip
-    through a real encoder/parser (:mod:`codecs`), not a fake."""
+    through a real encoder/parser (:mod:`codecs`), not a fake.
+
+    r13 (guide §4.1/§4.2): mapInArrow + whole-batch vectorization. All
+    blobs of a call share one header (the BMP/WAV headers depend only on
+    the constant dimensions — taken once from a reference encode of
+    zeros, so the byte layout is pinned to :mod:`codecs` by
+    construction) and the payload closed form is one broadcasted numpy
+    expression over the (rows × positions) grid; the Arrow binary
+    column is assembled from the resulting matrix's buffer with uniform
+    offsets — no per-row Python work at all. Bit-identical to the old
+    per-row ``encode_bmp``/``encode_wav`` loop (pinned in
+    test_synthesize_media_vectorized_bit_identical) for any id whose
+    ``id*7`` (``*13``) stays in int64 — the closed form's arithmetic was
+    already int64 numpy."""
     if kind not in ("image", "audio"):
         raise ValueError(f"synthesize_media: unknown kind {kind}")
     w, h = image_wh
@@ -92,25 +106,56 @@ def synthesize_media(
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        from rayforce_spark.datapipe.codecs import encode_bmp, encode_wav
+        from rayforce_spark.datapipe.codecs import (
+            BMP_HEADER_SIZE, encode_bmp, encode_wav)
 
-        for pdf in batches:
-            out = []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                if kind == "image":
-                    i = np.arange(w * h * 3, dtype=np.int64)
-                    px = ((mid * 7 + i) % 256).astype(np.uint8)
-                    out.append(encode_bmp(px.reshape(h, w, 3)))
-                else:
-                    i = np.arange(wav_n, dtype=np.int64)
-                    s = ((mid * 13 + i) % 256).astype(np.uint8)
-                    out.append(encode_wav(s, rate=wav_rate, sampwidth=1))
-            yield pd.DataFrame({id_col: pdf[id_col], "content": out})
+        # constants hoisted out of the batch loop (guide §4.1): header
+        # bytes from a reference encode, payload grid, BMP row layout
+        if kind == "image":
+            n_pos = w * h * 3
+            ref = encode_bmp(np.zeros((h, w, 3), dtype=np.uint8))
+            header = np.frombuffer(ref[:BMP_HEADER_SIZE], dtype=np.uint8)
+            row_bytes = w * 3
+            stride = row_bytes + (-row_bytes) % 4
+            mult = 7
+        else:
+            n_pos = wav_n
+            ref = encode_wav(np.zeros(wav_n, dtype=np.uint8),
+                             rate=wav_rate, sampwidth=1)
+            header = np.frombuffer(ref[:len(ref) - wav_n], dtype=np.uint8)
+            mult = 13
+        pos = np.arange(n_pos, dtype=np.int64)
 
-    return narrow.mapInPandas(gen, out_schema)
+        for batch in batches:
+            ids = batch.column(0)
+            mids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(mids)
+            payload = ((mids[:, None] * mult + pos[None, :]) % 256
+                       ).astype(np.uint8)
+            if kind == "image":
+                # same layout as encode_bmp: RGB->BGR, bottom-up rows,
+                # 4-byte row padding
+                bgr = payload.reshape(n, h, w, 3)[:, ::-1, :, ::-1]
+                body = np.zeros((n, h, stride), dtype=np.uint8)
+                body[:, :, :row_bytes] = bgr.reshape(n, h, row_bytes)
+                body = body.reshape(n, h * stride)
+            else:
+                body = payload
+            blob_len = len(header) + body.shape[1]
+            blobs = np.empty((n, blob_len), dtype=np.uint8)
+            blobs[:, :len(header)] = header
+            blobs[:, len(header):] = body
+            offs = np.arange(0, (n + 1) * blob_len, blob_len,
+                             dtype=np.int32)
+            content = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs), pa.py_buffer(blobs)])
+            yield pa.RecordBatch.from_arrays([ids, content],
+                                             names=[id_col, "content"])
+
+    return narrow.mapInArrow(gen, out_schema)
 
 
 def _fake_features(content: bytes, dim: int) -> list[float]:
@@ -243,8 +288,11 @@ def resize_media(
     decoder: str = "fake",
 ) -> DataFrame:
     """Resize plumbing: emit (id, content, width, height) with the target
-    dimensions via mapInPandas — the same narrow-projection Arrow-batch
-    shape as extract_features, so the wide table never ships to Python.
+    dimensions via mapInArrow — the same narrow-projection Arrow-batch
+    shape as extract_features, so the wide table never ships to Python;
+    r13 (guide §4.2): input blobs are read as memoryview slices of the
+    Arrow data buffer (0 input copies for the fake tier; the stdlib
+    tier materializes one ``bytes`` for ``decode_bmp``, down from 2).
 
     decoder="stdlib" is a REAL resize for BMP bytes: decode (24-bit
     parser) -> nearest-neighbor resample -> re-encode BMP; non-BMP bytes
@@ -275,37 +323,54 @@ def resize_media(
     n_out = width * height
 
     def gen(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
         from rayforce_spark.datapipe.codecs import (
             CodecError, decode_bmp, encode_bmp, resize_nearest)
 
-        def fake_resize(c):
-            if c is None:
-                return None
-            b = bytes(c) or b"\x00"
+        def fake_resize(b: bytes):
+            b = b or b"\x00"
             reps = -(-n_out // len(b))  # ceil
             return (b * reps)[:n_out]
 
-        def stdlib_resize(c):
-            if c is None:
-                return None
+        def stdlib_resize(b: bytes):
             try:
-                px = decode_bmp(bytes(c))
+                px = decode_bmp(b)
             except CodecError:
                 return None
             return encode_bmp(resize_nearest(px, width, height))
 
         fn = stdlib_resize if decoder == "stdlib" else fake_resize
-        for pdf in batches:
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                content_col: [fn(c) for c in pdf[content_col]],
-                "width": width,
-                "height": height,
-            })
+        for batch in batches:
+            ids = batch.column(0)
+            content = batch.column(1)
+            n = len(content)
+            # per-blob zero-copy views, as in extract_features: slice the
+            # shared data buffer by the offsets buffer
+            _, off_buf, data_buf = content.buffers()
+            off_dt = (np.int64 if pa.types.is_large_binary(content.type)
+                      else np.int32)
+            offs = np.frombuffer(off_buf, dtype=off_dt)[
+                content.offset:content.offset + n + 1]
+            data = (memoryview(data_buf) if data_buf is not None
+                    else memoryview(b""))
+            nulls = (content.is_null().to_numpy(zero_copy_only=False)
+                     if content.null_count else None)
+            out: list[bytes | None] = []
+            for i in range(n):
+                if nulls is not None and nulls[i]:
+                    out.append(None)
+                    continue
+                out.append(fn(data[offs[i]:offs[i + 1]].tobytes()))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(out, type=pa.binary()),
+                 pa.array(np.full(n, width, dtype=np.int32)),
+                 pa.array(np.full(n, height, dtype=np.int32))],
+                names=[id_col, content_col, "width", "height"])
 
-    return narrow.mapInPandas(gen, out_schema)
+    return narrow.mapInArrow(gen, out_schema)
 
 
 def sample_frames(

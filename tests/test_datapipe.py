@@ -1015,6 +1015,75 @@ def test_extract_features_arrow_edges(spark):
     assert sl[2].features is None and sl[2].n_bytes is None
 
 
+def test_synthesize_media_vectorized_bit_identical(spark):
+    # r13 (mapInArrow + whole-batch vectorization): the blobs must be
+    # BIT-identical to the original per-row encode_bmp/encode_wav
+    # spelling — same closed form, same header, same BGR/bottom-up/pad
+    # layout — for any id whose id*13 stays in int64 (incl. negatives)
+    import numpy as np
+
+    from rayforce_spark.datapipe.codecs import encode_bmp, encode_wav
+    from rayforce_spark.datapipe.multimodal import synthesize_media
+
+    ids = [0, 1, 2, 255, 256, 12345, -1, -300, 2**40, -(2**40),
+           (2**63 - 1) // 13 - 100]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    got_img = {r.doc_id: bytes(r.content) for r in
+               synthesize_media(df, "doc_id", kind="image").collect()}
+    got_wav = {r.doc_id: bytes(r.content) for r in
+               synthesize_media(df, "doc_id", kind="audio").collect()}
+    assert set(got_img) == set(ids) and set(got_wav) == set(ids)
+    w, h, wav_n = 4, 6, 50
+    for mid in ids:
+        i = np.arange(w * h * 3, dtype=np.int64)
+        px = ((mid * 7 + i) % 256).astype(np.uint8)
+        assert got_img[mid] == encode_bmp(px.reshape(h, w, 3)), mid
+        i = np.arange(wav_n, dtype=np.int64)
+        s = ((mid * 13 + i) % 256).astype(np.uint8)
+        assert got_wav[mid] == encode_wav(s, rate=8000, sampwidth=1), mid
+    # non-default dims exercise the hoisted header/stride constants
+    # (w*3 odd multiple -> nonzero BMP row padding)
+    got = {r.doc_id: bytes(r.content) for r in
+           synthesize_media(df.limit(3), "doc_id", kind="image",
+                            image_wh=(3, 2)).collect()}
+    for mid in got:
+        i = np.arange(3 * 2 * 3, dtype=np.int64)
+        px = ((mid * 7 + i) % 256).astype(np.uint8)
+        assert got[mid] == encode_bmp(px.reshape(2, 3, 3))
+
+
+def test_resize_media_arrow_edges(spark):
+    # r13 (mapInArrow): pin the offsets/validity edges — null blob,
+    # empty blob (fake tier cycles b"\x00"), undecodable stdlib bytes
+    # (quarantine to null) — and the stdlib tier against the
+    # decode->resize_nearest->encode reference spelling
+    import numpy as np
+
+    from rayforce_spark.datapipe.codecs import (
+        decode_bmp, encode_bmp, resize_nearest)
+
+    px = (np.arange(5 * 4 * 3, dtype=np.int64) % 256).astype(
+        np.uint8).reshape(4, 5, 3)
+    bmp = encode_bmp(px)
+    rows = [(1, b"abc"), (2, None), (3, b""), (4, bmp)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+
+    fake = {r.media_id: r for r in
+            resize_media(df, width=4, height=3).collect()}
+    assert bytes(fake[1].content) == (b"abc" * 4)[:12]
+    assert fake[2].content is None
+    assert bytes(fake[3].content) == b"\x00" * 12
+    assert all(r.width == 4 and r.height == 3 for r in fake.values())
+
+    sl = {r.media_id: r for r in
+          resize_media(df, width=2, height=2, decoder="stdlib").collect()}
+    assert sl[1].content is None and sl[2].content is None \
+        and sl[3].content is None
+    want = encode_bmp(resize_nearest(decode_bmp(bmp), 2, 2))
+    assert bytes(sl[4].content) == want
+
+
 def test_extract_features_real_decoder_stub(tables):
     import pytest
 
